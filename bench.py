@@ -1,0 +1,62 @@
+"""Headline benchmark — runs the bench-flagged queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced through a full materialization (noop sink) so the
+timing covers scan → shuffle → aggregate, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from enterprise_data_warehouse_spark.queries import load_registry
+from enterprise_data_warehouse_spark.session import get_spark
+
+
+def force(df) -> None:
+    """Fully evaluate a DataFrame without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("edw-bench")
+    registry = load_registry()
+    bench_queries = {n: s for n, s in registry.items() if s.bench}
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # engine, not first-touch classloading.
+    force(bench_queries[next(iter(bench_queries))].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, spec in bench_queries.items():
+        t0 = time.perf_counter()
+        force(spec.fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""Star-schema fact build + rollup — the flagship pipeline (SURVEY.md §7.2).
+
+Re-expresses the reference's fact_sales_daily build (reference
+models/marts/facts/fact_sales_daily.sql:20-128): staging cleanse → star join
+→ derived measures → grouped conditional aggregation.
+
+Scale notes (100 TB): lineitem is the only big table here. nation/region are
+broadcast explicitly; customer/orders join via shuffle-hash on their keys and
+AQE handles skew. All money aggregates run through decimal-exact sums (see
+functions.deterministic) — same shuffle shape as native double sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import DEC, davg, dec2dbl, dsum, sql_davg, sql_dsum
+from ..functions.expressions import net_revenue
+from ..queries import query
+from ..sources.tables import load_table
+
+
+def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with cleanse filters.
+
+    Dimension sides (nation, region) are broadcast — no shuffle for them at
+    any scale. The lineitem⋈orders join shuffles on orderkey; Catalyst pushes
+    the quantity/price filters into the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") >= 0))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+
+
+FLAGSHIP_ORACLE = f"""
+SELECT
+  r_name AS region_name,
+  n_name AS nation_name,
+  COUNT(*) AS n_items,
+  {sql_dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_net_revenue,
+  {sql_davg("l_quantity")} AS avg_qty,
+  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_items,
+  CAST(ROUND(COALESCE(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+       THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10)) END), 0), 4) AS DOUBLE)
+       AS urgent_discounted_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE l_quantity > 0 AND l_extendedprice >= 0
+GROUP BY r_name, n_name
+"""
+
+
+@query("star_revenue_rollup", oracle=FLAGSHIP_ORACLE, bench=True)
+def star_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: star join + grouped conditional rollup (A1+A2+J3+F13-15)."""
+    disc_rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        star_join(spark, sf_dir)
+        .withColumn("net_revenue", net_revenue("l_extendedprice", "l_discount", "l_tax"))
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("net_revenue", "sum_net_revenue"),
+            davg("l_quantity", "avg_qty"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "returned_items"
+            ),
+            dec2dbl(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                            disc_rev.cast(DEC),
+                        )
+                    ),
+                    F.lit(0).cast(DEC),
+                )
+            ).alias("urgent_discounted_revenue"),
+        )
+    )
+
+
+PRICING_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum("l_quantity")} AS sum_qty,
+  {sql_dsum("l_extendedprice")} AS sum_base_price,
+  {sql_dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+  {sql_dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+  {sql_davg("l_quantity")} AS avg_qty,
+  {sql_davg("l_extendedprice")} AS avg_price,
+  {sql_davg("l_discount")} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pricing_summary", oracle=PRICING_ORACLE, bench=True)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: the canonical grouped multi-agg (A1).
+
+    One shuffle on (returnflag, linestatus); partial aggregation map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+TOPK_ORACLE = f"""
+SELECT c_custkey, c_name,
+  {sql_dsum("o_totalprice")} AS total_spend,
+  COUNT(*) AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+@query("top_customers", oracle=TOPK_ORACLE)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 top-k: Spark plans TakeOrderedAndProject — no global sort at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum("o_totalprice", "total_spend"), F.count("*").alias("n_orders"))
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )

@@ -1,0 +1,56 @@
+"""Source table scans (SURVEY.md §2.1 S1/S2).
+
+Reference behavior: dbt ``source()`` / ``ref()`` scans resolved to Snowflake
+tables (reference models/staging/staging_customers.sql:45,
+models/marts/facts/fact_sales_daily.sql:45). Here a scan is a lazy
+``spark.read.parquet`` — Catalyst pushes filters and prunes columns into the
+parquet reader, so a downstream 2-column projection reads 2 columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1: lazy columnar scan of one table.
+
+    events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark's
+    vectorized reader rejects; we read it as long ns (legacy flag set in
+    session.py) and convert to a µs timestamp (lossless — the generator
+    emits whole microseconds).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the full star schema as a dict of lazy DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """S2: expose tables as temp views so spark.sql(...) can ref() them."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
