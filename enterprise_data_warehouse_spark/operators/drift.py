@@ -1,0 +1,419 @@
+"""Drift & profiling statistics (SURVEY.md §2.4 A8/A9/A13–A18).
+
+The reference computes these in pandas/scipy on collected data
+(ml_monitoring_system.py, feature_store_manager.py); here every statistic is
+a distributed aggregate built from decimal-exact moments, so results are
+deterministic across engines AND across partition orders — the same property
+that makes them safe under AQE re-planning at 100 TB.
+
+p-values (scipy) are intentionally out of the SQL surface: the test
+STATISTICS are native aggregates; scipy-based p-values live behind a pandas
+UDF in the ML boundary (operators/mlboundary.py) where an oracle can't
+check them anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import (
+    DEC,
+    davg,
+    dec2dbl,
+    dstd_samp,
+    sql_davg,
+    sql_dstd_samp,
+    sql_dsum,
+)
+from ..queries import query
+from ..sources.tables import load_table
+
+REF_CUTOFF = "2024-01-15 00:00:00"  # events before → reference, after → current
+
+
+# --- A8: descriptive statistics ------------------------------------------------
+
+DESCRIBE_ORACLE = f"""
+SELECT event_type,
+  COUNT(*) AS n,
+  {sql_davg("value")} AS mean_value,
+  {sql_dstd_samp("value")} AS std_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value,
+  QUANTILE_CONT(value, 0.5) AS median_value,
+  QUANTILE_CONT(value, 0.25) AS q25,
+  QUANTILE_CONT(value, 0.75) AS q75
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("feature_descriptive_stats", oracle=DESCRIBE_ORACLE)
+def feature_descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-feature profile (reference feature_store_manager.py:831-845).
+    Exact interpolated percentiles here (oracle-checkable); at 100 TB the
+    drop-in is percentile_approx with the same call shape."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        davg("value", "mean_value"),
+        dstd_samp("value", "std_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.percentile("value", 0.5).alias("median_value"),
+        F.percentile("value", 0.25).alias("q25"),
+        F.percentile("value", 0.75).alias("q75"),
+    )
+
+
+# --- A9: categorical profile + entropy ------------------------------------------
+
+PROFILE_ORACLE = """
+WITH counts AS (
+  SELECT lang, source, COUNT(*) AS cnt
+  FROM documents GROUP BY lang, source
+), tops AS (
+  SELECT lang, source, cnt,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, source ASC) AS rn,
+    SUM(cnt) OVER (PARTITION BY lang) AS total,
+    COUNT(*) OVER (PARTITION BY lang) AS n_distinct_sources
+  FROM counts
+), entropy AS (
+  SELECT lang,
+    ROUND(-SUM((CAST(cnt AS DOUBLE)/CAST(total AS DOUBLE))
+          * LN(CAST(cnt AS DOUBLE)/CAST(total AS DOUBLE)) / LN(2.0)), 6) AS source_entropy_bits
+  FROM tops GROUP BY lang
+)
+SELECT t.lang, t.source AS top_source, t.cnt AS top_source_count,
+       t.n_distinct_sources, t.total AS n_docs, e.source_entropy_bits
+FROM tops t JOIN entropy e ON t.lang = e.lang
+WHERE t.rn = 1
+"""
+
+
+@query("categorical_profile", oracle=PROFILE_ORACLE)
+def categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: nunique / top-value / entropy per category (reference
+    feature_store_manager.py:846-855). Entropy rounded to 6dp — ln() is the
+    one libm call here and group counts are small."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang")
+    tops = counts.select(
+        "*",
+        F.row_number().over(w.orderBy(F.desc("cnt"), F.asc("source"))).alias("rn"),
+        F.sum("cnt").over(w).alias("total"),
+        F.count("*").over(w).alias("n_distinct_sources"),
+    )
+    p = F.col("cnt").cast("double") / F.col("total").cast("double")
+    entropy = tops.groupBy("lang").agg(
+        F.round(-F.sum(p * F.log(p) / F.log(F.lit(2.0))), 6).alias("source_entropy_bits")
+    )
+    return (
+        tops.where(F.col("rn") == 1)
+        .join(entropy, "lang")
+        .select(
+            "lang",
+            F.col("source").alias("top_source"),
+            F.col("cnt").alias("top_source_count"),
+            "n_distinct_sources",
+            F.col("total").alias("n_docs"),
+            "source_entropy_bits",
+        )
+    )
+
+
+# --- A13: linear trend (regression slope) ----------------------------------------
+
+SLOPE_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id,
+    CAST(DATEDIFF('second', TIMESTAMP '2024-01-01', ts) AS DOUBLE) / 86400.0 AS x,
+    value AS y
+  FROM events
+)
+SELECT user_id,
+  (COUNT(*) * {sql_dsum("x*y")} - {sql_dsum("x")} * {sql_dsum("y")})
+  / NULLIF(COUNT(*) * {sql_dsum("x*x")} - {sql_dsum("x")} * {sql_dsum("x")}, 0)
+  AS value_trend_slope,
+  COUNT(*) AS n_points
+FROM pts
+GROUP BY user_id
+"""
+
+
+@query("regr_slope_per_user", oracle=SLOPE_ORACLE)
+def regr_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: np.polyfit(...,1) slope (reference ml_monitoring_system.py:500-507)
+    as a grouped aggregate from exact moments — equivalent to regr_slope but
+    engine-deterministic. x is measured in days: it keeps the decimal moment
+    sums' unscaled values under 2^53, where decimal→double conversion is
+    exact in every engine."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    pts = e.select(
+        "user_id",
+        ((F.unix_timestamp("ts") - F.unix_timestamp(anchor)).cast("double") / 86400.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def ds(c):
+        return dec2dbl(F.sum(c.cast(DEC)))
+
+    x, y = F.col("x"), F.col("y")
+    n = F.count("*")
+    num = n * ds(x * y) - ds(x) * ds(y)
+    den = n * ds(x * x) - ds(x) * ds(x)
+    return pts.groupBy("user_id").agg(
+        (num / F.nullif(den, F.lit(0))).alias("value_trend_slope"),
+        F.count("*").alias("n_points"),
+    )
+
+
+# --- A14: PSI (population stability index) ----------------------------------------
+
+PSI_ORACLE = f"""
+WITH binned AS (
+  SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bin,
+         CASE WHEN ts < TIMESTAMP '{REF_CUTOFF}' THEN 'ref' ELSE 'cur' END AS slice
+  FROM events
+), counts AS (
+  SELECT bin,
+    SUM(CASE WHEN slice = 'ref' THEN 1 ELSE 0 END) AS ref_cnt,
+    SUM(CASE WHEN slice = 'cur' THEN 1 ELSE 0 END) AS cur_cnt
+  FROM binned GROUP BY bin
+), props AS (
+  SELECT bin,
+    (CAST(ref_cnt AS DOUBLE) + 0.5) / (SUM(ref_cnt) OVER () + 0.5 * COUNT(*) OVER ()) AS p_ref,
+    (CAST(cur_cnt AS DOUBLE) + 0.5) / (SUM(cur_cnt) OVER () + 0.5 * COUNT(*) OVER ()) AS p_cur
+  FROM counts
+)
+SELECT CAST(ROUND(SUM(CAST((p_cur - p_ref) * LN(p_cur / p_ref) AS DECIMAL(38,10))), 6) AS DOUBLE) AS psi,
+       COUNT(*) AS n_bins
+FROM props
+"""
+
+
+@query("psi_value_drift", oracle=PSI_ORACLE)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: PSI between a reference and current slice (reference
+    ml_monitoring_system.py:288-310), Laplace-smoothed (+0.5/bin) exactly as
+    the reference smooths empty bins. One groupBy over bins — a 100 TB input
+    reduces to #bins rows before any window runs."""
+    e = load_table(spark, sf_dir, "events")
+    binned = e.select(
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("bin"),
+        F.when(F.col("ts") < F.lit(REF_CUTOFF).cast("timestamp"), "ref")
+        .otherwise("cur")
+        .alias("slice"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("slice") == "ref", 1).otherwise(0)).alias("ref_cnt"),
+        F.sum(F.when(F.col("slice") == "cur", 1).otherwise(0)).alias("cur_cnt"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    p_ref = (F.col("ref_cnt").cast("double") + 0.5) / (
+        F.sum("ref_cnt").over(w) + 0.5 * F.count("*").over(w)
+    )
+    p_cur = (F.col("cur_cnt").cast("double") + 0.5) / (
+        F.sum("cur_cnt").over(w) + 0.5 * F.count("*").over(w)
+    )
+    props = counts.select(p_ref.alias("p_ref"), p_cur.alias("p_cur"))
+    psi_term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
+    return props.agg(
+        F.round(F.sum(psi_term.cast(DEC)), 6).cast("double").alias("psi"),
+        F.count("*").alias("n_bins"),
+    )
+
+
+# --- A15: Kolmogorov–Smirnov statistic ----------------------------------------------
+
+KS_ORACLE = f"""
+WITH tagged AS (
+  SELECT value,
+    CASE WHEN ts < TIMESTAMP '{REF_CUTOFF}' THEN 1 ELSE 0 END AS is_ref,
+    CASE WHEN ts < TIMESTAMP '{REF_CUTOFF}' THEN 0 ELSE 1 END AS is_cur
+  FROM events
+), cdf AS (
+  SELECT value,
+    SUM(is_ref) OVER (ORDER BY value) AS ref_le,
+    SUM(is_cur) OVER (ORDER BY value) AS cur_le,
+    SUM(is_ref) OVER () AS n_ref,
+    SUM(is_cur) OVER () AS n_cur
+  FROM tagged
+)
+SELECT MAX(ABS(CAST(ref_le AS DOUBLE)/n_ref - CAST(cur_le AS DOUBLE)/n_cur)) AS ks_stat
+FROM cdf
+"""
+
+
+@query("ks_value_drift", oracle=KS_ORACLE)
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: two-sample KS statistic (reference ml_monitoring_system.py:229-251)
+    via running CDFs — the default RANGE window frame makes ties well-defined
+    identically in both engines. Integer-ratio arithmetic only → exact.
+
+    Scale note: the global ORDER BY value window is the scale bottleneck; at
+    100 TB pre-bin values (like PSI) or sample — KS on a 1e6-row uniform
+    sample has ±0.001 accuracy, plenty for drift gating.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(REF_CUTOFF).cast("timestamp")
+    tagged = e.select(
+        "value",
+        F.when(F.col("ts") < cutoff, 1).otherwise(0).alias("is_ref"),
+        F.when(F.col("ts") < cutoff, 0).otherwise(1).alias("is_cur"),
+    )
+    w = Window.orderBy("value").rangeBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cdf = tagged.select(
+        F.sum("is_ref").over(w).alias("ref_le"),
+        F.sum("is_cur").over(w).alias("cur_le"),
+        F.sum("is_ref").over(wall).alias("n_ref"),
+        F.sum("is_cur").over(wall).alias("n_cur"),
+    )
+    return cdf.agg(
+        F.max(
+            F.abs(
+                F.col("ref_le").cast("double") / F.col("n_ref")
+                - F.col("cur_le").cast("double") / F.col("n_cur")
+            )
+        ).alias("ks_stat")
+    )
+
+
+# --- A16: chi-square statistic ---------------------------------------------------
+
+CHI2_ORACLE = f"""
+WITH counts AS (
+  SELECT event_type,
+    SUM(CASE WHEN ts < TIMESTAMP '{REF_CUTOFF}' THEN 1 ELSE 0 END) AS ref_cnt,
+    SUM(CASE WHEN ts >= TIMESTAMP '{REF_CUTOFF}' THEN 1 ELSE 0 END) AS cur_cnt
+  FROM events GROUP BY event_type
+), scaled AS (
+  SELECT event_type,
+    CAST(cur_cnt AS DOUBLE) AS observed,
+    CAST(ref_cnt AS DOUBLE) * (SUM(cur_cnt) OVER () / CAST(SUM(ref_cnt) OVER () AS DOUBLE)) AS expected
+  FROM counts
+)
+SELECT CAST(ROUND(SUM(CAST((observed - expected) * (observed - expected) / expected
+            AS DECIMAL(38,10))), 6) AS DOUBLE) AS chi2_stat,
+       COUNT(*) - 1 AS dof
+FROM scaled
+"""
+
+
+@query("chi2_category_drift", oracle=CHI2_ORACLE)
+def chi2_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: χ² categorical drift statistic (reference
+    ml_monitoring_system.py:253-282): expected = ref proportions scaled to
+    the current total, exactly scipy.stats.chisquare's contract."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(REF_CUTOFF).cast("timestamp")
+    counts = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0)).alias("ref_cnt"),
+        F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0)).alias("cur_cnt"),
+    )
+    w = Window.partitionBy()
+    observed = F.col("cur_cnt").cast("double")
+    expected = F.col("ref_cnt").cast("double") * (
+        F.sum("cur_cnt").over(w) / F.sum("ref_cnt").over(w).cast("double")
+    )
+    scaled = counts.select(observed.alias("observed"), expected.alias("expected"))
+    term = (
+        (F.col("observed") - F.col("expected"))
+        * (F.col("observed") - F.col("expected"))
+        / F.col("expected")
+    )
+    # decimal-route the cross-partition sum of double terms (order-independent)
+    return scaled.agg(
+        F.round(F.sum(term.cast(DEC)), 6).cast("double").alias("chi2_stat"),
+        (F.count("*") - 1).alias("dof"),
+    )
+
+
+# --- A17: median imputation ---------------------------------------------------------
+
+IMPUTE_ORACLE = """
+WITH masked AS (
+  SELECT event_id, event_type,
+         CASE WHEN value > 450 THEN NULL ELSE value END AS value_masked
+  FROM events
+), med AS (
+  SELECT event_type, QUANTILE_CONT(value_masked, 0.5) AS type_median
+  FROM masked GROUP BY event_type
+)
+SELECT event_id, m.event_type,
+       COALESCE(value_masked, type_median) AS value_imputed,
+       (value_masked IS NULL) AS was_imputed
+FROM masked m JOIN med ON m.event_type = med.event_type
+"""
+
+
+@query("median_imputation", oracle=IMPUTE_ORACLE)
+def median_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: median imputation (reference
+    automated_training_pipeline.py:194-200) — group medians broadcast-joined
+    back, COALESCE fill. (The >450 mask manufactures nulls; testdata has
+    none.)"""
+    e = load_table(spark, sf_dir, "events")
+    masked = e.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("value") > 450, None).otherwise(F.col("value")).alias("value_masked"),
+    )
+    med = masked.groupBy("event_type").agg(
+        F.percentile("value_masked", 0.5).alias("type_median")
+    )
+    return (
+        masked.join(F.broadcast(med), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.coalesce("value_masked", "type_median").alias("value_imputed"),
+            F.col("value_masked").isNull().alias("was_imputed"),
+        )
+    )
+
+
+# --- A18: correlation from exact moments ----------------------------------------------
+
+CORR_ORACLE = f"""
+SELECT l_returnflag,
+  (COUNT(*) * {sql_dsum("l_quantity * l_extendedprice")}
+     - {sql_dsum("l_quantity")} * {sql_dsum("l_extendedprice")})
+  / (SQRT(COUNT(*) * {sql_dsum("l_quantity * l_quantity")} - {sql_dsum("l_quantity")} * {sql_dsum("l_quantity")})
+     * SQRT(COUNT(*) * {sql_dsum("l_extendedprice * l_extendedprice")} - {sql_dsum("l_extendedprice")} * {sql_dsum("l_extendedprice")}))
+  AS qty_price_corr,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("corr_quantity_price", oracle=CORR_ORACLE)
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: Pearson correlation (reference
+    automated_training_pipeline.py:214) as deterministic grouped moments —
+    same result as df.stat.corr but engine-exact and groupable."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def ds(c):
+        return dec2dbl(F.sum(c.cast(DEC)))
+
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count("*")
+    num = n * ds(x * y) - ds(x) * ds(y)
+    den = F.sqrt(n * ds(x * x) - ds(x) * ds(x)) * F.sqrt(n * ds(y * y) - ds(y) * ds(y))
+    return li.groupBy("l_returnflag").agg(
+        (num / den).alias("qty_price_corr"), F.count("*").alias("n")
+    )

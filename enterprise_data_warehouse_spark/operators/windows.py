@@ -1,0 +1,282 @@
+"""Window-function operator layer (SURVEY.md §2.5 W1–W6, §2.6, A10/A11).
+
+Window partitioning notes for 100 TB: every window here partitions by a
+high-cardinality entity key (user_id/custkey), so state per partition stays
+small and Spark distributes partitions across executors. The only global
+window is the RFM ntile — acceptable for dimension-sized inputs (customers),
+with an approxQuantile-based scale path documented on the function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.deterministic import DEC, davg, dec2dbl, dstd_samp, sql_davg, sql_dstd_samp, sql_dsum
+from ..queries import query
+from ..sources.tables import load_table
+
+
+# --- W1: latest-wins dedup ---------------------------------------------------
+
+LATEST_ORACLE = """
+WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_id, user_id, ts, event_type, value
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("latest_event_per_user", oracle=LATEST_ORACLE)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: row_number() latest-wins dedup — the SCD2 source-dedup idiom
+    (reference macros/scd_type2_macro.sql:30-34). event_id breaks ts ties so
+    the survivor is engine-independent."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+
+
+# --- W2: lag gap detection ---------------------------------------------------
+
+GAP_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+  FROM events
+)
+SELECT user_id, event_id, ts, prev_ts,
+       DATEDIFF('second', prev_ts, ts) AS gap_seconds
+FROM seq
+WHERE prev_ts IS NOT NULL AND DATEDIFF('second', prev_ts, ts) > 21600
+"""
+
+
+@query("session_gap_detection", oracle=GAP_ORACLE)
+def session_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag() gap detection (reference macros/scd_type2_macro.sql:215-226
+    uses it for SCD2 effective-date gaps; here: >6h inactivity gaps)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+    return (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .withColumn("gap_seconds", gap)
+        .where(F.col("gap_seconds") > 21600)
+        .select("user_id", "event_id", "ts", "prev_ts", "gap_seconds")
+    )
+
+
+# --- W3: frequency encoding ----------------------------------------------------
+
+FREQ_ORACLE = """
+SELECT event_id, user_id, event_type,
+       COUNT(*) OVER (PARTITION BY user_id, event_type) AS user_type_frequency,
+       COUNT(*) OVER (PARTITION BY user_id) AS user_frequency
+FROM events
+"""
+
+
+@query("frequency_encoding", oracle=FREQ_ORACLE)
+def frequency_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: groupby-transform('count') frequency encoding (reference
+    feature_store_manager.py:336-338) as unbounded count windows."""
+    e = load_table(spark, sf_dir, "events")
+    w_ut = Window.partitionBy("user_id", "event_type")
+    w_u = Window.partitionBy("user_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.count("*").over(w_ut).alias("user_type_frequency"),
+        F.count("*").over(w_u).alias("user_frequency"),
+    )
+
+
+# --- W4: rolling time-range windows -------------------------------------------
+
+ROLLING_ORACLE = f"""
+SELECT event_id, user_id, ts,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))) OVER w, 4) AS DOUBLE) AS value_sum_1h,
+  COUNT(*) OVER w AS events_1h,
+  CAST(MAX(value) OVER w AS DOUBLE) AS value_max_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY DATEDIFF('second', TIMESTAMP '2024-01-01', ts)
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@query("rolling_1h_features", oracle=ROLLING_ORACLE)
+def rolling_1h_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: rolling 1-hour per-entity features (reference window specs
+    feature_store_manager.py:67-68). rangeBetween over epoch seconds — the
+    batch expression of a sliding stream window; partitioned by user so state
+    is bounded per entity at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        dec2dbl(F.sum(F.col("value").cast(DEC)).over(w)).alias("value_sum_1h"),
+        F.count("*").over(w).alias("events_1h"),
+        F.max("value").over(w).cast("double").alias("value_max_1h"),
+    )
+
+
+# --- A10/W5: RFM quintiles via ntile ------------------------------------------
+
+RFM_ORACLE = f"""
+WITH base AS (
+  SELECT c_custkey,
+    DATEDIFF('day', CAST(MAX(o_orderdate) AS DATE), DATE '2002-01-01') AS recency_days,
+    COUNT(*) AS frequency,
+    {sql_dsum("o_totalprice")} AS monetary
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey
+), scored AS (
+  SELECT *,
+    NTILE(5) OVER (ORDER BY recency_days DESC, c_custkey) AS r_score,
+    NTILE(5) OVER (ORDER BY frequency ASC, c_custkey) AS f_score,
+    NTILE(5) OVER (ORDER BY monetary ASC, c_custkey) AS m_score
+  FROM base
+)
+SELECT c_custkey, recency_days, frequency, monetary,
+  CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+  CAST(m_score AS INT) AS m_score,
+  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'CHAMPION'
+       WHEN r_score >= 3 AND f_score >= 3 THEN 'LOYAL'
+       WHEN r_score >= 3 THEN 'PROMISING'
+       WHEN f_score >= 3 THEN 'AT_RISK'
+       ELSE 'HIBERNATING' END AS rfm_segment
+FROM scored
+"""
+
+
+@query("customer_rfm", oracle=RFM_ORACLE)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+W5+F13: RFM quintile scoring (reference
+    feature_store_manager.py:209-239). ntile ties broken by custkey → exact
+    pandas-rank(method='first') reproduction (SURVEY.md §7.4d).
+
+    Scale path: a global ntile is a single-partition sort; for fact-sized
+    inputs switch to approxQuantile breakpoints + banding (§7.4e). Customers
+    are dimension-sized, so the exact quintile is the right default here.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    from ..functions.deterministic import dsum
+
+    base = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.datediff(
+                F.lit("2002-01-01").cast("date"), F.max("o_orderdate").cast("date")
+            ).cast("bigint").alias("recency_days"),
+            F.count("*").alias("frequency"),
+            dsum("o_totalprice", "monetary"),
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), F.asc("c_custkey")))
+    f_ = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("c_custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.asc("monetary"), F.asc("c_custkey")))
+    scored = base.select(
+        "*", r.alias("r_score"), f_.alias("f_score"), m.alias("m_score")
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "CHAMPION")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "LOYAL")
+        .when(F.col("r_score") >= 3, "PROMISING")
+        .when(F.col("f_score") >= 3, "AT_RISK")
+        .otherwise("HIBERNATING")
+    )
+    return scored.withColumn("rfm_segment", seg)
+
+
+# --- rank/dense_rank/lead/first_value (extension beyond reference) -------------
+
+RANKING_ORACLE = """
+WITH w AS (
+  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+    DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+    LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey) AS next_order_date,
+    FIRST_VALUE(o_totalprice) OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS max_order_price
+  FROM orders
+)
+SELECT * FROM w WHERE price_rank <= 3
+"""
+
+
+@query("order_ranking", oracle=RANKING_ORACLE)
+def order_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank/lead/first_value — absent from the reference (SURVEY.md
+    §2.5 'absent' row) but part of a complete window surface."""
+    o = load_table(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w_date = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    w_full = w_price.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderdate",
+            F.dense_rank().over(w_price).cast("bigint").alias("price_rank"),
+            F.lead("o_orderdate").over(w_date).alias("next_order_date"),
+            F.first("o_totalprice").over(w_full).alias("max_order_price"),
+        )
+        .where(F.col("price_rank") <= 3)
+    )
+
+
+# --- A11: z-score outliers ------------------------------------------------------
+
+ZSCORE_ORACLE = f"""
+WITH stats AS (
+  SELECT event_type,
+    {sql_davg("value")} AS mean_value,
+    {sql_dstd_samp("value")} AS std_value
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       (value - mean_value) / std_value AS z_score
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE ABS((value - mean_value) / std_value) > 2.5
+"""
+
+
+@query("value_zscore_outliers", oracle=ZSCORE_ORACLE)
+def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: 3σ-style outlier detection (reference
+    feature_store_manager.py:332,606-615). Group stats come from the
+    deterministic-moment layer and broadcast-join back onto the rows — no
+    per-row window state, scales to any fact size."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        davg("value", "mean_value"), dstd_samp("value", "std_value")
+    )
+    z = (F.col("value") - F.col("mean_value")) / F.col("std_value")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("z_score", z)
+        .where(F.abs(F.col("z_score")) > 2.5)
+        .select("event_id", "event_type", "value", "z_score")
+    )
