@@ -1,0 +1,125 @@
+"""Sinks & materialization (SURVEY.md §2.1 S4, S8–S12).
+
+The reference's materializations (dbt view/table/incremental-merge,
+chunked pandas appends, audit INSERTs) re-expressed as DataFrame writes.
+
+MERGE on plain parquet has no atomic in-place story (SURVEY.md §7.4a): we
+stage the merged result to a sibling directory, then swap via the Hadoop
+FileSystem API (rename is atomic per-directory on HDFS; best-effort on
+object stores — production target is Delta `MERGE INTO`, same call shape).
+Partition-scoped variants only rewrite partitions the delta touches.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """S8/S10: full-table or append sink; partitioned layout gives free
+    partition pruning on the date key (the reference's cluster_by)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def _fs_swap(spark: SparkSession, staged: str, path: str) -> None:
+    """Swap staged dir into place via Hadoop FS (atomic rename on HDFS)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    hstaged = jvm.org.apache.hadoop.fs.Path(staged)
+    fs = hpath.getFileSystem(conf)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+    fs.rename(hstaged, hpath)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    src: DataFrame,
+    keys: Sequence[str],
+) -> None:
+    """S9: MERGE semantics on parquet — source rows win on key collision.
+
+    anti-join(target, src-keys) ∪ src → staged rewrite → swap. This is the
+    OSS fallback for `MERGE INTO`; on Delta the body becomes one statement.
+    """
+    if not _target_exists(spark, path):
+        write_table(src, path)
+        return
+    target = spark.read.parquet(path)
+    survivors = target.join(src.select(*keys).distinct(), list(keys), "left_anti")
+    merged = src.unionByName(survivors)
+    staged = path.rstrip("/") + "__staged"
+    write_table(merged, staged)
+    _fs_swap(spark, staged, path)
+
+
+def _target_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(conf).exists(hpath)
+
+
+def read_watermark(spark: SparkSession, path: str, col: str, default: str) -> str:
+    """S3/P5: scalar watermark from the target — driver-side collect of a
+    max() so the incremental filter is a literal Catalyst can push into the
+    source scan (SURVEY.md §4 note on scalar subqueries)."""
+    if not _target_exists(spark, path):
+        return default
+    row = spark.read.parquet(path).agg(F.max(col).alias("wm")).collect()[0]
+    return str(row["wm"]) if row["wm"] is not None else default
+
+
+def incremental_build(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    watermark_col: str,
+    keys: Sequence[str],
+    default_watermark: str = "1900-01-01 00:00:00",
+) -> None:
+    """The dbt incremental-merge materialization: filter source past the
+    target's watermark, MERGE on unique key. Idempotent under replays —
+    re-merging the same delta is a no-op row-count-wise."""
+    wm = read_watermark(spark, path, watermark_col, default_watermark)
+    delta = source.where(F.col(watermark_col) > F.lit(wm).cast("timestamp"))
+    merge_upsert(spark, path, delta, keys)
+
+
+def read_csv_seed(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """S4: CSV seed load (reference setup_dbt_environment.py:350-394)."""
+    reader = spark.read.option("header", True)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def append_audit(
+    spark: SparkSession, path: str, run_name: str, status: str, metrics: dict[str, float]
+) -> None:
+    """S12: audit log sink (reference macros/scd_type2_macro.sql:154-182) —
+    one appended row per run with a JSON metrics payload."""
+    import json
+
+    row = [(run_name, status, json.dumps(metrics, sort_keys=True))]
+    df = (
+        spark.createDataFrame(row, "run_name string, status string, metrics_json string")
+        .withColumn("logged_at", F.current_timestamp())
+    )
+    df.write.mode("append").parquet(path)

@@ -1,0 +1,112 @@
+"""Side-effect operators: sinks, incremental MERGE materialization, SCD2
+invariants (the dbt-test layer re-expressed — SURVEY.md §5 items 1-2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from enterprise_data_warehouse_spark.sources.sink import (
+    append_audit,
+    incremental_build,
+    merge_upsert,
+    read_csv_seed,
+    read_watermark,
+    write_table,
+)
+from enterprise_data_warehouse_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_write_overwrite_append(spark, tmp_path):
+    path = str(tmp_path / "t1")
+    o = load_table(spark, SF, "orders")
+    write_table(o, path)
+    n = spark.read.parquet(path).count()
+    write_table(o.limit(10), path, mode="append")
+    assert spark.read.parquet(path).count() == n + 10
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    o = load_table(spark, SF, "orders").withColumn("order_year", F.year("o_orderdate"))
+    write_table(o, path, partition_by=["order_year"])
+    pruned = spark.read.parquet(path).where(F.col("order_year") == 1999)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() > 0
+    # partition filter must reach the scan (no full-table read)
+    assert "order_year" in plan
+
+
+def test_merge_upsert_delta_wins(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    write_table(o, path)
+    delta = o.limit(100).withColumn("o_totalprice", F.lit(-1.0))
+    merge_upsert(spark, path, delta, ["o_orderkey"])
+    merged = spark.read.parquet(path)
+    assert merged.count() == o.count()
+    assert merged.where(F.col("o_totalprice") == -1.0).count() == 100
+
+
+def test_incremental_build_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t4")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+    first = o.where(F.col("o_orderdate") < "2000-01-01")
+    write_table(first, path)
+    wm = read_watermark(spark, path, "o_orderdate", "1900-01-01")
+    assert wm.startswith("1999")
+    incremental_build(spark, path, o, "o_orderdate", ["o_orderkey"])
+    assert spark.read.parquet(path).count() == o.count()
+    # replay: nothing newer than watermark → no change
+    incremental_build(spark, path, o, "o_orderdate", ["o_orderkey"])
+    assert spark.read.parquet(path).count() == o.count()
+
+
+def test_scd2_invariants_two_batches(spark):
+    from enterprise_data_warehouse_spark.operators.scd2 import (
+        TRACKED,
+        _customer_updates,
+        _with_cents,
+        scd2_apply,
+        scd2_initial_load,
+        scd2_integrity_violations,
+    )
+
+    c = _with_cents(load_table(spark, SF, "customer"))
+    attrs = ["c_name", "c_mktsegment", "c_acctbal", "_acctbal_cents"]
+    base = scd2_initial_load(c, "c_custkey", TRACKED, "2020-01-01", attrs=attrs)
+    upd = _with_cents(_customer_updates(spark, SF))
+    dim1 = scd2_apply(base, upd, "c_custkey", TRACKED, "updated_at", attrs=attrs)
+    assert scd2_integrity_violations(dim1, "c_custkey").count() == 0
+
+    # Re-applying the same batch is a no-op (hashes match → unchanged path)
+    dim2 = scd2_apply(dim1, upd, "c_custkey", TRACKED, "updated_at", attrs=attrs)
+    assert dim2.count() == dim1.count()
+    assert scd2_integrity_violations(dim2, "c_custkey").count() == 0
+
+    # A second real change creates one more version and expires the old one
+    upd2 = upd.withColumn("c_mktsegment", F.lit("SEG2")).withColumn(
+        "updated_at", F.lit("2022-01-01").cast("timestamp")
+    )
+    dim3 = scd2_apply(dim2, _with_cents(upd2.drop("_acctbal_cents")), "c_custkey", TRACKED, "updated_at", attrs=attrs)
+    assert scd2_integrity_violations(dim3, "c_custkey").count() == 0
+    keys_updated = upd2.select("c_custkey").distinct().count()
+    assert dim3.count() == dim2.count() + keys_updated
+
+
+def test_csv_seed_roundtrip(spark, tmp_path):
+    src = tmp_path / "seed.csv"
+    src.write_text("country_code,country_name\nUS,United States\nDE,Germany\n")
+    df = read_csv_seed(spark, str(src))
+    assert df.count() == 2
+    assert set(df.columns) == {"country_code", "country_name"}
+
+
+def test_audit_append(spark, tmp_path):
+    path = str(tmp_path / "audit")
+    append_audit(spark, path, "run1", "SUCCESS", {"rows": 100})
+    append_audit(spark, path, "run2", "FAILED", {"rows": 0})
+    log = spark.read.parquet(path)
+    assert log.count() == 2
+    assert set(r["status"] for r in log.collect()) == {"SUCCESS", "FAILED"}
