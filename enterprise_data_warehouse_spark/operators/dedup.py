@@ -1,0 +1,253 @@
+"""Deduplication operators for training-data pipelines (driver-mandated
+extension): exact hash dedup, n-gram Jaccard near-dup, MinHash-LSH, SimHash.
+
+Scale design:
+- exact: one groupBy on a 128-bit content hash — the cheapest possible
+  shuffle key; survivors picked with min(doc_id) (deterministic).
+- n-gram Jaccard: shingle-explode → self-join on shingle → per-pair common
+  counts. The shingle join is the canonical candidate generator; frequency
+  capping (drop shingles appearing in > MAX_DF docs) bounds the join fan-out
+  at web scale.
+- MinHash-LSH: k=32 hash functions via xxhash64(shingle, seed), b=8 bands ×
+  r=4 rows; candidates = docs sharing a band key. Engine-native hashing →
+  no oracle (rows-only check); verified against true Jaccard in tests.
+- SimHash: 64-bit signature from per-token hash bits, banded for Hamming
+  candidate search. Pure array/lambda SQL — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import query
+from ..sources.tables import load_table
+
+
+def _with_synthetic_dupes(d: DataFrame) -> DataFrame:
+    """Test fixture: re-inject every 5th doc under a new doc_id so dedup has
+    real work (the synthetic corpus is 100% distinct)."""
+    dupes = d.where(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return d.unionByName(dupes)
+
+
+EXACT_ORACLE = """
+WITH corpus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 5 = 0
+), hashed AS (
+  SELECT doc_id, MD5(text) AS content_hash FROM corpus
+)
+SELECT content_hash,
+       MIN(doc_id) AS survivor_doc_id,
+       COUNT(*) AS n_copies,
+       COUNT(*) - 1 AS n_removed
+FROM hashed
+GROUP BY content_hash
+"""
+
+
+@query("exact_dedup", oracle=EXACT_ORACLE, bench=True)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy with deterministic survivor selection.
+    At 100 TB: hash is computed map-side, shuffle carries (hash, doc_id)
+    only — bytes shuffled ∝ doc count, not corpus bytes."""
+    d = _with_synthetic_dupes(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count("*").alias("n_copies"),
+            (F.count("*") - 1).alias("n_removed"),
+        )
+    )
+
+
+# --- word-level n-gram Jaccard ---------------------------------------------
+
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.10
+
+JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(w) - {NGRAM_N - 2}),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM toks) t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+  CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def word_shingles(d: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """DISTINCT word n-gram shingles per doc, all JVM-side array ops."""
+    w = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    shingle = F.explode(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]))
+    )
+    return d.select("doc_id", shingle.alias("shingle")).distinct()
+
+
+@query("ngram_jaccard_pairs", oracle=JACCARD_ORACLE, bench=True)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.10: shingle explode →
+    equi-self-join (the candidate generator) → count-based Jaccard. Integer
+    ratio arithmetic → engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("sb"))
+    jac = F.col("n_common").cast("double") / (F.col("sa") + F.col("sb") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+
+def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k minhashes per doc: min over shingles of xxhash64(shingle, seed_i).
+    One explode over seeds (k× shingle rows) then a single groupBy — the
+    classic map-side-combinable formulation."""
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"),
+        "shingle",
+    )
+    hashed = seeded.select(
+        "doc_id",
+        "seed",
+        F.xxhash64(F.col("shingle"), F.col("seed")).alias("h"),
+    )
+    return (
+        hashed.groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "minhash"))).alias("sig_structs"))
+        .select("doc_id", F.transform("sig_structs", lambda s: s["minhash"]).alias("signature"))
+    )
+
+
+@query("minhash_lsh_candidates", bench=True)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: b=8 bands × r=4; docs sharing a band
+    key become candidate pairs, then verified by signature agreement rate.
+
+    No SQL oracle (xxhash64 is engine-native); the driver records a
+    rows-only check and tests verify against true Jaccard on known dupes.
+    """
+    d = _with_synthetic_dupes(load_table(spark, sf_dir, "documents"))
+    sh = word_shingles(d)
+    sig = minhash_signatures(sh)
+    # band key = hash of that band's slice of the signature
+    band_key = F.md5(
+        F.concat_ws(
+            "-",
+            F.col("band").cast("string"),
+            F.slice("signature", F.col("band") * LSH_ROWS + 1, LSH_ROWS).cast("string"),
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        "signature",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
+    ).select("doc_id", "signature", band_key.alias("band_key"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        (agree.cast("double") / MINHASH_K).alias("est_jaccard"),
+    ).where(F.col("est_jaccard") >= 0.5)
+
+
+# --- SimHash --------------------------------------------------------------------
+
+@query("simhash_signatures")
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc from token-hash bit votes, plus 4×16-bit band
+    keys for Hamming-distance candidate search. Pure array/lambda exprs —
+    whole-stage codegen, no Python. Rows-only check (engine-native hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    # SQL-expr lambdas: shift distances are column expressions (the Python
+    # shiftright/shiftleft API only takes literal ints).
+    bits_expr = F.expr(
+        """
+        transform(sequence(0, 63), i ->
+          CASE WHEN aggregate(toks, CAST(0 AS BIGINT), (acc, t) ->
+                 acc + (CAST(shiftright(xxhash64(t), i) & 1 AS BIGINT) * 2 - 1)) > 0
+               THEN 1 ELSE 0 END)
+        """
+    )
+    packed_expr = F.expr(
+        """
+        aggregate(zip_with(bits, sequence(0, 63),
+                           (b, i) -> CAST(b AS BIGINT) * shiftleft(CAST(1 AS BIGINT), i)),
+                  CAST(0 AS BIGINT), (acc, v) -> acc + v)
+        """
+    )
+    sig = d.select("doc_id", toks.alias("toks")).select(
+        "doc_id", bits_expr.alias("bits")
+    )
+    out = sig.select("doc_id", packed_expr.alias("simhash"))
+    for band in range(4):
+        out = out.withColumn(
+            f"band_{band}",
+            F.shiftright(F.col("simhash"), band * 16).bitwiseAND(F.lit(0xFFFF)),
+        )
+    return out

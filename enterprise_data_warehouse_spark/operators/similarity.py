@@ -1,0 +1,214 @@
+"""Similarity search over embedding columns (driver-mandated extension):
+brute-force cosine top-k (the exactness baseline) and a random-hyperplane
+LSH bucket path (the 100 TB ANN strategy).
+
+Determinism: dot products are sequential left-to-right folds over
+double-cast elements — `F.aggregate(zip_with(...))` in Spark and
+`list_reduce(list_transform(...))` in DuckDB reduce in the same order, and
+IEEE addition order fixed → bit-identical cosines, so rankings agree with
+no tolerance games.
+
+Scale design: brute-force is O(Q·N·d) but embarrassingly parallel — the
+query set broadcasts and each partition scores its slice (this is exactly
+how a 1000-executor scan behaves). The LSH path buckets vectors by
+hyperplane sign bits so candidate generation is a hash join; at 100 TB add
+multi-probe (flip low-margin bits) to recover recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import query
+from ..sources.tables import load_table
+
+DIM = 64  # embeddings.embedding is a fixed 64-dim float vector (FIXTURES.md)
+
+
+def as_double(arr: Column | str) -> Column:
+    c = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def seq_dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (order-fixed IEEE, engine-portable).
+
+    DuckDB mirror:
+    list_reduce(list_transform(range(1, 65),
+        i -> CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)), (x, y) -> x + y)
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(seq_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return seq_dot(a, b) / (norm(a) * norm(b))
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (SQRT({_sql_dot(a, a)}) * SQRT({_sql_dot(b, b)})))"
+
+
+TOPK_K = 5
+
+COSINE_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         {_sql_cosine('qv', 'embedding')} AS cosine_sim
+  FROM q CROSS JOIN embeddings
+  WHERE vec_id != query_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {TOPK_K}
+"""
+
+
+@query("cosine_topk", oracle=COSINE_TOPK_ORACLE, bench=True)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query set × full scan, windowed
+    top-k per query. The exactness baseline every ANN variant is judged
+    against."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(as_double("qv"), as_double("embedding")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK_K)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+NEAR_DUP_THRESHOLD = 0.99
+
+NEAR_DUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_sql_cosine('a.embedding', 'b.embedding')} AS cosine_sim
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine_sim FROM pairs
+WHERE cosine_sim >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+@query("embedding_near_dup", oracle=NEAR_DUP_ORACLE)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.99). Planted exact
+    copies (every 10th vector re-injected) give the operator real positives —
+    the synthetic vectors are otherwise near-orthogonal random points.
+
+    All-pairs here (test-scale); the production candidate generator is
+    ann_lsh_buckets below.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = e.where(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    corpus = e.unionByName(copies)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(as_double("a.embedding"), as_double("b.embedding")).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= NEAR_DUP_THRESHOLD)
+    )
+
+
+N_PLANES = 12
+
+
+def hyperplane_sig(vec: Column) -> Column:
+    """Random-hyperplane signature: N_PLANES sign bits. Plane weights are
+    deterministic pseudo-randoms from xxhash64(plane, dim) — reproducible
+    across runs/cluster sizes with no stored model."""
+    def plane_dot(p: int) -> Column:
+        weights = F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.lit(p), j), F.lit(2001)).cast("double") - 1000.0
+            )
+            / 1000.0,
+        )
+        return seq_dot(vec, weights)
+
+    bits = [F.when(plane_dot(p) > 0, F.lit(1)).otherwise(F.lit(0)) * (2**p) for p in range(N_PLANES)]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+@query("ann_lsh_buckets")
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: bucket vectors by sign signature, pair
+    within buckets, verify with true cosine. Rows-only check (engine-native
+    hashing in the plane weights).
+
+    At 100 TB: bucket cardinality 2^N_PLANES partitions the corpus; the
+    within-bucket pair join replaces the quadratic all-pairs scan. Recall
+    is tuned by N_PLANES ↓ / multi-probe ↑.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    sig = e.withColumn("bucket", hyperplane_sig(F.col("v")))
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") > 0.2)
+    )

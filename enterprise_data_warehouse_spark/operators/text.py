@@ -1,0 +1,158 @@
+"""Text-analysis operators for training-data pipelines (driver-mandated
+extension; BASELINE.json north star — language-ID, quality scoring, token
+counting, fingerprinting over the `documents` table).
+
+All hot-path expressions are JVM-side array/lambda functions
+(split/filter/aggregate) — no Python UDFs, so they whole-stage-codegen and
+scale linearly with document bytes. Per-row ratios are IEEE double ops
+(engine-exact); anything summed is integer counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import query
+from ..sources.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# tiny marker dictionaries for the n-gram/marker language heuristic; the
+# synthetic corpus is word soup, so the *operator* (scored argmax) is the
+# deliverable, not linguistic accuracy.
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("的", "了", "是", "在"),
+}
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization, JVM-side."""
+    return F.split(F.col(col), " ")
+
+
+def token_in_set(arr: Column, words: tuple[str, ...]) -> Column:
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(arr, lambda x: F.array_contains(lit_arr, x)))
+
+
+QUALITY_ORACLE = """
+SELECT doc_id, lang,
+  LEN(string_split(text, ' ')) AS n_tokens,
+  LEN(list_filter(string_split(text, ' '),
+      x -> x IN ('the','a','of','and','to','in','is'))) AS n_stopwords,
+  CAST(LEN(list_filter(string_split(text, ' '),
+      x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+    / LEN(string_split(text, ' ')) AS stopword_ratio,
+  CAST(LEN(text) AS DOUBLE) / LEN(string_split(text, ' ')) AS avg_token_len,
+  LEN(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_word_tokens,
+  CASE WHEN LEN(string_split(text, ' ')) < 10 THEN 'TOO_SHORT'
+       WHEN CAST(LEN(list_filter(string_split(text, ' '),
+            x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+            / LEN(string_split(text, ' ')) > 0.5 THEN 'BOILERPLATE'
+       ELSE 'OK' END AS quality_flag
+FROM documents
+"""
+
+
+@query("text_quality_scores", oracle=QUALITY_ORACLE, bench=True)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token counts, stopword ratio, avg token length,
+    regexp token count (the BPE-ish pre-tokenizer), CASE quality flag."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tokens = F.size(toks)
+    n_stop = token_in_set(toks, STOPWORDS)
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.length("text").cast("double") / n_tokens).alias("avg_token_len"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias(
+            "n_word_tokens"
+        ),
+        F.when(n_tokens < 10, "TOO_SHORT")
+        .when(stop_ratio > 0.5, "BOILERPLATE")
+        .otherwise("OK")
+        .alias("quality_flag"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"LEN(list_filter(string_split(text, ' '), x -> x IN ({words})))"
+
+
+LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    {_lang_score_sql('en')} AS s_en,
+    {_lang_score_sql('es')} AS s_es,
+    {_lang_score_sql('de')} AS s_de,
+    {_lang_score_sql('fr')} AS s_fr,
+    {_lang_score_sql('zh')} AS s_zh
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE GREATEST(s_en, s_es, s_de, s_fr, s_zh)
+    WHEN 0 THEN 'unknown'
+    WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_de THEN 'de'
+    WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted_lang,
+  GREATEST(s_en, s_es, s_de, s_fr, s_zh) AS marker_hits
+FROM scored
+"""
+
+
+@query("language_id", oracle=LANGID_ORACLE)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic: per-language hit counts → argmax with
+    a fixed precedence order (en>es>de>fr>zh on ties — identical CASE
+    cascade in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    scores = {lang: token_in_set(toks, LANG_MARKERS[lang]) for lang in LANG_MARKERS}
+    scored = d.select("doc_id", "lang", *[scores[L].alias(f"s_{L}") for L in scores])
+    best = F.greatest(*[F.col(f"s_{L}") for L in LANG_MARKERS])
+    pred = (
+        F.when(best == 0, "unknown")
+        .when(best == F.col("s_en"), "en")
+        .when(best == F.col("s_es"), "es")
+        .when(best == F.col("s_de"), "de")
+        .when(best == F.col("s_fr"), "fr")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "doc_id", "lang", pred.alias("predicted_lang"), best.alias("marker_hits")
+    )
+
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id,
+  MD5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+  n_chars,
+  SUBSTR(MD5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 4) AS shard_key
+FROM documents
+"""
+
+
+@query("doc_fingerprint", oracle=FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowered text;
+    a 4-hex shard key for fingerprint-partitioned dedup at scale (2^16
+    shards — each shard's dup-group fits one task at 100 TB)."""
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    fp = F.md5(normalized)
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        "n_chars",
+        F.substring(fp, 1, 4).alias("shard_key"),
+    )

