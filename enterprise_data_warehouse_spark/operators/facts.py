@@ -1,0 +1,204 @@
+"""Catalog-compiled fact/dimension builds + star-schema test layer
+(SURVEY.md §2.1 S8, §2.3 J8, §2.4 A7, §5 items 1-2).
+
+These queries run the plans.catalog compiler end-to-end: the YAML catalog at
+catalog/warehouse.yml declares the models; the oracle SQL re-states what the
+compiled plan must equal.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import sql_davg, sql_dsum
+from ..plans.catalog import Catalog, ModelRegistry, build_fact, build_scd1_dimension
+from ..queries import query
+from ..sources.tables import load_table
+
+CATALOG_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "catalog", "warehouse.yml")
+
+
+def _registry(spark: SparkSession, sf_dir: str) -> ModelRegistry:
+    reg = ModelRegistry(spark)
+    for t in ("lineitem", "orders", "customer", "part", "events"):
+        reg.add_source(t, load_table(spark, sf_dir, t))
+
+    def sales_transactions(r: ModelRegistry) -> DataFrame:
+        li, o = r.ref("lineitem"), r.ref("orders")
+        return li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+
+    reg.add_model("sales_transactions", sales_transactions)
+    return reg
+
+
+FACT_SALES_ORACLE = f"""
+SELECT
+  CAST(DATE_TRUNC('day', o_orderdate) AS DATE) AS date_key,
+  o_custkey AS customer_key,
+  l_partkey AS part_key,
+  {sql_dsum("l_quantity")} AS quantity_sold,
+  {sql_dsum("l_extendedprice")} AS gross_revenue,
+  {sql_davg("l_discount")} AS avg_discount,
+  COUNT(l_orderkey) AS order_lines,
+  COUNT(*) AS row_count,
+  CASE WHEN {sql_dsum("l_quantity")} > 0
+       THEN {sql_dsum("l_extendedprice")} / {sql_dsum("l_quantity")}
+       ELSE 0.0 END AS revenue_per_unit,
+  CASE WHEN {sql_dsum("l_quantity")} >= 100 THEN 'HIGH'
+       WHEN {sql_dsum("l_quantity")} >= 20 THEN 'MEDIUM'
+       ELSE 'LOW' END AS volume_tier
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2, 3
+"""
+
+
+@query("catalog_fact_sales_daily", oracle=FACT_SALES_ORACLE, bench=True)
+def catalog_fact_sales_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2+S8: the YAML catalog's fact_sales_daily spec compiled to a plan —
+    grain-truncated date key, dimension FKs, decimal-deterministic measures,
+    F.expr derived measures (reference
+    scripts/utilities/generate_fact_dimension_models.py:66-241)."""
+    cat = Catalog.load(CATALOG_PATH)
+    reg = _registry(spark, sf_dir)
+    return build_fact(reg.ref("sales_transactions"), cat.fact("fact_sales_daily"))
+
+
+DIM_PART_ORACLE = """
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
+  CASE WHEN p_retailprice < 1000 THEN 'BUDGET'
+       WHEN p_retailprice < 1500 THEN 'STANDARD'
+       ELSE 'PREMIUM' END AS price_tier,
+  CASE WHEN p_size < 10 THEN 'SMALL'
+       WHEN p_size < 30 THEN 'MEDIUM'
+       ELSE 'LARGE' END AS size_band
+FROM part
+"""
+
+
+@query("catalog_dim_part", oracle=DIM_PART_ORACLE)
+def catalog_dim_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: SCD1 dimension compiled from the catalog, derived attributes via
+    F.expr calculation strings."""
+    cat = Catalog.load(CATALOG_PATH)
+    reg = _registry(spark, sf_dir)
+    return build_scd1_dimension(reg.ref("part"), cat.dimension("dim_part"))
+
+
+RI_ORACLE = """
+SELECT 'orders->customer' AS fk, COUNT(*) AS n_orphans
+FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'lineitem->part' AS fk, COUNT(*) AS n_orphans
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+UNION ALL
+SELECT 'customer->nation' AS fk, COUNT(*) AS n_orphans
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+"""
+
+
+@query("referential_integrity", oracle=RI_ORACLE)
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: the dbt `relationships` test (generated per FK — reference
+    generate_fact_dimension_models.py:435-442) as anti-join counts. All-zero
+    result = healthy star schema."""
+    def orphans(child: DataFrame, parent: DataFrame, ck: str, pk: str, label: str) -> DataFrame:
+        return (
+            child.join(parent, F.col(ck) == F.col(pk), "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        orphans(o, c, "o_custkey", "c_custkey", "orders->customer")
+        .unionByName(orphans(li, o, "l_orderkey", "o_orderkey", "lineitem->orders"))
+        .unionByName(orphans(li, p, "l_partkey", "p_partkey", "lineitem->part"))
+        .unionByName(orphans(c, n, "c_nationkey", "n_nationkey", "customer->nation"))
+    )
+
+
+DATE_DIM_ORACLE = """
+WITH spine AS (
+  SELECT unnest(generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY)) AS d
+)
+SELECT CAST(d AS DATE) AS date_key,
+  EXTRACT(year FROM d) AS year,
+  EXTRACT(quarter FROM d) AS quarter,
+  EXTRACT(month FROM d) AS month,
+  EXTRACT(day FROM d) AS day_of_month,
+  CAST(ISODOW(d) AS INT) AS iso_dow,
+  CAST(ISODOW(d) IN (6,7) AS BOOLEAN) AS is_weekend,
+  CAST(DATE_TRUNC('month', d) AS DATE) AS month_start,
+  CAST(EXTRACT(year FROM d) * 100 + EXTRACT(month FROM d) AS BIGINT) AS year_month_key,
+  CASE WHEN EXTRACT(month FROM d) >= 7
+       THEN EXTRACT(year FROM d) + 1 ELSE EXTRACT(year FROM d) END AS fiscal_year
+FROM spine
+"""
+
+
+@query("date_dimension", oracle=DATE_DIM_ORACLE)
+def date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date spine + calendar/fiscal attributes (reference
+    governance/data_catalog.yml:433-527): generated with sequence() — no
+    source table, pure Catalyst."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-12-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    iso_dow = (F.weekday("d") + 1).cast("int")
+    return spine.select(
+        F.col("d").cast("date").alias("date_key"),
+        F.year("d").cast("bigint").alias("year"),
+        F.quarter("d").cast("bigint").alias("quarter"),
+        F.month("d").cast("bigint").alias("month"),
+        F.dayofmonth("d").cast("bigint").alias("day_of_month"),
+        iso_dow.alias("iso_dow"),
+        iso_dow.isin(6, 7).alias("is_weekend"),
+        F.date_trunc("month", "d").cast("date").alias("month_start"),
+        (F.year("d") * 100 + F.month("d")).cast("bigint").alias("year_month_key"),
+        F.when(F.month("d") >= 7, F.year("d") + 1).otherwise(F.year("d")).cast("bigint").alias("fiscal_year"),
+    )
+
+
+FRESHNESS_ORACLE = """
+SELECT event_type AS table_name,
+  MAX(ts) AS last_loaded_at,
+  DATEDIFF('hour', MAX(ts), TIMESTAMP '2024-02-01 00:00:00') AS hours_stale,
+  CASE WHEN DATEDIFF('hour', MAX(ts), TIMESTAMP '2024-02-01 00:00:00') <= 24 THEN 'FRESH'
+       WHEN DATEDIFF('hour', MAX(ts), TIMESTAMP '2024-02-01 00:00:00') <= 72 THEN 'STALE'
+       ELSE 'CRITICAL' END AS freshness_status
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("freshness_rollup", oracle=FRESHNESS_ORACLE)
+def freshness_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: data-freshness monitor (reference
+    deploy_snowflake_objects.py:313-328) with a pinned 'now' so the oracle
+    reproduces. DATEDIFF('hour') = hour-boundary crossings in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    now = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    hours = (
+        F.floor(F.unix_timestamp(now) / 3600) - F.floor(F.unix_timestamp(F.max("ts")) / 3600)
+    ).cast("bigint")
+    return e.groupBy(F.col("event_type").alias("table_name")).agg(
+        F.max("ts").alias("last_loaded_at"),
+        hours.alias("hours_stale"),
+        F.when(hours <= 24, "FRESH").when(hours <= 72, "STALE").otherwise("CRITICAL").alias("freshness_status"),
+    )

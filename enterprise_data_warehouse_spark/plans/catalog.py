@@ -1,0 +1,144 @@
+"""Catalog-driven model compiler (SURVEY.md §2.10 D2, §3.1 step 2).
+
+The reference generates SQL model files from a YAML catalog with a Jinja
+templater (reference scripts/utilities/generate_fact_dimension_models.py:63-248,
+governance/data_catalog.yml). Here the same YAML shape compiles directly to
+DataFrames: `derived_measures[].calculation` strings are parsed by Spark SQL
+(`F.expr`) — the catalog remains declarative, Catalyst executes it, and
+there is no intermediate SQL-file codegen step to drift.
+
+Model kinds:
+- fact: grain-truncated date key + business keys + FK columns + aggregated
+  measures + derived (post-agg) measures + audit columns
+- dimension scd_type 1: latest-wins overwrite shape
+- dimension scd_type 2: delegated to operators.scd2
+
+A registry resolves `source:` names to DataFrames (the dbt ref()/source()
+graph) and topo-orders model builds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+from dataclasses import dataclass, field
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GRAIN_TRUNC = {"daily": "day", "weekly": "week", "monthly": "month", "quarterly": "quarter"}
+
+AGG_FNS: Mapping[str, Callable] = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "count_distinct": F.countDistinct,
+}
+
+
+@dataclass
+class Catalog:
+    raw: dict
+
+    @classmethod
+    def load(cls, path: str) -> "Catalog":
+        with open(path) as f:
+            return cls(yaml.safe_load(f))
+
+    @property
+    def facts(self) -> list[dict]:
+        return self.raw.get("fact_tables", [])
+
+    @property
+    def dimensions(self) -> list[dict]:
+        return self.raw.get("dimensions", [])
+
+    def fact(self, name: str) -> dict:
+        return next(f for f in self.facts if f["name"] == name)
+
+    def dimension(self, name: str) -> dict:
+        return next(d for d in self.dimensions if d["name"] == name)
+
+
+def build_fact(src: DataFrame, spec: dict, decimal_sums: bool = True) -> DataFrame:
+    """Compile one fact spec to a grouped-aggregate DataFrame.
+
+    Measures with aggregation 'sum' over doubles route through the
+    deterministic decimal layer (same guarantees as every other query).
+    """
+    from ..functions.deterministic import davg, dsum
+
+    grain = GRAIN_TRUNC[spec.get("grain", "daily")]
+    date_col = spec["date_column"]
+    date_key = F.date_trunc(grain, F.col(date_col)).cast("date").alias("date_key")
+
+    group_cols = [date_key] + [
+        F.col(k["source_column"]).alias(k["name"]) for k in spec.get("dimension_keys", [])
+    ]
+
+    aggs = []
+    for m in spec.get("measures", []):
+        fn_name = m.get("aggregation", "sum")
+        if fn_name == "sum" and decimal_sums:
+            aggs.append(dsum(m["column"], m["name"]))
+        elif fn_name == "avg" and decimal_sums:
+            aggs.append(davg(m["column"], m["name"]))
+        else:
+            aggs.append(AGG_FNS[fn_name](m["column"]).alias(m["name"]))
+    aggs.append(F.count("*").alias("row_count"))
+
+    out = src.groupBy(*group_cols).agg(*aggs)
+
+    # post-aggregation derived measures: catalog calculation strings are
+    # Spark SQL expressions over the aggregated columns (D2: F.expr).
+    for dm in spec.get("derived_measures", []):
+        out = out.withColumn(dm["name"], F.expr(dm["calculation"]))
+    return out
+
+
+def build_scd1_dimension(src: DataFrame, spec: dict) -> DataFrame:
+    """SCD1: latest row per natural key + derived attributes."""
+    from pyspark.sql.window import Window
+
+    key = spec["natural_key"]
+    order_col = spec.get("updated_at", key)
+    w = Window.partitionBy(key).orderBy(F.desc(order_col))
+    out = (
+        src.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+    for da in spec.get("derived_attributes", []):
+        out = out.withColumn(da["name"], F.expr(da["calculation"]))
+    cols = [key] + [a["name"] for a in spec.get("attributes", [])] + [
+        da["name"] for da in spec.get("derived_attributes", [])
+    ]
+    return out.select(*[c for c in cols if c in out.columns])
+
+
+@dataclass
+class ModelRegistry:
+    """dbt-style ref() graph: sources are DataFrames, models are builders
+    that may ref() other models; builds memoize (ephemeral semantics)."""
+
+    spark: SparkSession
+    sources: dict[str, DataFrame] = field(default_factory=dict)
+    builders: dict[str, Callable[["ModelRegistry"], DataFrame]] = field(default_factory=dict)
+    _built: dict[str, DataFrame] = field(default_factory=dict)
+
+    def add_source(self, name: str, df: DataFrame) -> None:
+        self.sources[name] = df
+
+    def add_model(self, name: str, builder: Callable[["ModelRegistry"], DataFrame]) -> None:
+        self.builders[name] = builder
+
+    def ref(self, name: str) -> DataFrame:
+        if name in self._built:
+            return self._built[name]
+        if name in self.sources:
+            return self.sources[name]
+        if name not in self.builders:
+            raise KeyError(f"unknown model/source: {name}")
+        df = self.builders[name](self)
+        self._built[name] = df
+        return df

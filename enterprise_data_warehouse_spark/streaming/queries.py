@@ -1,0 +1,112 @@
+"""Registry queries for the streaming layer (SURVEY.md §2.9).
+
+tumbling/session aggregations run on the batch path here (same code path as
+streaming — `F.window`/`F.session_window` are engine-level operators), so
+they are DuckDB-oracle-checkable. `streaming_hourly_counts` runs the REAL
+readStream → availableNow → memory-sink loop; the driver records it
+rows-only, and tests assert it equals the batch result.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import query
+from ..sources.tables import load_table
+from .incremental import run_stream_to_memory, session_metrics, tumbling_counts
+
+TUMBLING_ORACLE = """
+SELECT
+  DATE_TRUNC('hour', ts) AS window_start,
+  DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("tumbling_hourly_counts", oracle=TUMBLING_ORACLE)
+def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 batch path: F.window tumbling aggregation (same operator the
+    stream runs)."""
+    e = load_table(spark, sf_dir, "events")
+    out = tumbling_counts(e)
+    return out.withColumn(
+        "total_value", F.round(F.col("total_value").cast("decimal(38,10)"), 4).cast("double")
+    )
+
+
+SESSION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, value,
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN prev_ts IS NULL
+           OR DATEDIFF('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM seq
+), numbered AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  DATEDIFF('second', MIN(ts), MAX(ts)) AS active_seconds,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS session_value,
+  (COUNT(*) = 1) AS is_bounce
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+@query("session_metrics_batch", oracle=SESSION_ORACLE, bench=True)
+def session_metrics_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: session_window sessionization (30-min inactivity gap). The oracle
+    re-derives sessions with the lag/cumsum idiom — same semantics, which is
+    exactly the point: one engine-native operator replaces the whole CTE
+    stack. Session end = last event + gap (session_window contract).
+
+    Caveat encoded here: Spark merges sessions whose windows OVERLAP
+    (gap boundary inclusive), the lag idiom splits at strictly-greater —
+    DATEDIFF > 1800 in the oracle matches session_window's merge rule.
+    """
+    e = load_table(spark, sf_dir, "events")
+    out = session_metrics(e)
+    return out.withColumn(
+        "session_value", F.round(F.col("session_value").cast("decimal(38,10)"), 4).cast("double")
+    )
+
+
+@query("streaming_hourly_counts")
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R4 end-to-end: a REAL readStream over the events parquet with
+    watermark + tumbling agg, drained via Trigger.AvailableNow into a memory
+    sink. Rows-only driver check; tests assert equality with the batch path.
+    """
+    # ts is TIMESTAMP(NANOS) → read as long (session flag), convert to µs.
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    # file source needs a directory: stream the sf dir, globbed to events
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = tumbling_counts(stream)
+    name = "stream_hourly_" + uuid.uuid4().hex[:8]
+    return run_stream_to_memory(spark, agg, name)
