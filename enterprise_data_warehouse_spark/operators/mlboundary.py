@@ -1,0 +1,316 @@
+"""ML-boundary operators (SURVEY.md §2.10 D3–D6, §2.1 S5/S11, §2.2 P7/P8,
+§2.3 J3, §2.8 F17/F20).
+
+The reference's ML platform pulls data into pandas and loops in Python; here
+the *data* side (feature assembly, training-set construction, drift
+p-values) stays in the engine, and only genuinely-Python steps (model
+scoring, free-form per-entity feature extraction) cross the Arrow boundary
+as pandas UDFs — batched, vectorized, broadcast-model.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import sql_dsum
+from ..queries import query
+from ..sources.tables import load_table
+
+FEATURE_COLUMNS = [
+    "total_orders",
+    "total_spend",
+    "avg_order_value",
+    "urgent_ratio",
+    "open_ratio",
+]
+
+
+def customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide per-entity feature table (reference
+    ml_pipeline_framework.py:158-217): one grouped pass over orders."""
+    o = load_table(spark, sf_dir, "orders")
+    from ..functions.deterministic import dsum
+
+    n = F.count("*")
+    return o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        n.alias("total_orders"),
+        dsum("o_totalprice", "total_spend"),
+        (dsum("o_totalprice") / n).alias("avg_order_value"),
+        (F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).cast("double") / n).alias("urgent_ratio"),
+        (F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).cast("double") / n).alias("open_ratio"),
+    )
+
+
+FEATURE_FETCH_ORACLE = f"""
+WITH feats AS (
+  SELECT o_custkey AS customer_id,
+    COUNT(*) AS total_orders,
+    {sql_dsum("o_totalprice")} AS total_spend,
+    {sql_dsum("o_totalprice")} / COUNT(*) AS avg_order_value,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS urgent_ratio,
+    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS open_ratio
+  FROM orders GROUP BY o_custkey
+)
+SELECT customer_id, total_orders, total_spend, avg_order_value, urgent_ratio, open_ratio,
+  MD5('avg_order_value,open_ratio,total_orders,total_spend,urgent_ratio') AS feature_set_key
+FROM feats
+WHERE customer_id IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377, 610, 987)
+"""
+
+
+@query("feature_fetch_inlist", oracle=FEATURE_FETCH_ORACLE)
+def feature_fetch_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (IN-list pushdown fetch) + S11 (cache key = md5 of the sorted
+    feature-name list — reference feature_store_manager.py:582-585). The
+    isin filter pushes through the aggregation onto the scan."""
+    ids = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377, 610, 987]
+    cache_key = F.md5(F.lit(",".join(sorted(FEATURE_COLUMNS))))
+    return (
+        customer_features(spark, sf_dir)
+        .where(F.col("customer_id").isin(ids))
+        .withColumn("feature_set_key", cache_key)
+    )
+
+
+CONFORM_ORACLE = """
+WITH feats AS (
+  SELECT o_custkey AS customer_id,
+    COUNT(*) AS total_orders,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS urgent_ratio
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey AS customer_id,
+  COALESCE(CAST(total_orders AS DOUBLE), 0.0) AS total_orders,
+  COALESCE(urgent_ratio, 0.0) AS urgent_ratio,
+  COALESCE(CAST(NULL AS DOUBLE), 0.0) AS missing_feature
+FROM customer c LEFT JOIN feats ON feats.customer_id = c.c_custkey
+"""
+
+
+@query("feature_vector_conform", oracle=CONFORM_ORACLE)
+def feature_vector_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: reindex(columns=..., fill_value=0) before scoring (reference
+    realtime_inference_service.py:230-231) — declared column order, missing
+    features coalesced to 0, customers without history included."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = F.count("*")
+    feats = o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        n.alias("total_orders"),
+        (F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).cast("double") / n).alias("urgent_ratio"),
+    )
+    return (
+        c.join(feats, c["c_custkey"] == feats["customer_id"], "left")
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.coalesce(F.col("total_orders").cast("double"), F.lit(0.0)).alias("total_orders"),
+            F.coalesce(F.col("urgent_ratio"), F.lit(0.0)).alias("urgent_ratio"),
+            F.coalesce(F.lit(None).cast("double"), F.lit(0.0)).alias("missing_feature"),
+        )
+    )
+
+
+TRAINING_ORACLE = f"""
+WITH feats AS (
+  SELECT o_custkey AS customer_id,
+    COUNT(*) AS total_orders,
+    {sql_dsum("o_totalprice")} AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT f.customer_id, f.total_orders, f.total_spend,
+  c.c_acctbal,
+  ROUND(LN(1.0 + f.total_spend), 6) AS log_spend,
+  ROUND(SQRT(CAST(f.total_orders AS DOUBLE)), 6) AS sqrt_orders,
+  c.c_acctbal * f.total_orders AS acct_order_interaction,
+  CASE WHEN f.total_spend / f.total_orders > 150000 THEN 1 ELSE 0 END AS high_value_label
+FROM feats f
+JOIN customer c ON c.c_custkey = f.customer_id
+WHERE SUBSTR(MD5(CAST(f.customer_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+"""
+
+
+@query("training_dataset", oracle=TRAINING_ORACLE)
+def training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (multi-way training join) + S7 (reproducible hash sample) + F17
+    (log/sqrt transforms) + F20 (interaction features) + the CASE-derived
+    label (reference automated_training_pipeline.py:142-244). Transcendental
+    outputs rounded to 6dp — per-row libm differences are ~1e-16 relative,
+    far inside the rounding guard."""
+    from ..functions.deterministic import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    feats = o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.count("*").alias("total_orders"), dsum("o_totalprice", "total_spend")
+    )
+    sampled = feats.where(
+        F.substring(F.md5(F.col("customer_id").cast("string")), 1, 1).isin("0", "1", "2", "3")
+    )
+    return (
+        sampled.join(c, F.col("c_custkey") == F.col("customer_id"))
+        .select(
+            "customer_id",
+            "total_orders",
+            "total_spend",
+            "c_acctbal",
+            F.round(F.log(F.lit(1.0) + F.col("total_spend")), 6).alias("log_spend"),
+            F.round(F.sqrt(F.col("total_orders").cast("double")), 6).alias("sqrt_orders"),
+            (F.col("c_acctbal") * F.col("total_orders")).alias("acct_order_interaction"),
+            F.when(F.col("total_spend") / F.col("total_orders") > 150000, 1)
+            .otherwise(0)
+            .alias("high_value_label"),
+        )
+    )
+
+
+# --- D6: KS p-value via the Kolmogorov asymptotic series ---------------------
+
+KS_SERIES_TERMS = 100
+
+KS_PVALUE_ORACLE = f"""
+WITH tagged AS (
+  SELECT value,
+    CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS is_ref,
+    CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 0 ELSE 1 END AS is_cur
+  FROM events
+), cdf AS (
+  SELECT
+    SUM(is_ref) OVER (ORDER BY value) AS ref_le,
+    SUM(is_cur) OVER (ORDER BY value) AS cur_le,
+    SUM(is_ref) OVER () AS n_ref,
+    SUM(is_cur) OVER () AS n_cur
+  FROM tagged
+), stat AS (
+  SELECT
+    MAX(ABS(CAST(ref_le AS DOUBLE)/n_ref - CAST(cur_le AS DOUBLE)/n_cur)) AS d,
+    MAX(CAST(n_ref AS DOUBLE)) AS n1, MAX(CAST(n_cur AS DOUBLE)) AS n2
+  FROM cdf
+), lam AS (
+  SELECT d, (SQRT(n1*n2/(n1+n2)) + 0.12 + 0.11/SQRT(n1*n2/(n1+n2))) * d AS lambda
+  FROM stat
+)
+SELECT d AS ks_stat,
+  ROUND(LEAST(1.0, GREATEST(0.0,
+    2.0 * list_reduce(list_transform(range(1, {KS_SERIES_TERMS + 1}),
+        k -> (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END) * EXP(-2.0*k*k*lambda*lambda)),
+      (x, y) -> x + y))), 6) AS p_value
+FROM lam
+"""
+
+
+@query("ks_drift_pvalue", oracle=KS_PVALUE_ORACLE)
+def ks_drift_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: scipy.ks_2samp's p-value (reference
+    ml_monitoring_system.py:229-251) WITHOUT scipy: the Kolmogorov
+    asymptotic series 2·Σ(-1)^(k-1)·exp(-2k²λ²) evaluated as a sequential
+    array fold in both engines (identical order → identical doubles;
+    rounded 6dp to absorb libm exp() last-ulp noise)."""
+    from ..operators.drift import ks_value_drift
+
+    stat = ks_value_drift(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    counts = e.agg(
+        F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0)).cast("double").alias("n2"),
+    )
+    en = F.sqrt(F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")))
+    lam = (en + 0.12 + 0.11 / en) * F.col("ks_stat")
+    series = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(KS_SERIES_TERMS)),
+            lambda k: F.when(k % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+            * F.exp(-2.0 * k.cast("double") * k.cast("double") * F.col("lambda") * F.col("lambda")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        stat.crossJoin(counts)
+        .withColumn("lambda", lam)
+        .select(
+            F.col("ks_stat").alias("ks_stat"),
+            F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * series)), 6).alias("p_value"),
+        )
+    )
+
+
+# --- D4/D5: pandas-UDF surface (no oracle — Python-side math) ----------------
+
+
+@query("ts_features_pandas")
+def ts_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: tsfresh-style per-entity feature extraction (reference
+    feature_store_manager.py:355-408) as applyInPandas — each user's ordered
+    series becomes one feature row (mean/std/min/max/lag-1 autocorr/energy).
+    Arrow-batched; the groupBy key partitions work evenly at any scale."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+
+    def extract(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("ts")
+        v = pdf["value"].to_numpy()
+        n = len(v)
+        mean = float(np.mean(v))
+        std = float(np.std(v, ddof=1)) if n > 1 else 0.0
+        if n > 1 and std > 0:
+            autocorr = float(np.corrcoef(v[:-1], v[1:])[0, 1]) if n > 2 else 0.0
+        else:
+            autocorr = 0.0
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_obs": [n],
+                "value_mean": [mean],
+                "value_std": [std],
+                "value_min": [float(np.min(v))],
+                "value_max": [float(np.max(v))],
+                "lag1_autocorr": [autocorr],
+                "energy": [float(np.sum(v * v))],
+            }
+        )
+
+    schema = (
+        "user_id bigint, n_obs bigint, value_mean double, value_std double, "
+        "value_min double, value_max double, lag1_autocorr double, energy double"
+    )
+    return e.groupBy("user_id").applyInPandas(extract, schema)
+
+
+def make_scorer(weights: dict[str, float], bias: float):
+    """D5: broadcast-model scoring as mapInPandas (reference
+    realtime_inference_service.py:226-280): logistic over named features,
+    0.5 threshold — the ensemble-mean shape with a deterministic stub model.
+    """
+    import pandas as pd
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            z = np.full(len(pdf), bias)
+            for feat, w in weights.items():
+                z = z + w * pdf[feat].to_numpy()
+            prob = 1.0 / (1.0 + np.exp(-z))
+            out = pdf[["customer_id"]].copy()
+            out["churn_probability"] = prob
+            out["churn_prediction"] = (prob >= 0.5).astype("int32")
+            yield out
+
+    return score
+
+
+@query("score_customers_pandas")
+def score_customers_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 end-to-end: feature build → conform → mapInPandas scoring."""
+    feats = customer_features(spark, sf_dir)
+    weights = {"total_orders": -0.05, "urgent_ratio": 2.0, "open_ratio": 1.0}
+    scorer = make_scorer(weights, bias=-0.5)
+    schema = "customer_id bigint, churn_probability double, churn_prediction int"
+    return feats.mapInPandas(scorer, schema)
