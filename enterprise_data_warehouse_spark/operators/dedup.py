@@ -17,11 +17,11 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries import query
-from ..sources.tables import load_table
+from ..sources.tables import cpu_parallelism, load_table
 
 
 def _with_synthetic_dupes(d: DataFrame) -> DataFrame:
@@ -72,63 +72,91 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_N = 3
 JACCARD_THRESHOLD = 0.10
+MAX_SHINGLE_DF = 1000  # drop shingles in > this many docs: boilerplate
+# n-grams ("click here to") otherwise generate O(df²) candidate pairs; the
+# cap bounds self-join fan-out at web scale. No effect on the synthetic
+# corpus (max df ≪ cap) — semantics mirrored in the oracle regardless.
 
 JACCARD_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), shingle_sets AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(w) - {NGRAM_N - 2}),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM toks
 ), shingles AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-      unnest(list_transform(range(1, len(w) - {NGRAM_N - 2}),
-             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-    FROM toks) t
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
-), common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle
+  FROM shingle_sets
+), capped AS (
+  SELECT * FROM shingles
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_DF}
 )
-SELECT doc_a, doc_b, n_common,
-  CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common,
+  CAST(COUNT(*) AS DOUBLE)
+    / (MIN(a.n_shingles) + MIN(b.n_shingles) - COUNT(*)) AS jaccard
+FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING CAST(COUNT(*) AS DOUBLE)
+    / (MIN(a.n_shingles) + MIN(b.n_shingles) - COUNT(*)) >= {JACCARD_THRESHOLD}
 """
 
 
-def word_shingles(d: DataFrame, n: int = NGRAM_N) -> DataFrame:
-    """DISTINCT word n-gram shingles per doc, all JVM-side array ops."""
+def shingle_sets(d: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """Per-doc DISTINCT word n-gram shingle array — pure per-row array ops
+    (transform + array_distinct), NO shuffle. Set size rides along, so
+    Jaccard needs no separate sizes join."""
     w = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(0), F.size(w) - n)
-    shingle = F.explode(
-        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)])
     )
-    return d.select("doc_id", shingle.alias("shingle")).distinct()
+    return d.select("doc_id", F.array_distinct(grams).alias("shingles")).withColumn(
+        "n_shingles", F.size("shingles")
+    )
+
+
+def exploded_shingles(d: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, n_shingles, shingle) rows — the join-ready shape."""
+    return shingle_sets(d, n).select(
+        "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
+    )
 
 
 @query("ngram_jaccard_pairs", oracle=JACCARD_ORACLE, bench=True)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.10: shingle explode →
-    equi-self-join (the candidate generator) → count-based Jaccard. Integer
-    ratio arithmetic → engine-exact."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(d)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.10.
+
+    Shuffle budget (the whole point at 100 TB): shingle arrays and set sizes
+    are computed map-side (no shuffle); the document-frequency cap window and
+    the equi-self-join share ONE hash partitioning on `shingle`; the pair
+    count is the only other exchange. Set sizes ride the shingle rows, so the
+    old per-side size joins are gone. Integer ratio arithmetic →
+    engine-exact vs the oracle."""
+    d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+    sh = exploded_shingles(d)
+    w = Window.partitionBy("shingle")
+    capped = sh.withColumn("shingle_df", F.count("*").over(w)).where(
+        F.col("shingle_df") <= MAX_SHINGLE_DF
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sa"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("sb"))
+    # merge hint: Spark's size estimate of the exploded/window side is far
+    # below reality, so it would broadcast the whole shingle table — at web
+    # scale that's an OOM, and even here sort-merge is faster.
+    a = capped.alias("a")
+    b = capped.hint("merge").alias("b")
     jac = F.col("n_common").cast("double") / (F.col("sa") + F.col("sb") - F.col("n_common"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min("a.n_shingles").alias("sa"),
+            F.min("b.n_shingles").alias("sb"),
+        )
         .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", "jaccard")
@@ -143,25 +171,18 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 
 
 def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """k minhashes per doc: min over shingles of xxhash64(shingle, seed_i).
-    One explode over seeds (k× shingle rows) then a single groupBy — the
-    classic map-side-combinable formulation."""
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"),
-        "shingle",
-    )
-    hashed = seeded.select(
-        "doc_id",
-        "seed",
-        F.xxhash64(F.col("shingle"), F.col("seed")).alias("h"),
-    )
+    """k minhashes per doc in ONE map-side-combinable groupBy: k independent
+    ``min(xxhash64(shingle, seed_i))`` aggregates, assembled into the
+    signature array post-agg. No seed explode (k× row blowup avoided), no
+    shingle distinct (min is idempotent over duplicates) — the shuffle
+    carries one k-long partial row per (doc × partition)."""
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}") for s in range(k)
+    ]
     return (
-        hashed.groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "minhash"))).alias("sig_structs"))
-        .select("doc_id", F.transform("sig_structs", lambda s: s["minhash"]).alias("signature"))
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"h{s}" for s in range(k)]).alias("signature"))
     )
 
 
@@ -173,8 +194,10 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     No SQL oracle (xxhash64 is engine-native); the driver records a
     rows-only check and tests verify against true Jaccard on known dupes.
     """
-    d = _with_synthetic_dupes(load_table(spark, sf_dir, "documents"))
-    sh = word_shingles(d)
+    d = _with_synthetic_dupes(
+        load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+    )
+    sh = shingle_sets(d).select("doc_id", F.explode("shingles").alias("shingle"))
     sig = minhash_signatures(sh)
     # band key = hash of that band's slice of the signature
     band_key = F.md5(
@@ -190,8 +213,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
     ).select("doc_id", "signature", band_key.alias("band_key"))
 
+    # merge hint: same misestimate-broadcast hazard as the jaccard self-join
     a = bands.alias("a")
-    b = bands.alias("b")
+    b = bands.hint("merge").alias("b")
     cand = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(

@@ -29,20 +29,34 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, min_partitions: int | None = None
+) -> DataFrame:
     """S1: lazy columnar scan of one table.
 
     events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark's
     vectorized reader rejects; we read it as long ns (legacy flag set in
     session.py) and convert to a µs timestamp (lossless — the generator
     emits whole microseconds).
+
+    ``min_partitions``: opt-in for CPU-heavy per-row operators (shingling,
+    hashing). A small single-row-group file scans as ONE partition, which
+    serializes the expensive map work onto one core; a cheap round-robin
+    repartition restores parallelism. At production scale the scan already
+    has ≥ this many splits and the branch is a no-op (no shuffle added).
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
     return df
+
+
+def cpu_parallelism(spark: SparkSession) -> int:
+    return spark.sparkContext.defaultParallelism
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
