@@ -1,0 +1,260 @@
+"""Extension operators beyond the reference surface (SURVEY.md §2.3 "absent —
+noted for build plan", §2.4 A19 note, §2.5 absent-frames note): as-of join,
+range/bucket lookup join, ROLLUP grouping sets, full window-frame functions,
+stratified sampling.
+
+The reference has none of these (its engine is Snowflake SQL authored via
+dbt, reference macros/scd_type2_macro.sql + models/), but a user scaling the
+same warehouse to event data needs them; each is expressed in the shape that
+survives 100 TB — partition-local windows instead of point lookups, bucket
+equi-joins instead of theta joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import sql_dsum
+from ..queries import query
+from ..sources.tables import load_table
+
+# --- as-of join ---------------------------------------------------------------
+
+ASOF_ORACLE = """
+SELECT c.event_id AS click_event_id,
+       c.user_id,
+       c.ts AS click_ts,
+       v.ts AS view_ts,
+       date_diff('microsecond', v.ts, c.ts) AS micros_since_view
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
+@query("asof_click_attribution", oracle=ASOF_ORACLE)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the latest view at-or-before it by
+    the same user (classic attribution).
+
+    Spark has no ASOF keyword; the scalable formulation is union + one
+    partition-local window: tag views 0 / clicks 1, sort within user by
+    (ts, tag) — views first on ties, giving the inclusive ``v.ts <= c.ts``
+    semantics — and carry the last non-null view ts forward. ONE shuffle on
+    user_id, no join at all; a sort-merge as-of join would shuffle the same
+    rows and then still need the per-user ordering."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.lit(None).cast("long").alias("click_event_id"),
+        F.col("ts").alias("ts"),
+        F.col("ts").alias("view_ts"),
+        F.lit(0).alias("tag"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("ts"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(clicks).withColumn(
+        "last_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("tag") == 1).select(
+        "click_event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("last_view_ts").alias("view_ts"),
+        (F.unix_micros("ts") - F.unix_micros("last_view_ts")).alias(
+            "micros_since_view"
+        ),
+    )
+
+
+# --- range / bucket lookup join ----------------------------------------------
+
+BIN_WIDTH = 25.0
+N_BINS = 40  # covers [0, 1000) — events.value is [0, ~560]
+
+RANGE_BIN_ORACLE = f"""
+WITH bins AS (
+  SELECT i AS bin_id,
+         CAST(i * {BIN_WIDTH} AS DOUBLE) AS lo,
+         CAST((i + 1) * {BIN_WIDTH} AS DOUBLE) AS hi
+  FROM (SELECT unnest(range(0, {N_BINS})) AS i)
+)
+SELECT b.bin_id, b.lo, b.hi,
+       COUNT(*) AS n_events,
+       {sql_dsum("e.value")} AS sum_value
+FROM events e
+JOIN bins b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.bin_id, b.lo, b.hi
+"""
+
+
+@query("range_bin_lookup", oracle=RANGE_BIN_ORACLE)
+def range_bin_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-lookup join: each event matched to the interval [lo, hi)
+    containing its value.
+
+    The oracle writes it as a theta join (``value >= lo AND value < hi``) —
+    O(n·m) at scale. Here the intervals are fixed-width, so the scalable
+    plan derives the bucket key arithmetically and equi-joins:
+    ``floor(value / width) = bin_id``. For variable-width intervals the same
+    pattern holds with each interval exploded to the buckets it overlaps.
+    The bin dim is built from ``sequence`` and broadcast."""
+    from ..functions.deterministic import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    bins = spark.range(N_BINS).select(
+        F.col("id").cast("int").alias("bin_id"),
+        (F.col("id") * BIN_WIDTH).alias("lo"),
+        ((F.col("id") + 1) * BIN_WIDTH).alias("hi"),
+    )
+    probe = e.withColumn("bin_id", F.floor(F.col("value") / BIN_WIDTH).cast("int"))
+    return (
+        probe.join(F.broadcast(bins), "bin_id")
+        .where((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("bin_id", "lo", "hi")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    )
+
+
+# --- grouping sets / rollup ---------------------------------------------------
+
+ROLLUP_ORACLE = f"""
+SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+       o_orderstatus,
+       GROUPING(EXTRACT(year FROM o_orderdate)) AS grp_year,
+       GROUPING(o_orderstatus) AS grp_status,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS total_revenue
+FROM orders
+GROUP BY ROLLUP (EXTRACT(year FROM o_orderdate), o_orderstatus)
+"""
+
+
+@query("order_rollup_hierarchy", oracle=ROLLUP_ORACLE)
+def order_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year, status): per-(year,status), per-year, and grand-total
+    rows in one pass — Spark plans a single Expand + hash aggregate, so the
+    hierarchy costs one shuffle, not three queries. GROUPING() markers
+    disambiguate real NULLs from rolled-up levels."""
+    from ..functions.deterministic import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate").alias("order_year")
+    return (
+        o.select(year, "o_orderstatus", "o_totalprice")
+        .rollup("order_year", "o_orderstatus")
+        .agg(
+            F.grouping("order_year").cast("bigint").alias("grp_year"),
+            F.grouping("o_orderstatus").cast("bigint").alias("grp_status"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_revenue"),
+        )
+        .select(
+            "order_year",
+            "o_orderstatus",
+            "grp_year",
+            "grp_status",
+            "n_orders",
+            "total_revenue",
+        )
+    )
+
+
+# --- full window-frame surface -------------------------------------------------
+
+FRAMES_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_orderdate,
+  LAG(o_totalprice) OVER w AS prev_price,
+  LEAD(o_totalprice) OVER w AS next_price,
+  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+  LAST_VALUE(o_totalprice)
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+    AS running_spend,
+  RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
+  DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("order_window_frames", oracle=FRAMES_ORACLE)
+def order_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window functions the reference never uses (SURVEY.md §2.5 absent
+    note): lead / first_value / last_value with explicit ROWS frames, rank,
+    dense_rank, and an exact running sum (decimal-summed — frame order is
+    deterministic, so only representation needs hardening). All frames hang
+    off ONE partitioning (o_custkey): a single shuffle serves seven
+    functions."""
+    o = load_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    run = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_totalprice").over(seq).alias("prev_price"),
+        F.lead("o_totalprice").over(seq).alias("next_price"),
+        F.first("o_totalprice").over(seq).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(run), 4)
+        .cast("double")
+        .alias("running_spend"),
+        F.rank()
+        .over(Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice")))
+        .cast("bigint")
+        .alias("price_rank"),
+        F.dense_rank()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderpriority"))
+        .cast("bigint")
+        .alias("prio_rank"),
+    )
+
+
+# --- stratified sampling -------------------------------------------------------
+
+# per-stratum keep fractions out of 16 (first md5 nibble < threshold)
+STRATA_KEEP = {"1-URGENT": 8, "2-HIGH": 4, "3-MEDIUM": 2, "4-NOT SPECIFIED": 1, "5-LOW": 1}
+
+_STRATA_CASE = " ".join(
+    f"WHEN o_orderpriority = '{k}' THEN {v}" for k, v in STRATA_KEEP.items()
+)
+
+STRATIFIED_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+FROM orders
+WHERE CAST(('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1)) AS INT)
+      < (CASE {_STRATA_CASE} ELSE 0 END)
+"""
+
+
+@query("stratified_order_sample", oracle=STRATIFIED_ORACLE)
+def stratified_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 extended to ``sampleBy`` semantics, made reproducible across
+    engines: per-stratum keep fractions decided by a hash of the row key
+    (md5 first nibble), not an RNG — the sample is stable under re-runs,
+    partitioning, and engine choice, which is what a training pipeline
+    actually wants from stratified sampling. The predicate is scan-pushed."""
+    o = load_table(spark, sf_dir, "orders")
+    nibble = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1), 16, 10).cast("int")
+    threshold = F.when(F.lit(False), 0)
+    for k, v in STRATA_KEEP.items():
+        threshold = threshold.when(F.col("o_orderpriority") == k, v)
+    return o.where(nibble < threshold.otherwise(0)).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
