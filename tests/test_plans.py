@@ -1,0 +1,139 @@
+"""Physical-plan quality gates (the 100 TB contract, asserted).
+
+Correctness tests prove the SQL semantics; these prove the PLAN is the one
+we'd want on a 1000-executor cluster: filters and projections reach the
+parquet scan, dimension joins broadcast, hot paths stay inside whole-stage
+codegen, and no operator sneaks in an unnecessary shuffle. If a refactor
+regresses any of that, these fail before a benchmark would notice.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from enterprise_data_warehouse_spark.queries import load_registry
+from enterprise_data_warehouse_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+REG = load_registry()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """nation/region broadcast by hint; customer/orders small enough that
+    AQE broadcasts them too at this SF — assert at least the two hinted
+    broadcasts and that lineitem (the fact) is never broadcast."""
+    df = REG["star_revenue_rollup"].fn(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    bcast_sections = re.findall(r"BroadcastExchange[^\n]*\n(?:.*\n){0,6}", plan)
+    assert not any("lineitem" in s for s in bcast_sections), "fact side broadcast!"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """The staging cleanse predicates must appear as PushedFilters in the
+    parquet scan node, not as a post-scan Filter only."""
+    df = REG["star_revenue_rollup"].fn(spark, SF)
+    plan = plan_of(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "GreaterThan(l_quantity" in ln or "IsNotNull(l_quantity)" in ln
+        for ln in pushed
+    ), pushed
+
+
+def test_column_pruning_projects_only_needed(spark):
+    """A 2-column projection over lineitem must read 2 columns (ReadSchema),
+    not the full 16-column row."""
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(li)
+    rs = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "l_quantity" in rs and "l_extendedprice" not in rs, rs
+
+
+def test_pricing_summary_single_shuffle(spark):
+    """TPC-H Q1 shape: scan → partial agg → ONE exchange → final agg."""
+    df = REG["pricing_summary"].fn(spark, SF)
+    plan = plan_of(df)
+    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchanges <= 2, plan  # hash agg exchange (+ optional AQE read)
+
+
+def test_exact_dedup_single_shuffle(spark):
+    df = REG["exact_dedup"].fn(spark, SF)
+    plan = plan_of(df)
+    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchanges <= 1, plan
+
+
+def test_whole_stage_codegen_on_hot_paths(spark):
+    """Hot paths stay JVM-side: no Python eval nodes anywhere; whole-stage
+    codegen where eligible (higher-order array lambdas run vectorized but
+    outside WSCG, so text ops assert only the no-Python invariant)."""
+    for name in ["text_quality_scores", "pricing_summary", "language_id"]:
+        plan = plan_of(REG[name].fn(spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name} fell off the JVM path"
+        )
+    df = REG["pricing_summary"].fn(spark, SF)
+    df.collect()  # finalize AQE so codegen spans appear in the plan
+    # codegen'd operators carry the "*(n)" stage marker in the tree string
+    assert re.search(r"\*\(\d+\) HashAggregate", plan_of(df)), plan_of(df)
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    """The decimal-exact sums must still combine map-side (partial_sum
+    before the exchange) — determinism hardening must not break the
+    one-shuffle aggregation shape."""
+    plan = plan_of(REG["pricing_summary"].fn(spark, SF))
+    partial_idx = plan.find("partial_sum")
+    exchange_idx = plan.find("Exchange")
+    assert 0 <= exchange_idx < partial_idx, plan
+
+
+def test_in_list_predicate_pushed(spark):
+    """S5: the IN-list feature fetch must push the id filter into the scan."""
+    df = REG["feature_fetch_inlist"].fn(spark, SF)
+    plan = plan_of(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("In(o_custkey" in ln for ln in pushed), pushed
+
+
+def test_range_bin_lookup_broadcasts_bin_dim(spark):
+    """The bucket-join range lookup must broadcast the tiny bin dim, never
+    shuffle the events side by bin."""
+    df = REG["range_bin_lookup"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    """The as-of union+window plan must contain NO join operator and at most
+    one exchange (the user_id window partitioning)."""
+    df = REG["asof_click_attribution"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchanges <= 1, plan
+
+
+def test_rollup_is_single_expand_pass(spark):
+    """ROLLUP must plan one Expand + aggregation, not a union of queries."""
+    df = REG["order_rollup_hierarchy"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "Expand" in plan and "Union" not in plan, plan
+
+
+def test_metadata_only_multimodal_skips_payload(spark):
+    """Binary-payload hygiene: plans that only need metadata must not read
+    the payload source column."""
+    from enterprise_data_warehouse_spark.operators.multimodal import media_manifest_df
+
+    meta_only = media_manifest_df(spark, SF).select("doc_id", "media_type")
+    rs = next(ln for ln in plan_of(meta_only).splitlines() if "ReadSchema" in ln)
+    assert "text" not in rs, rs
