@@ -443,7 +443,7 @@ FROM cdf
 """
 
 
-@query("ks_binned_drift", oracle=KS_BINNED_ORACLE)
+@query("ks_binned_drift", oracle=KS_BINNED_ORACLE, bench=True)
 def ks_binned_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15, the 100 TB formulation: KS over BINNED CDFs. The raw-value KS
     (ks_value_drift) needs a global sort window — single-partition at any

@@ -33,7 +33,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
-@query("asof_click_attribution", oracle=ASOF_ORACLE)
+@query("asof_click_attribution", oracle=ASOF_ORACLE, bench=True)
 def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click matched to the latest view at-or-before it by
     the same user (classic attribution).
@@ -141,7 +141,7 @@ GROUP BY ROLLUP (EXTRACT(year FROM o_orderdate), o_orderstatus)
 """
 
 
-@query("order_rollup_hierarchy", oracle=ROLLUP_ORACLE)
+@query("order_rollup_hierarchy", oracle=ROLLUP_ORACLE, bench=True)
 def order_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (year, status): per-(year,status), per-year, and grand-total
     rows in one pass — Spark plans a single Expand + hash aggregate, so the
@@ -192,7 +192,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
-@query("order_window_frames", oracle=FRAMES_ORACLE)
+@query("order_window_frames", oracle=FRAMES_ORACLE, bench=True)
 def order_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The window functions the reference never uses (SURVEY.md §2.5 absent
     note): lead / first_value / last_value with explicit ROWS frames, rank,

@@ -132,7 +132,7 @@ WHERE SUBSTR(MD5(CAST(f.customer_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
 """
 
 
-@query("training_dataset", oracle=TRAINING_ORACLE)
+@query("training_dataset", oracle=TRAINING_ORACLE, bench=True)
 def training_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 (multi-way training join) + S7 (reproducible hash sample) + F17
     (log/sqrt transforms) + F20 (interaction features) + the CASE-derived

@@ -78,7 +78,7 @@ FROM documents
 """
 
 
-@query("media_manifest", oracle=MANIFEST_ORACLE)
+@query("media_manifest", oracle=MANIFEST_ORACLE, bench=True)
 def media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest projection: payload stays binary internally; the oracle-facing
     row carries size + md5 (engines render raw bytes differently, hashes
