@@ -8,9 +8,10 @@ Scale design:
   counts. The shingle join is the canonical candidate generator; frequency
   capping (drop shingles appearing in > MAX_DF docs) bounds the join fan-out
   at web scale.
-- MinHash-LSH: k=32 hash functions via xxhash64(shingle, seed), b=8 bands ×
-  r=4 rows; candidates = docs sharing a band key. Engine-native hashing →
-  no oracle (rows-only check); verified against true Jaccard in tests.
+- MinHash-LSH: k=32 hash functions, b=8 bands × r=4 rows; candidates = docs
+  sharing a band key. Two registrations: the fast path (xxhash64, JVM-native,
+  rows-only check + Jaccard-tracking tests) and a portable-md5 variant whose
+  ENTIRE pipeline is value-verified against the DuckDB oracle.
 - SimHash: 64-bit signature from per-token hash bits, banded for Hamming
   candidate search. Pure array/lambda SQL — no UDFs.
 """
@@ -275,3 +276,107 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(F.col("simhash"), band * 16).bitwiseAND(F.lit(0xFFFF)),
         )
     return out
+
+
+# --- MinHash-LSH, cross-engine-verified variant -------------------------------
+
+# The fast path above uses xxhash64 (JVM-native, no DuckDB equivalent), so the
+# driver can only row-count it. This variant swaps in a PORTABLE hash — the
+# first 15 hex digits of md5(shingle + '#' + seed) as a 60-bit integer, an
+# idiom both engines evaluate identically — making the ENTIRE pipeline
+# (shingles → signatures → bands → candidates → similarity estimates)
+# value-hash-verifiable against the oracle. Same plan shape as the fast path;
+# md5 costs ~3× xxhash64 in the map stage, so production keeps xxhash64.
+
+
+def portable_hash64(c: Column, seed: int) -> Column:
+    """SQL mirror:
+    ``CAST(('0x' || SUBSTR(MD5(x || '#' || seed), 1, 15)) AS BIGINT)``."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", c, F.lit(str(seed)))), 1, 15), 16, 10
+        )
+        .cast("bigint")
+    )
+
+
+MINHASH_VERIFIED_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+), sets AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - {NGRAM_N - 2}),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+), exploded AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sets
+), seeded AS (
+  SELECT doc_id, s.seed,
+    MIN(CAST(('0x' || SUBSTR(MD5(shingle || '#' || CAST(s.seed AS VARCHAR)), 1, 15)) AS BIGINT)) AS mh
+  FROM exploded CROSS JOIN (SELECT unnest(range(0, {MINHASH_K})) AS seed) s
+  GROUP BY doc_id, s.seed
+), sigs AS (
+  SELECT doc_id, list(mh ORDER BY seed) AS signature FROM seeded GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, signature, b.band,
+         signature[b.band*{LSH_ROWS}+1 : b.band*{LSH_ROWS}+{LSH_ROWS}] AS band_sig
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, {LSH_BANDS})) AS band) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(len(list_filter(list_transform(range(1, {MINHASH_K + 1}),
+       i -> a.signature[i] = b.signature[i]), x -> x)) AS DOUBLE) / {MINHASH_K}
+    AS est_jaccard
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+WHERE CAST(len(list_filter(list_transform(range(1, {MINHASH_K + 1}),
+       i -> a.signature[i] = b.signature[i]), x -> x)) AS DOUBLE) / {MINHASH_K} >= 0.5
+"""
+
+
+@query("minhash_lsh_verified", oracle=MINHASH_VERIFIED_ORACLE)
+def minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-paired MinHash-LSH: portable md5-derived minhashes, band
+    join on (band, signature-slice) — no opaque band-key hashing, so the
+    oracle mirrors the join exactly."""
+    d = _with_synthetic_dupes(
+        load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+    )
+    sh = shingle_sets(d).select("doc_id", F.explode("shingles").alias("shingle"))
+    mins = [
+        F.min(portable_hash64(F.col("shingle"), s)).alias(f"h{s}")
+        for s in range(MINHASH_K)
+    ]
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"h{s}" for s in range(MINHASH_K)]).alias("signature"))
+    )
+    bands = sig.select(
+        "doc_id",
+        "signature",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
+    ).withColumn("band_sig", F.slice("signature", F.col("band") * LSH_ROWS + 1, LSH_ROWS))
+    a = bands.alias("a")
+    b = bands.hint("merge").alias("b")
+    agree = F.size(
+        F.filter(
+            F.zip_with("a.signature", "b.signature", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (agree.cast("double") / MINHASH_K).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= 0.5)
+        .distinct()
+    )
