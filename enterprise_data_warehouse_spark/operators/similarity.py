@@ -212,3 +212,93 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine_sim") > 0.2)
     )
+
+
+# --- ANN-LSH, cross-engine-verified variant ------------------------------------
+
+# Same portability move as dedup.minhash_lsh_verified: plane weights derived
+# from md5 (bit-identical in DuckDB) instead of xxhash64, so bucketing,
+# candidate pairs, and verification cosines are all value-checked. The
+# xxhash64 fast path above stays the production default.
+
+
+def _portable_weight(p: int, j) -> Column:
+    """((md5-hash % 2001) - 1000) / 1000 ∈ [-1, 1], identical in DuckDB:
+    ``(CAST(('0x'||SUBSTR(MD5(p||'#'||j),1,15)) AS BIGINT) % 2001 - 1000)/1000.0``
+    (hash is non-negative, so % == pmod in both engines)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("#", F.lit(str(p)), j.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % 2001 - 1000).cast("double") / 1000.0
+
+
+def portable_hyperplane_sig(vec: Column) -> Column:
+    def plane_dot(p: int) -> Column:
+        weights = F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)), lambda j: _portable_weight(p, j)
+        )
+        return seq_dot(vec, weights)
+
+    out = F.lit(0)
+    for p in range(N_PLANES):
+        out = out + F.when(plane_dot(p) > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return out
+
+
+_SQL_WEIGHTS = (
+    "list_transform(range(0, {dim}), j -> "
+    "(CAST(('0x' || SUBSTR(MD5(CAST(p.plane AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) "
+    "% 2001 - 1000) / 1000.0)"
+).format(dim=DIM)
+
+ANN_VERIFIED_ORACLE = f"""
+WITH planes AS (
+  SELECT p.plane, {_SQL_WEIGHTS} AS w
+  FROM (SELECT unnest(range(0, {N_PLANES})) AS plane) p
+), dots AS (
+  SELECT e.vec_id, pl.plane,
+    {_sql_dot('e.embedding', 'pl.w')} AS d
+  FROM embeddings e CROSS JOIN planes pl
+), sigs AS (
+  SELECT vec_id,
+    SUM(CASE WHEN d > 0 THEN CAST(POW(2, plane) AS BIGINT) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+), pairs AS (
+  SELECT sa.bucket, sa.vec_id AS vec_a, sb.vec_id AS vec_b
+  FROM sigs sa JOIN sigs sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+)
+SELECT p.bucket, p.vec_a, p.vec_b,
+  {_sql_cosine('ea.embedding', 'eb.embedding')} AS cosine_sim
+FROM pairs p
+JOIN embeddings ea ON ea.vec_id = p.vec_a
+JOIN embeddings eb ON eb.vec_id = p.vec_b
+WHERE {_sql_cosine('ea.embedding', 'eb.embedding')} > 0.2
+"""
+
+
+@query("ann_lsh_verified", oracle=ANN_VERIFIED_ORACLE)
+def ann_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-paired ANN: portable hyperplane signatures → bucket equi-join →
+    exact-cosine verification, every stage value-checked."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    sig = e.withColumn("bucket", portable_hyperplane_sig(F.col("v")).cast("bigint"))
+    a = sig.alias("a")
+    b = sig.hint("merge").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") > 0.2)
+    )
