@@ -302,3 +302,108 @@ def ann_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine_sim") > 0.2)
     )
+
+
+# --- IVF coarse quantizer -------------------------------------------------------
+
+IVF_CELLS = 16
+IVF_NPROBE = 2
+
+
+def _assign_cells(vectors: DataFrame, centroids: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Rank centroids per vector by cosine (ties: centroid id) and keep the
+    top n cells. centroids is broadcast — assignment is a map-side cross
+    score, exactly how a 1000-executor IVF build behaves."""
+    from pyspark.sql.window import Window
+
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        "v",
+        "cell_id",
+        cosine(F.col("v"), F.col("cv")).alias("cell_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") <= n)
+        .select(id_col, "v", "cell_id", "cell_rank")
+    )
+
+
+IVF_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell_id, embedding AS cv FROM embeddings WHERE vec_id < {IVF_CELLS}
+), assign AS (
+  SELECT e.vec_id, c.cell_id,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC, c.cell_id ASC) AS cell_rank
+  FROM emb e CROSS JOIN cents c
+), corpus_cells AS (
+  SELECT vec_id, cell_id FROM assign WHERE cell_rank = 1
+), probe_cells AS (
+  SELECT vec_id AS query_id, cell_id FROM assign
+  WHERE cell_rank <= {IVF_NPROBE} AND vec_id < 5
+), cand AS (
+  SELECT DISTINCT p.query_id, cc.vec_id AS neighbor_id
+  FROM probe_cells p JOIN corpus_cells cc ON cc.cell_id = p.cell_id
+  WHERE cc.vec_id != p.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+    {_sql_cosine('q.embedding', 'n.embedding')} AS cosine_sim
+  FROM cand c
+  JOIN emb q ON q.vec_id = c.query_id
+  JOIN emb n ON n.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {TOPK_K}
+"""
+
+
+@query("ivf_topk", oracle=IVF_ORACLE)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into {IVF_CELLS} cells
+    (deterministic centroids: the first vectors by id — at production scale
+    these come from a k-means fit persisted as a tiny table), probe each
+    query's {IVF_NPROBE} nearest cells, exact-rerank candidates.
+
+    Scale shape: corpus assignment is one broadcast cross-score (no
+    shuffle), the probe is a cell-keyed equi-join — the quadratic scan of
+    brute force never happens. Recall tunes with IVF_NPROBE."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    corpus_cells = _assign_cells(e, cents, 1, "vec_id")
+    queries = e.where(F.col("vec_id") < 5)
+    probe_cells = _assign_cells(queries, cents, IVF_NPROBE, "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell_id"
+    )
+    cand = (
+        probe_cells.join(
+            corpus_cells.select("vec_id", "cell_id", F.col("v").alias("nv")), "cell_id"
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "nv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("nv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK_K)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rk").cast("int").alias("rk"))
+    )

@@ -162,3 +162,48 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
         .limit(10)
     )
+
+
+# --- local supplier volume (Q5 shape) -----------------------------------------
+
+LOCAL_SUPPLIER_ORACLE = f"""
+SELECT n_name AS nation_name,
+       COUNT(*) AS n_items,
+       {sql_dsum("l_extendedprice * (1.0 - l_discount)")} AS local_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE s_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+@query("local_supplier_volume", oracle=LOCAL_SUPPLIER_ORACLE)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue shipped by suppliers in the customer's own
+    nation. Exercises the supplier dimension and a join-predicate filter
+    (s_nationkey = c_nationkey) that prunes BEFORE the aggregation — Catalyst
+    evaluates it at the supplier join, so mismatched rows never reach the
+    shuffle. supplier/nation broadcast; lineitem⋈orders is the only big
+    exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1.0 - F.col("l_discount")), "local_revenue"
+            ),
+        )
+    )
