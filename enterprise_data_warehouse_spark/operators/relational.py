@@ -462,3 +462,46 @@ def segment_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "o_orderstatus")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "segment_revenue"))
     )
+
+
+# --- skew handling: salted two-phase aggregation -------------------------------
+
+N_SALTS = 16
+
+SALTED_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum("value")} AS total_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("salted_event_rollup", oracle=SALTED_ORACLE)
+def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation by salting: event_type has ~5 distinct values,
+    so a plain groupBy at 100 TB lands the whole table on 5 reducers. Phase
+    1 groups by (event_type, salt) — fan-out ×{N_SALTS} — phase 2 re-reduces
+    the {N_SALTS} partials per key.
+
+    The salt is pmod(xxhash64(event_id), {N_SALTS}): deterministic, uniform,
+    and key-independent. Every aggregate here is re-reducible (count→sum,
+    decimal-sum→sum, max→max) and the decimal sums are associative, so the
+    salted result is BIT-IDENTICAL to the plain groupBy — which is exactly
+    what the oracle checks (its SQL is the unsalted form).
+    """
+    from ..functions.deterministic import DEC, dec2dbl
+
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("value").cast(DEC)).alias("_sum"),
+        F.max("value").alias("_max"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n_events"),
+        dec2dbl(F.sum("_sum")).alias("total_value"),
+        F.max("_max").alias("max_value"),
+    )
