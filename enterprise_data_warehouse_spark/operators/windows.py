@@ -280,3 +280,81 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("z_score")) > 2.5)
         .select("event_id", "event_type", "value", "z_score")
     )
+
+
+# --- A10 at scale: RFM via quantile breakpoints --------------------------------
+
+RFM_SCALABLE_ORACLE = f"""
+WITH base AS (
+  SELECT c_custkey,
+    DATEDIFF('day', CAST(MAX(o_orderdate) AS DATE), DATE '2002-01-01') AS recency_days,
+    COUNT(*) AS frequency,
+    {sql_dsum("o_totalprice")} AS monetary
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey
+), brk AS (
+  SELECT
+    [QUANTILE_CONT(recency_days, 0.2), QUANTILE_CONT(recency_days, 0.4),
+     QUANTILE_CONT(recency_days, 0.6), QUANTILE_CONT(recency_days, 0.8)] AS rb,
+    [QUANTILE_CONT(frequency, 0.2), QUANTILE_CONT(frequency, 0.4),
+     QUANTILE_CONT(frequency, 0.6), QUANTILE_CONT(frequency, 0.8)] AS fb,
+    [QUANTILE_CONT(monetary, 0.2), QUANTILE_CONT(monetary, 0.4),
+     QUANTILE_CONT(monetary, 0.6), QUANTILE_CONT(monetary, 0.8)] AS mb
+  FROM base
+)
+SELECT c_custkey, recency_days, frequency, monetary,
+  CAST(1 + len(list_filter(rb, b -> CAST(recency_days AS DOUBLE) < b)) AS INT) AS r_score,
+  CAST(1 + len(list_filter(fb, b -> CAST(frequency AS DOUBLE) > b)) AS INT) AS f_score,
+  CAST(1 + len(list_filter(mb, b -> monetary > b)) AS INT) AS m_score
+FROM base CROSS JOIN brk
+"""
+
+
+@query("customer_rfm_scalable", oracle=RFM_SCALABLE_ORACLE)
+def customer_rfm_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10, the fact-scale formulation (SURVEY.md §7.4e): quintile scores
+    from QUANTILE BREAKPOINTS instead of a global ntile sort. One aggregate
+    computes the 4 breakpoints per metric; scoring is then a broadcast
+    cross-join + per-row comparisons — no single-partition window anywhere.
+
+    Exact interpolated quantiles here (oracle-matched vs QUANTILE_CONT); at
+    100 TB swap F.percentile → F.percentile_approx, same call shape.
+    Definition note: breakpoint banding ≈ ntile but assigns equal VALUES the
+    same score (ntile splits ties by row order) — for segmentation that tie
+    behavior is usually the one actually wanted.
+    """
+    from ..functions.deterministic import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.datediff(
+                F.lit("2002-01-01").cast("date"), F.max("o_orderdate").cast("date")
+            ).cast("bigint").alias("recency_days"),
+            F.count("*").alias("frequency"),
+            dsum("o_totalprice", "monetary"),
+        )
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    brk = base.agg(
+        F.array(*[F.percentile(F.col("recency_days").cast("double"), q) for q in qs]).alias("rb"),
+        F.array(*[F.percentile(F.col("frequency").cast("double"), q) for q in qs]).alias("fb"),
+        F.array(*[F.percentile("monetary", q) for q in qs]).alias("mb"),
+    )
+
+    def score(val, brks, descending=False):
+        cmp = (lambda b: val < b) if descending else (lambda b: val > b)
+        return (1 + F.size(F.filter(brks, cmp))).cast("int")
+
+    return base.crossJoin(F.broadcast(brk)).select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score(F.col("recency_days").cast("double"), F.col("rb"), descending=True).alias("r_score"),
+        score(F.col("frequency").cast("double"), F.col("fb")).alias("f_score"),
+        score(F.col("monetary"), F.col("mb")).alias("m_score"),
+    )
