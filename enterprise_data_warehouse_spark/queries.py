@@ -49,6 +49,7 @@ _OPERATOR_MODULES = [
     "enterprise_data_warehouse_spark.operators.facts",
     "enterprise_data_warehouse_spark.operators.mlboundary",
     "enterprise_data_warehouse_spark.operators.multimodal",
+    "enterprise_data_warehouse_spark.operators.quality",
     "enterprise_data_warehouse_spark.streaming.queries",
     "enterprise_data_warehouse_spark.streaming.stateful",
 ]

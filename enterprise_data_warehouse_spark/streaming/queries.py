@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 
 from ..queries import query
 from ..sources.tables import load_table
-from .incremental import run_stream_to_memory, session_metrics, tumbling_counts
+from .incremental import (
+    run_stream_to_memory,
+    session_metrics,
+    sliding_counts,
+    tumbling_counts,
+)
 
 TUMBLING_ORACLE = """
 SELECT
@@ -110,3 +115,32 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling_counts(stream)
     name = "stream_hourly_" + uuid.uuid4().hex[:8]
     return run_stream_to_memory(spark, agg, name)
+
+
+SLIDING_ORACLE = """
+WITH slots AS (
+  SELECT event_type, value,
+    time_bucket(INTERVAL '15 minutes', ts)
+      - unnest(range(0, 4)) * INTERVAL '15 minutes' AS window_start
+  FROM events
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM slots
+GROUP BY 1, 2, 3
+"""
+
+
+@query("sliding_hourly_counts", oracle=SLIDING_ORACLE)
+def sliding_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 sliding variant: 1-hour windows sliding every 15 min — each event
+    lands in 4 windows. The oracle re-derives window membership from slot
+    arithmetic (truncate to the slide grid, back off 0..3 slides); Spark's
+    `window(ts, '1 hour', '15 minutes')` is the same expansion done by the
+    engine. Expansion is narrow (explode in the map stage); the shuffle keys
+    are (window, event_type)."""
+    e = load_table(spark, sf_dir, "events")
+    out = sliding_counts(e)
+    return out
