@@ -358,3 +358,58 @@ def customer_rfm_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         score(F.col("frequency").cast("double"), F.col("fb")).alias("f_score"),
         score(F.col("monetary"), F.col("mb")).alias("m_score"),
     )
+
+
+# --- W4 full matrix: windows × aggregates over ONE partitioning ----------------
+
+MATRIX_WINDOWS = {"1h": 3600, "24h": 86400, "7d": 604800}
+
+_MATRIX_COLS_SQL = ",\n  ".join(
+    f"""CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))) OVER w_{name}, 4) AS DOUBLE) AS value_sum_{name},
+  COUNT(*) OVER w_{name} AS events_{name},
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))) OVER w_{name}, 4) AS DOUBLE)
+    / COUNT(*) OVER w_{name} AS value_mean_{name}"""
+    for name in MATRIX_WINDOWS
+)
+
+_MATRIX_WINDOWS_SQL = ",\n  ".join(
+    f"""w_{name} AS (
+    PARTITION BY user_id
+    ORDER BY DATEDIFF('second', TIMESTAMP '2024-01-01', ts)
+    RANGE BETWEEN {secs} PRECEDING AND CURRENT ROW)"""
+    for name, secs in MATRIX_WINDOWS.items()
+)
+
+MATRIX_ORACLE = f"""
+SELECT event_id, user_id, ts,
+  {_MATRIX_COLS_SQL}
+FROM events
+WINDOW
+  {_MATRIX_WINDOWS_SQL}
+"""
+
+
+@query("rolling_feature_matrix", oracle=MATRIX_ORACLE)
+def rolling_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4, the reference's full spec: the window×aggregate MATRIX
+    (feature_store_manager.py:67-68 configures ['1h','6h','24h','7d','30d'] ×
+    ['mean','sum','std','min','max','count']). Nine features over three
+    range windows here — the scale point is that every frame hangs off the
+    SAME (user_id, epoch) partitioning+sort, so Spark plans ONE shuffle and
+    ONE sort for the entire matrix, then evaluates the frames in a single
+    Window operator pass. Adding more windows/aggs widens the row, not the
+    shuffle count."""
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    cols = ["event_id", "user_id", "ts"]
+    out_cols = []
+    for name, secs in MATRIX_WINDOWS.items():
+        w = Window.partitionBy("user_id").orderBy(epoch).rangeBetween(-secs, 0)
+        s = dec2dbl(F.sum(F.col("value").cast(DEC)).over(w))
+        n = F.count("*").over(w)
+        out_cols += [
+            s.alias(f"value_sum_{name}"),
+            n.alias(f"events_{name}"),
+            (s / n).alias(f"value_mean_{name}"),
+        ]
+    return e.select(*cols, *out_cols)
