@@ -202,3 +202,27 @@ def freshness_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hours.alias("hours_stale"),
         F.when(hours <= 24, "FRESH").when(hours <= 72, "STALE").otherwise("CRITICAL").alias("freshness_status"),
     )
+
+
+FACT_EVENTS_ORACLE = """
+SELECT
+  CAST(DATE_TRUNC('day', ts) AS DATE) AS date_key,
+  user_id AS user_key,
+  event_type AS event_type_key,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_value,
+  MAX(value) AS max_value,
+  COUNT(event_id) AS n_events,
+  COUNT(*) AS row_count
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("catalog_fact_events_daily", oracle=FACT_EVENTS_ORACLE)
+def catalog_fact_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 second spec: the catalog compiler on the events stream — proves
+    the compiler is generic over specs (different grain source column,
+    measures, no derived block), not shaped around one table."""
+    cat = Catalog.load(CATALOG_PATH)
+    reg = _registry(spark, sf_dir)
+    return build_fact(reg.ref("events"), cat.fact("fact_events_daily"))
