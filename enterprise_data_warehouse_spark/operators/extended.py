@@ -258,3 +258,44 @@ def stratified_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.where(nibble < threshold.otherwise(0)).select(
         "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
     )
+
+
+# --- CUBE ----------------------------------------------------------------------
+
+CUBE_ORACLE = f"""
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority) AS grp_prio,
+       GROUPING(o_orderstatus) AS grp_status,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS total_revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+@query("order_cube", oracle=CUBE_ORACLE)
+def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (priority, status): all 2² grouping combinations in one Expand
+    pass — with ROLLUP (order_rollup_hierarchy) this completes the grouping-
+    sets surface SURVEY §2.4 notes as absent from the reference."""
+    from ..functions.deterministic import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderpriority", "o_orderstatus", "o_totalprice")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("bigint").alias("grp_prio"),
+            F.grouping("o_orderstatus").cast("bigint").alias("grp_status"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_revenue"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "grp_prio",
+            "grp_status",
+            "n_orders",
+            "total_revenue",
+        )
+    )

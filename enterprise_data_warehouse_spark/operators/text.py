@@ -63,8 +63,10 @@ FROM documents
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token counts, stopword ratio, avg token length,
     regexp token count (the BPE-ish pre-tokenizer), CASE quality flag."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = tokens()
+    # tokenize ONCE into a bound column: five downstream expressions share
+    # the array instead of re-splitting text per expression.
+    d = load_table(spark, sf_dir, "documents").withColumn("_toks", tokens())
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
     n_stop = token_in_set(toks, STOPWORDS)
     stop_ratio = n_stop.cast("double") / n_tokens
