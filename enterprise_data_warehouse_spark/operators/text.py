@@ -158,3 +158,72 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.substring(fp, 1, 4).alias("shard_key"),
     )
+
+
+# --- end-to-end corpus pipeline -------------------------------------------------
+
+CORPUS_PIPELINE_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang
+  FROM documents WHERE doc_id % 5 = 0
+), deduped AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text, MIN(lang) AS lang
+  FROM corpus GROUP BY MD5(text)
+), scored AS (
+  SELECT doc_id, lang,
+    LEN(string_split(text, ' ')) AS n_tokens,
+    CAST(LEN(list_filter(string_split(text, ' '),
+        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      / LEN(string_split(text, ' ')) AS stopword_ratio
+  FROM deduped
+), kept AS (
+  SELECT * FROM scored WHERE n_tokens >= 10 AND stopword_ratio <= 0.5
+)
+SELECT lang,
+  COUNT(*) AS n_docs,
+  SUM(n_tokens) AS total_tokens,
+  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
+FROM kept GROUP BY lang
+"""
+
+
+@query("corpus_pipeline", oracle=CORPUS_PIPELINE_ORACLE)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end-to-end in ONE lazy plan: exact dedup
+    (hash-groupBy, deterministic survivor) → quality gate (length + stopword
+    ratio) → per-language corpus stats. Composing the stages as DataFrames
+    lets Catalyst collapse the projections: the scan reads (doc_id, text,
+    lang) once, and the only shuffles are the dedup groupBy and the final
+    per-language rollup — a stage-per-operator pipeline (the reference's
+    dbt-model-per-step shape) would rescan between each."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dupes = d.where(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = d.unionByName(dupes)
+    deduped = (
+        corpus.groupBy(F.md5("text").alias("_h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("text").alias("text"),
+            F.min("lang").alias("lang"),
+        )
+        .drop("_h")
+    )
+    toks = F.split(F.col("text"), " ")
+    scored = deduped.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (token_in_set(toks, STOPWORDS).cast("double") / F.size(toks)).alias(
+            "stopword_ratio"
+        ),
+    )
+    kept = scored.where((F.col("n_tokens") >= 10) & (F.col("stopword_ratio") <= 0.5))
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens_per_doc"),
+    )

@@ -67,6 +67,38 @@ def merge_upsert(
     _fs_swap(spark, staged, path)
 
 
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    src: DataFrame,
+    keys: Sequence[str],
+    partition_col: str,
+) -> None:
+    """S9 at scale: MERGE that only rewrites the partitions the delta
+    touches (SURVEY.md §7.4a mitigation). A day's delta against a years-deep
+    fact table reads and rewrites one day's files, not the table.
+
+    Mechanics: the touched-partition list is collected driver-side (small —
+    it's a set of date keys), survivors are read from ONLY those partitions
+    (partition pruning via isin), and the merged slice is written with
+    dynamic partitionOverwriteMode so untouched partitions' files are never
+    replaced. Delta Lake's MERGE does the same file-level pruning; this is
+    the plain-parquet equivalent."""
+    if not _target_exists(spark, path):
+        write_table(src, path, partition_by=[partition_col])
+        return
+    parts = [r[0] for r in src.select(partition_col).distinct().collect()]
+    target = spark.read.parquet(path).where(F.col(partition_col).isin(parts))
+    survivors = target.join(src.select(*keys).distinct(), list(keys), "left_anti")
+    merged = src.unionByName(survivors)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def _target_exists(spark: SparkSession, path: str) -> bool:
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
