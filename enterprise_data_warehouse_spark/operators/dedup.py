@@ -387,3 +387,106 @@ def minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("est_jaccard") >= 0.5)
         .distinct()
     )
+
+
+# --- SimHash, cross-engine-verified Hamming pairs ------------------------------
+
+SIMHASH_BITS = 48  # fits inside the 60-bit portable hash
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+HAMMING_MAX = 12
+
+_PORTABLE_TOKEN_HASH = (
+    "CAST(CONV(SUBSTR(MD5(CONCAT(t, '#0')), 1, 15), 16, 10) AS BIGINT)"
+)
+
+_SIMHASH_EXPR = f"""
+aggregate(
+  zip_with(
+    transform(sequence(0, {SIMHASH_BITS - 1}), i ->
+      CASE WHEN aggregate(hs, CAST(0 AS BIGINT),
+                (acc, h) -> acc + ((shiftright(h, i) & 1) * 2 - 1)) > 0
+           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+    sequence(0, {SIMHASH_BITS - 1}),
+    (b, i) -> b * shiftleft(CAST(1 AS BIGINT), i)),
+  CAST(0 AS BIGINT), (acc, v) -> acc + v)
+"""
+
+SIMHASH_PAIRS_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+), hashed AS (
+  SELECT doc_id,
+    list_transform(list_distinct(string_split(text, ' ')), t ->
+      CAST(('0x' || SUBSTR(MD5(t || '#0'), 1, 15)) AS BIGINT)) AS hs
+  FROM corpus
+), sigs AS (
+  SELECT doc_id,
+    list_reduce(
+      list_transform(range(0, {SIMHASH_BITS}), i ->
+        CASE WHEN list_reduce(list_transform(hs, h -> ((h >> i) & 1) * 2 - 1),
+                  (x, y) -> x + y) > 0
+             THEN CAST(2**i AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+      (x, y) -> x + y) AS simhash
+  FROM hashed
+), bands AS (
+  SELECT doc_id, simhash, b.band,
+    (simhash >> (b.band * {SIMHASH_BAND_BITS})) & {2**SIMHASH_BAND_BITS - 1} AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+
+@query("simhash_hamming_pairs", oracle=SIMHASH_PAIRS_ORACLE)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs, fully oracle-verified: portable
+    48-bit signatures from md5 token hashes (one hash per DISTINCT token,
+    bits voted sign-majority), banded into 4×12-bit keys — a pair within
+    Hamming ≤ {HAMMING_MAX} of a shared band key is a candidate. Same
+    pigeonhole guarantee as production SimHash dedup: any pair with ≤
+    {SIMHASH_BANDS}-1 differing bands shares a key."""
+    d = _with_synthetic_dupes(
+        load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+    )
+    hashed = d.select(
+        "doc_id",
+        F.expr(
+            f"transform(array_distinct(split(text, ' ')), t -> {_PORTABLE_TOKEN_HASH})"
+        ).alias("hs"),
+    )
+    sigs = hashed.select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
+    # Python shiftright() takes only literal shift counts; column-valued
+    # shifts go through the SQL expression
+    band_key = F.expr(
+        f"shiftright(simhash, band * {SIMHASH_BAND_BITS}) & {2**SIMHASH_BAND_BITS - 1}"
+    )
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
+    ).withColumn("band_key", band_key)
+    a = bands.alias("a")
+    b = bands.hint("merge").alias("b")
+    hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
