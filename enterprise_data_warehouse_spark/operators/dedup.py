@@ -394,7 +394,7 @@ def minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 48  # fits inside the 60-bit portable hash
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
-HAMMING_MAX = 12
+HAMMING_MAX = 3
 
 _PORTABLE_TOKEN_HASH = (
     "CAST(CONV(SUBSTR(MD5(CONCAT(t, '#0')), 1, 15), 16, 10) AS BIGINT)"
