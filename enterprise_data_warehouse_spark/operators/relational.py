@@ -505,3 +505,64 @@ def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec2dbl(F.sum("_sum")).alias("total_value"),
         F.max("_max").alias("max_value"),
     )
+
+
+# --- U-ext: INTERSECT / EXCEPT (SURVEY §2.7 absent-in-reference note) ----------
+
+INTERSECT_ORACLE = """
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+"""
+
+
+@query("retained_customers_intersect", oracle=INTERSECT_ORACLE)
+def retained_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): customers active in BOTH 1996 and 1997.
+    The reference has no INTERSECT (SURVEY §2.7); Spark plans it as a
+    distinct + shuffle hash join on the full row — same work profile as the
+    semi-join formulation but declared in one operator, and Catalyst pushes
+    the year filters to both scans."""
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.where(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.intersect(y97)
+
+
+EXCEPT_ORACLE = """
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+"""
+
+
+@query("churned_orders_except_all", oracle=EXCEPT_ORACLE)
+def churned_orders_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics): per-order occurrences in 1996 minus
+    matched occurrences in 1997 — duplicates survive by multiplicity, which
+    `left_anti` cannot express (it drops ALL copies of a matched key).
+    Completes the §2.7 set-operation surface with U1 (union) and
+    retained_customers_intersect."""
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.where(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.exceptAll(y97)
+
+
+# --- A3 scale path: approx_count_distinct -------------------------------------
+
+
+@query("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3's 100 TB path: HyperLogLog++ distinct-user counts per event_type.
+    Exact countDistinct shuffles every (key, user) pair; HLL++ carries a
+    fixed-size sketch per key through a map-side partial, so the shuffle is
+    O(keys), not O(rows). rsd=0.5% keeps the estimate within ~1% of exact
+    (asserted vs exact countDistinct in tests/test_oracle_parity.py).
+    Rows-only check: sketch estimates are engine-specific, so no value
+    oracle — the bounded-error property test is the correctness claim."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.005).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )

@@ -26,3 +26,28 @@ def test_all_queries_return_rows(spark):
         if spec.oracle is None:
             df = spec.fn(spark, "/root/testdata/sf0.001")
             assert df.count() >= 0, name
+
+
+def test_approx_distinct_bounded_error(spark):
+    """approx_distinct_users (rows-only): HLL++ estimate within 2% of exact
+    countDistinct per event_type at rsd=0.5%."""
+    from pyspark.sql import functions as F
+
+    from enterprise_data_warehouse_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["approx_distinct_users"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact_users"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, est in approx.items():
+        rel_err = abs(est - exact[etype]) / max(exact[etype], 1)
+        assert rel_err < 0.02, f"{etype}: approx={est} exact={exact[etype]}"
