@@ -299,3 +299,74 @@ def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue",
         )
     )
+
+
+# --- PIVOT ---------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+PIVOT_ORACLE = """
+SELECT user_id,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY user_id
+"""
+
+
+@query("event_type_pivot", oracle=PIVOT_ORACLE)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type counts as columns. The explicit value list
+    matters at scale — with it, Spark pivots in a single Expand+aggregate
+    pass with no distinct-values pre-query (an implicit pivot first runs a
+    blocking `SELECT DISTINCT event_type` over the full table). The oracle
+    is the equivalent conditional-aggregation form (A2), which is exactly
+    the rewrite Spark's analyzer performs."""
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    # pivot emits nullable counts (null = no rows in that cell); conform to
+    # the oracle's COUNT(CASE...) = 0 semantics... COUNT(CASE) returns 0,
+    # pivot-count returns null — coalesce to 0 for hash parity.
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+# --- EXPLODE / lateral view ----------------------------------------------------
+
+TOKEN_FREQ_ORACLE = """
+SELECT w AS token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+WHERE LEN(w) >= 3
+GROUP BY w
+HAVING COUNT(*) >= 5
+"""
+
+
+@query("token_frequencies", oracle=TOKEN_FREQ_ORACLE)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLODE (lateral view) over the tokenized corpus → vocabulary with
+    document frequencies — the corpus-statistics primitive behind TF-IDF
+    and BPE vocabulary induction. explode() multiplies rows ~170× here;
+    the length filter runs BEFORE the shuffle (partial aggregation on the
+    map side), so the exchange carries (token, partial-count) pairs, not
+    raw occurrences. At 100 TB the groupBy key space is the vocabulary
+    (~millions), far smaller than the corpus — this shape scales."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        toks.where(F.length("token") >= 3)
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= 5)
+    )
