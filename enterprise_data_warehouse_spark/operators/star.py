@@ -207,3 +207,98 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- shipping-priority top-k (TPC-H Q3 shape) ----------------------------------
+
+SHIPPING_PRIORITY_ORACLE = f"""
+SELECT l_orderkey,
+       {sql_dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1996-07-01'
+  AND l_shipdate  > DATE '1996-07-01'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("shipping_priority_topk", oracle=SHIPPING_PRIORITY_ORACLE, bench=True)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered 3-way join → per-order revenue →
+    global top-10. The segment and the two date predicates all push to their
+    scans, so the join probes a fraction of each table; the final ORDER BY +
+    LIMIT plans as TakeOrderedAndProject (per-partition top-10 heaps, 10-row
+    merge at the driver) — no global sort at any scale. The orderkey
+    tie-break makes the top-k deterministic across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1996-07-01").cast("date")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < cutoff)
+        .join(li.where(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- returned-item customer ranking (TPC-H Q10 shape) --------------------------
+
+RETURNS_RANKING_ORACLE = f"""
+SELECT c_custkey, c_name, n_name,
+       {sql_dsum("l_extendedprice * (1.0 - l_discount)")} AS lost_revenue,
+       COUNT(*) AS n_returned_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("returned_customer_ranking", oracle=RETURNS_RANKING_ORACLE)
+def returned_customer_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returns analysis — returnflag + order-date window
+    pushed to the scans, nation broadcast, top-20 customers by lost revenue
+    (TakeOrderedAndProject; custkey tie-break for determinism)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(li.where(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "lost_revenue"),
+            F.count("*").alias("n_returned_items"),
+        )
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
