@@ -155,3 +155,33 @@ def append_audit(
         .withColumn("logged_at", F.current_timestamp())
     )
     df.write.mode("append").parquet(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: str,
+    cluster_by: Sequence[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """The reference's clustering keys (`cluster_by=['transaction_date',
+    'customer_key','product_key']`, models/marts/facts/fact_sales_daily.sql:5)
+    mapped to parquet physics: directory partitioning on the coarse key
+    (partition pruning) + sortWithinPartitions on the cluster keys so each
+    file's row groups hold narrow min/max ranges — parquet row-group stats
+    then skip I/O for point/range predicates on the cluster keys, which is
+    what Snowflake micro-partition clustering buys.
+
+    repartition(partition_by) before the sort gives one shuffle and avoids
+    the small-files explosion (without it, every task writes a file into
+    every partition directory: tasks × partitions files at 100 TB).
+    maxRecordsPerFile caps file size so a skewed partition still splits."""
+    writer = (
+        df.repartition(F.col(partition_by))
+        .sortWithinPartitions(partition_by, *cluster_by)
+        .write.mode("overwrite")
+        .partitionBy(partition_by)
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

@@ -110,3 +110,33 @@ def test_audit_append(spark, tmp_path):
     log = spark.read.parquet(path)
     assert log.count() == 2
     assert set(r["status"] for r in log.collect()) == {"SUCCESS", "FAILED"}
+
+
+def test_write_clustered_layout(spark, tmp_path):
+    """write_clustered: one file per partition dir (no small-files fan-out),
+    rows inside each file sorted on the cluster keys (row-group skipping)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from enterprise_data_warehouse_spark.sources.sink import write_clustered
+
+    path = str(tmp_path / "clustered")
+    o = load_table(spark, SF, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_clustered(o, path, "order_year", ["o_custkey", "o_orderkey"])
+
+    part_dirs = sorted(glob.glob(path + "/order_year=*"))
+    assert part_dirs, "partition directories missing"
+    for d in part_dirs:
+        files = glob.glob(d + "/*.parquet")
+        # single shuffle partition per key → exactly one file per partition
+        assert len(files) == 1, d
+        t = pq.read_table(files[0], columns=["o_custkey", "o_orderkey"])
+        pairs = list(zip(t["o_custkey"].to_pylist(), t["o_orderkey"].to_pylist()))
+        assert pairs == sorted(pairs), f"{d} not clustered on sort keys"
+
+    # partition pruning still applies on the directory key
+    pruned = spark.read.parquet(path).where(F.col("order_year") == 1996)
+    assert pruned.count() == o.where(F.col("order_year") == 1996).count()

@@ -70,3 +70,51 @@ def test_stream_incremental_merge_two_batches(spark, tmp_path):
         merged.where((F.col("o_orderdate") >= "1999-01-01") & (F.col("o_totalprice") != -1.0)).count()
         == 0
     )
+
+
+def test_watermark_discards_late_events(spark, tmp_path):
+    """Append-mode windowed count with a 1h watermark over a file stream:
+    a row arriving behind the watermark is DROPPED (the discard semantics
+    the reference lacks — its only late-data story is re-merge; SURVEY §2.9
+    R6). The watermark survives the query restart via the checkpoint."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id bigint, ts timestamp"
+
+    def arrive(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            read_file_stream(spark, src, schema)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    import datetime as dt
+
+    t = lambda h, m: (1, dt.datetime(2024, 1, 1, h, m))
+    # run 1: three rows in [10:00,11:00) + one at 12:30 → watermark 11:30,
+    # so the 10:00 window closes and is emitted
+    arrive([t(10, 5), t(10, 20), t(10, 40), t(12, 30)])
+    drain()
+    emitted = {r["ws"].hour: r["n"] for r in spark.read.parquet(out).collect()}
+    assert emitted.get(10) == 3
+
+    # run 2: one LATE row at 10:15 (behind the 11:30 watermark — dropped)
+    # and one at 14:00 (advances watermark to 13:00, closing [12:00,13:00))
+    arrive([t(10, 15), t(14, 0)])
+    drain()
+    final = {r["ws"].hour: r["n"] for r in spark.read.parquet(out).collect()}
+    assert final.get(10) == 3, "late event must not reopen the closed window"
+    assert final.get(12) == 1
