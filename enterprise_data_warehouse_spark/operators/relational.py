@@ -566,3 +566,34 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.005).alias("approx_users"),
         F.count("*").alias("n_events"),
     )
+
+
+# --- correlated scalar subquery (Spark SQL entry point) ------------------------
+
+CORRELATED_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice = (SELECT MAX(i.o_totalprice) FROM orders i
+                        WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+@query("customer_peak_orders", oracle=CORRELATED_ORACLE)
+def customer_peak_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, submitted through ``spark.sql`` — the
+    engine's second authoring surface (the reference's only surface is SQL;
+    SURVEY §3.1). Each order is kept iff it matches its customer's max
+    order value. Catalyst decorrelates this into a grouped-max aggregate
+    joined back on o_custkey — the rewrite a hand-built engine would need a
+    dedicated rule for — so execution is two scans + one shuffle, not a
+    per-row subquery. MAX is exact (no float summation), so values
+    hash-match any engine."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_sq")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM v_orders_sq o
+        WHERE o.o_totalprice = (SELECT MAX(i.o_totalprice) FROM v_orders_sq i
+                                WHERE i.o_custkey = o.o_custkey)
+        """
+    )
