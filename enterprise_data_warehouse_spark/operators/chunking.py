@@ -1,0 +1,103 @@
+"""Document chunking for training-data pipelines — the UDTF surface.
+
+SURVEY.md §2.10 notes the reference registers no UDTF ("absent — Spark
+UDAF/UDTF available if extended"). This module completes that surface with
+the canonical LLM-pipeline table function: fixed-size token chunking with
+overlap (50-token windows, stride 40), in two equivalent formulations:
+
+- ``doc_chunks_udtf`` — a Python UDTF (Spark 3.5+ ``@udtf``) applied via
+  LATERAL join in SQL. This is the extension point a user reaches for when
+  chunking logic outgrows expressions (tokenizer-aware boundaries, etc.).
+- ``doc_chunks_native`` — the same semantics as pure JVM array expressions
+  (sequence → transform → slice): the 100 TB hot path, whole-stage
+  codegen'd, zero Python in the loop.
+
+Both hash-match the same DuckDB oracle, which is the point: the UDTF is a
+correctness-checked escape hatch, the native form is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+from ..queries import query
+from ..sources.tables import load_table
+
+CHUNK = 50  # tokens per chunk
+STRIDE = 40  # tokens between chunk starts (CHUNK-STRIDE = 10-token overlap)
+
+CHUNKS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, LEN(string_split(text, ' ')) AS n
+  FROM documents
+), idx AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, CAST(FLOOR((n - 1) / {STRIDE}.0) AS BIGINT))) AS chunk_idx
+  FROM toks
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(
+         toks[chunk_idx*{STRIDE}+1 : LEAST(chunk_idx*{STRIDE}+{CHUNK}, n)], ' ')
+         AS chunk
+FROM idx
+"""
+
+
+@udtf(returnType="chunk_idx int, chunk string")
+class ChunkDocument:
+    """Overlapping token windows over one document; yields one row per
+    chunk. Kept stateless so Spark can fan it across partitions freely."""
+
+    def eval(self, doc_id: int, text: str):  # noqa: ARG002 - doc_id unused
+        toks = text.split(" ")
+        n = len(toks)
+        i = 0
+        while i * STRIDE < n:
+            yield i, " ".join(toks[i * STRIDE : i * STRIDE + CHUNK])
+            i += 1
+
+
+@query("doc_chunks_udtf", oracle=CHUNKS_ORACLE)
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF + LATERAL join: each document row expands to its chunk
+    rows. Row-at-a-time Python — correct but not the scale path (see
+    doc_chunks_native); registered to show the full UDTF lifecycle
+    (register → LATERAL → project)."""
+    spark.udtf.register("chunk_document", ChunkDocument)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("v_docs_chunk")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM v_docs_chunk d, LATERAL chunk_document(d.doc_id, d.text) c
+        """
+    )
+
+
+@query("doc_chunks_native", oracle=CHUNKS_ORACLE)
+def doc_chunks_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDTF's JVM twin: sequence(0, floor((n-1)/stride)) → posexplode →
+    slice + array_join, all codegen'd expressions. At 100 TB this is the
+    form to run — chunk expansion happens inside the scan stage with no
+    Python boundary, and the output is immediately repartitionable for
+    downstream tokenization."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    withtoks = d.select("doc_id", toks.alias("toks"), n.alias("n"))
+    idx = withtoks.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("n") - 1) / STRIDE).cast("int"))
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * STRIDE + 1
+    length = F.least(F.lit(CHUNK), F.col("n") - F.col("chunk_idx") * STRIDE)
+    return idx.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(F.slice("toks", start, length), " ").alias("chunk"),
+    )

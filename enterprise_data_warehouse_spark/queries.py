@@ -46,6 +46,7 @@ _OPERATOR_MODULES = [
     "enterprise_data_warehouse_spark.operators.dedup",
     "enterprise_data_warehouse_spark.operators.similarity",
     "enterprise_data_warehouse_spark.operators.extended",
+    "enterprise_data_warehouse_spark.operators.chunking",
     "enterprise_data_warehouse_spark.operators.facts",
     "enterprise_data_warehouse_spark.operators.mlboundary",
     "enterprise_data_warehouse_spark.operators.multimodal",
