@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -314,3 +316,44 @@ def score_customers_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer = make_scorer(weights, bias=-0.5)
     schema = "customer_id bigint, churn_probability double, churn_prediction int"
     return feats.mapInPandas(scorer, schema)
+
+
+# --- UDAF surface: pandas grouped-agg ------------------------------------------
+
+MEDIAN_UDAF_ORACLE = """
+SELECT o_orderstatus,
+       MEDIAN(o_totalprice) AS median_price,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("median_price_udaf", oracle=MEDIAN_UDAF_ORACLE)
+def median_price_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF surface SURVEY §2.10 notes as absent from the reference:
+    a pandas grouped-agg UDF (Spark's Python UDAF form) computing the EXACT
+    per-group median, used directly inside ``.agg()`` beside a native count.
+
+    Arrow ships each group's column as one pandas Series; the result is a
+    scalar per group. Exact median needs the whole group in one place by
+    definition — that is the cost of exactness, and the reason the profiling
+    layer (A8) uses percentile_approx for the 100 TB path. Median of doubles
+    is order-independent (middle element / midpoint of two), so values
+    hash-match the oracle, unlike a float sum."""
+
+    @F.pandas_udf("double")
+    def exact_median(v: pd.Series) -> float:
+        return float(v.median())
+
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates in
+    # one .agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count rides the same
+    # Arrow batch as a second UDAF.
+    @F.pandas_udf("long")
+    def group_size(v: pd.Series) -> int:
+        return len(v)
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        exact_median("o_totalprice").alias("median_price"),
+        group_size("o_totalprice").alias("n_orders"),
+    )
