@@ -137,3 +137,28 @@ def test_metadata_only_multimodal_skips_payload(spark):
     meta_only = media_manifest_df(spark, SF).select("doc_id", "media_type")
     rs = next(ln for ln in plan_of(meta_only).splitlines() if "ReadSchema" in ln)
     assert "text" not in rs, rs
+
+
+def test_native_chunker_stays_jvm_side(spark):
+    """doc_chunks_native is the 100 TB chunking path: its plan must contain
+    no Python eval node (the UDTF twin is the escape hatch, not this)."""
+    plan = plan_of(REG["doc_chunks_native"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "PythonUDTF" not in plan, plan
+
+
+def test_token_frequencies_partial_agg_before_shuffle(spark):
+    """Vocabulary counting must combine map-side: the exploded token rows
+    collapse to (token, partial_count) before the exchange."""
+    plan = plan_of(REG["token_frequencies"].fn(spark, SF))
+    partial_idx = plan.find("partial_count")
+    exchange_idx = plan.find("Exchange")
+    assert 0 <= exchange_idx < partial_idx, plan
+
+
+def test_topk_plans_take_ordered(spark):
+    """Q3/Q10 shapes: ORDER BY + LIMIT must plan TakeOrderedAndProject
+    (per-partition heaps), never a global Sort."""
+    for name in ["shipping_priority_topk", "returned_customer_ranking"]:
+        plan = plan_of(REG[name].fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, f"{name}: {plan}"
