@@ -75,7 +75,7 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_chunks_native", oracle=CHUNKS_ORACLE)
+@query("doc_chunks_native", oracle=CHUNKS_ORACLE, bench=True)
 def doc_chunks_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UDTF's JVM twin: sequence(0, floor((n-1)/stride)) → posexplode →
     slice + array_join, all codegen'd expressions. At 100 TB this is the

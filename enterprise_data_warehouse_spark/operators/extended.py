@@ -350,7 +350,7 @@ HAVING COUNT(*) >= 5
 """
 
 
-@query("token_frequencies", oracle=TOKEN_FREQ_ORACLE)
+@query("token_frequencies", oracle=TOKEN_FREQ_ORACLE, bench=True)
 def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXPLODE (lateral view) over the tokenized corpus → vocabulary with
     document frequencies — the corpus-statistics primitive behind TF-IDF
