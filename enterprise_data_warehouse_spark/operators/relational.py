@@ -597,3 +597,43 @@ def customer_peak_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 WHERE i.o_custkey = o.o_custkey)
         """
     )
+
+
+# --- MapType surface: JSON → map → explode -------------------------------------
+
+MAP_EXPLODE_ORACLE = f"""
+WITH kv AS (
+  SELECT event_id, unnest(json_keys(props)) AS prop_key,
+         CAST(json_extract_string(props, '$.' || unnest(json_keys(props))) AS BIGINT)
+           AS prop_value
+  FROM events
+)
+SELECT prop_key, COUNT(*) AS n_props,
+       {sql_dsum("prop_value")} AS sum_value,
+       MAX(prop_value) AS max_value
+FROM kv GROUP BY prop_key
+"""
+
+
+@query("event_props_kv_rollup", oracle=MAP_EXPLODE_ORACLE)
+def event_props_kv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round trip (SURVEY §1.2 — the reference's only semi-structured
+    data is JSON-serialized dicts): from_json parses the props payload into
+    map<string,bigint> once per row, explode(map) emits (key, value) pairs,
+    and the rollup aggregates per key. The JSON parse happens inside the scan
+    stage (codegen'd Jackson path), so at 100 TB this costs one pass over the
+    payload bytes with no Python and no extra shuffle beyond the rollup."""
+    from ..functions.deterministic import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    kv = e.select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias(
+            "prop_key", "prop_value"
+        ),
+    )
+    return kv.groupBy("prop_key").agg(
+        F.count("*").alias("n_props"),
+        dsum("prop_value", "sum_value"),
+        F.max("prop_value").alias("max_value"),
+    )
