@@ -637,3 +637,70 @@ def event_props_kv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("prop_value", "sum_value"),
         F.max("prop_value").alias("max_value"),
     )
+
+
+# --- array aggregation: collect_list → sort_array ------------------------------
+
+ARRAY_AGG_ORACLE = """
+SELECT o_custkey,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS order_ids,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+@query("customer_order_id_lists", oracle=ARRAY_AGG_ORACLE)
+def customer_order_id_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_list is arrival-order-nondeterministic
+    under parallel execution, so the canonical scalable form is
+    sort_array(collect_list(...)) — deterministic regardless of partition
+    scheduling, which is what makes the result testable at all. Serialized
+    via array_join so the value comparison is a plain string in any engine.
+    The per-group array lives in the aggregation buffer: fine when groups
+    are bounded (orders per customer), a red flag for unbounded keys."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias(
+            "order_ids"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --- null-safe equality join ----------------------------------------------------
+
+NULLSAFE_ORACLE = """
+WITH bucketed AS (
+  SELECT o_orderkey, NULLIF(o_custkey % 7, 0) AS bucket FROM orders
+), dim AS (
+  SELECT NULLIF(b, 0) AS bucket,
+         CASE WHEN NULLIF(b, 0) IS NULL THEN 'UNKNOWN' ELSE 'B' || CAST(b AS VARCHAR) END AS bucket_name
+  FROM generate_series(0, 6) AS t(b)
+)
+SELECT d.bucket_name, COUNT(*) AS n_orders
+FROM bucketed o JOIN dim d ON o.bucket IS NOT DISTINCT FROM d.bucket
+GROUP BY d.bucket_name
+"""
+
+
+@query("nullsafe_bucket_join", oracle=NULLSAFE_ORACLE)
+def nullsafe_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other — the dimension-lookup semantics needed when 'unknown' is a
+    real category (a plain equi join silently drops every NULL-keyed fact
+    row). Spark hashes <=> like any equi key, so the join still broadcasts /
+    shuffles normally — nothing degenerates to a cross product."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("bucket")
+    )
+    dim = spark.range(0, 7).select(
+        F.nullif(F.col("id"), F.lit(0)).alias("bucket"),
+        F.when(F.nullif(F.col("id"), F.lit(0)).isNull(), "UNKNOWN")
+        .otherwise(F.concat(F.lit("B"), F.col("id").cast("string")))
+        .alias("bucket_name"),
+    )
+    return (
+        o.join(F.broadcast(dim), o["bucket"].eqNullSafe(dim["bucket"]))
+        .groupBy("bucket_name")
+        .agg(F.count("*").alias("n_orders"))
+    )
