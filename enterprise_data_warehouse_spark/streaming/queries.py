@@ -144,3 +144,35 @@ def sliding_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     out = sliding_counts(e)
     return out
+
+
+@query("streaming_dedup_events")
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on event_id over
+    a REAL readStream (duplicates injected by unioning the same glob twice).
+    The watermark bounds the dedup state store — keys older than 1 hour of
+    event time are evicted, so state is O(keys-per-hour), not O(stream
+    history): the property that makes streaming dedup viable at 100 TB/day.
+    Batch-path equality is asserted in tests; rows-only driver check
+    (append-mode memory-sink drain)."""
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    doubled = src().union(src())  # every event arrives twice
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    return run_stream_to_memory(spark, deduped, name, output_mode="append")

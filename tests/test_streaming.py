@@ -118,3 +118,13 @@ def test_watermark_discards_late_events(spark, tmp_path):
     final = {r["ws"].hour: r["n"] for r in spark.read.parquet(out).collect()}
     assert final.get(10) == 3, "late event must not reopen the closed window"
     assert final.get(12) == 1
+
+
+def test_streaming_dedup_equals_batch(spark):
+    """streaming_dedup_events: doubled stream deduped on event_id must equal
+    the batch table exactly (one row per event, values intact)."""
+    out = REG["streaming_dedup_events"].fn(spark, SF)
+    batch = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    assert _norm(out) == _norm(batch)
