@@ -162,3 +162,45 @@ def test_topk_plans_take_ordered(spark):
     for name in ["shipping_priority_topk", "returned_customer_ranking"]:
         plan = plan_of(REG[name].fn(spark, SF))
         assert "TakeOrderedAndProject" in plan, f"{name}: {plan}"
+
+
+# Queries whose whole point is a Python boundary (Arrow-batched).
+PYTHON_BOUNDARY = {
+    "score_customers_pandas",
+    "ts_features_pandas",
+    "image_feature_extract",
+    "ks_drift_pvalue",
+    "median_price_udaf",
+    "doc_chunks_udtf",
+    "stateful_user_ewma",
+}
+# Real-stream queries: fn() drains a stream; plan inspection is meaningless.
+STREAM_RUNNERS = {"streaming_hourly_counts", "streaming_dedup_events", "stateful_user_ewma"}
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Sweep every registered batch query's physical plan: an accidental
+    CartesianProduct/BroadcastNestedLoopJoin on big sides is the classic
+    silent 100 TB killer. (ngram_jaccard_pairs & simhash band joins are
+    equi-joins — they must NOT appear here either.)"""
+    offenders = []
+    for name, spec in REG.items():
+        if name in STREAM_RUNNERS:
+            continue
+        plan = plan_of(spec.fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_python_nodes_only_where_declared(spark):
+    """No query outside the declared Python-boundary set may contain a
+    Python eval node — keeps the hot paths JVM-side as modules evolve."""
+    offenders = []
+    for name, spec in REG.items():
+        if name in STREAM_RUNNERS or name in PYTHON_BOUNDARY:
+            continue
+        plan = plan_of(spec.fn(spark, SF))
+        if any(m in plan for m in ("BatchEvalPython", "ArrowEvalPython", "PythonUDTF", "FlatMapGroupsInPandas")):
+            offenders.append(name)
+    assert not offenders, offenders
