@@ -370,3 +370,45 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_occurrences") >= 5)
     )
+
+
+# --- GROUPING SETS (explicit) --------------------------------------------------
+
+GROUPING_SETS_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS grp_status,
+       GROUPING(o_orderpriority) AS grp_prio,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS total_revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("order_grouping_sets", oracle=GROUPING_SETS_ORACLE)
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third grouping-set form beside ROLLUP
+    (order_rollup_hierarchy) and CUBE (order_cube): two independent
+    single-dimension rollups + grand total in ONE Expand pass over the scan,
+    where separate GROUP BYs + UNION would scan the fact table three times."""
+    from ..functions.deterministic import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("grp_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("grp_prio"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_revenue"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "grp_status", "grp_prio",
+            "n_orders", "total_revenue",
+        )
+    )

@@ -413,3 +413,41 @@ def rolling_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s / n).alias(f"value_mean_{name}"),
         ]
     return e.select(*cols, *out_cols)
+
+
+# --- forward fill (LOCF) --------------------------------------------------------
+
+LOCF_ORACLE = """
+SELECT event_id, user_id, ts,
+  NULLIF(value, 0) AS raw_value,
+  last_value(NULLIF(value, 0) IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM events
+"""
+
+
+@query("forward_fill_values", oracle=LOCF_ORACLE)
+def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last-observation-carried-forward): the time-series
+    imputation the reference's median-fill (A17) can't do — each gap takes
+    the entity's most recent real reading, not a global statistic. NULL gaps
+    are derived via NULLIF(value, 0) so both engines see identical holes.
+
+    last(ignorenulls) over an UNBOUNDED PRECEDING frame is an O(1)-per-row
+    running state, ONE shuffle on user_id; at 100 TB add a date bucket to
+    the partition key to bound partition width (same trick as W4)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    raw = F.nullif(F.col("value"), F.lit(0.0))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        raw.alias("raw_value"),
+        F.last(raw, ignorenulls=True).over(w).alias("filled_value"),
+    )
