@@ -10,7 +10,7 @@ scale linearly with document bytes. Per-row ratios are IEEE double ops
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries import query
@@ -226,4 +226,74 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens_per_doc"),
+    )
+
+
+# --- TF-IDF top terms -----------------------------------------------------------
+
+TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), filtered AS (
+  SELECT doc_id, token FROM toks WHERE LEN(token) >= 3
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM filtered GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM filtered GROUP BY token
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, ROUND(tfidf, 4) AS tfidf_r4
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
+@query("tfidf_top_terms", oracle=TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document — the corpus-statistics pipeline in
+    one plan: explode → per-(doc,token) TF → per-token DF → scalar corpus
+    size (broadcast by Catalyst as a 1-row cross join) → score → windowed
+    top-k with a lexicographic tie-break (deterministic across engines;
+    tf·ln(N/df) is one IEEE multiply of exact integers' ratio-log).
+
+    Scale shape: two aggregations share the exploded token stream; DF
+    (vocabulary-sized) broadcasts back onto TF at 100 TB, and the final
+    window partitions by doc_id — the same key TF already shuffled on, so
+    AQE can reuse the partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).where(
+        F.length("token") >= 3
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # driver-side scalar: one tiny agg, pinned into the plan
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            # ln() differs from DuckDB's libm in the last ULP; the emitted
+            # score is rounded to 4dp (ordering stays on the raw double —
+            # score ties across engines only occur at identical (tf, df),
+            # which the token tie-break resolves identically).
+            F.round("tfidf", 4).alias("tfidf_r4"),
+        )
     )
