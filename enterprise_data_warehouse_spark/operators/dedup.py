@@ -490,3 +490,93 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
+
+
+# --- near-dup connected components -----------------------------------------
+
+CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({JACCARD_ORACLE})
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(doc_id, origin) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst AS doc_id, r.origin FROM reach r JOIN edges e ON e.src = r.doc_id
+), comp AS (
+  SELECT doc_id, MIN(origin) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT doc_id, cluster_id,
+       doc_id = cluster_id AS is_canonical,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""
+
+
+@query("near_dup_clusters", oracle=CLUSTER_ORACLE)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the near-dup candidate
+    graph (Jaccard ≥ {JACCARD_THRESHOLD} pairs), cluster id = min doc_id in
+    the component, canonical survivor = that doc. The step that turns
+    pairwise candidates into "keep one per group" decisions.
+
+    Spark-first shape: iterative hash-min label propagation (the GraphX
+    connected-components recurrence) as a driver-side loop of join +
+    groupBy(min), run ONLY over nodes that appear in an edge — singleton
+    docs (the overwhelming majority of a real corpus) never enter the
+    loop and are stitched back with one left join at the end. Each round
+    `localCheckpoint` truncates the lineage so the plan stays O(1) deep
+    instead of O(iterations). Converges in O(component diameter) rounds;
+    near-dup components are tiny (pairs, triangles), so 2-3 rounds in
+    practice. For adversarial long-chain graphs the large-star/small-star
+    variant (Kiveris et al., "Connected Components in MapReduce") gets
+    O(log n) — noted, not needed for dedup graphs.
+
+    The DuckDB oracle computes the same fixpoint as a recursive CTE
+    (transitive closure + MIN(origin)) — engine-independent semantics.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # Materialize the candidate pairs once — the shingle self-join must not
+    # be recomputed every iteration.
+    pairs = pairs.localCheckpoint()
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        prop = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "cluster_id"
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    full = docs.join(labels, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", "doc_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return full.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
