@@ -176,3 +176,30 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "stream_dedup_" + uuid.uuid4().hex[:8]
     return run_stream_to_memory(spark, deduped, name, output_mode="append")
+
+
+@query("streaming_session_metrics")
+def streaming_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 end-to-end on a REAL stream: readStream → session_window (30-min
+    gap, 2 h watermark bounding merge state) → availableNow drain. Same
+    `session_metrics` builder as the batch/oracle query — the operator is
+    identical on both rails; only the source and the state store differ.
+    Complete-mode drain of the bounded stream emits every session, so tests
+    assert exact equality with `session_metrics_batch`. Rows-only driver
+    check (real stream)."""
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = session_metrics(stream).withColumn(
+        "session_value",
+        F.round(F.col("session_value").cast("decimal(38,10)"), 4).cast("double"),
+    )
+    name = "stream_sessions_" + uuid.uuid4().hex[:8]
+    return run_stream_to_memory(spark, out, name)

@@ -30,6 +30,12 @@ def test_stream_equals_batch_tumbling(spark):
     assert _norm(b) == _norm(s)
 
 
+def test_stream_equals_batch_sessions(spark):
+    batch = REG["session_metrics_batch"].fn(spark, SF)
+    streamed = REG["streaming_session_metrics"].fn(spark, SF)
+    assert _norm(batch) == _norm(streamed)
+
+
 def test_session_window_bounce_semantics(spark):
     out = REG["session_metrics_batch"].fn(spark, SF)
     rows = out.collect()
