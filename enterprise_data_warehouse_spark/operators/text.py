@@ -297,3 +297,60 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("tfidf", 4).alias("tfidf_r4"),
         )
     )
+
+
+# --- corpus mixing: per-source differential-rate sampling --------------------
+
+# Mix tiers (training-data mixing: upsample high-quality sources, downsample
+# the crawl). Rates are powers of two so the acceptance threshold is an EXACT
+# integer against the 60-bit md5-derived uniform — no float comparison can
+# diverge between engines. 2^60 = 1152921504606846976.
+_MIX_TIERS = [  # (max source idx exclusive, rate, threshold = rate * 2^60)
+    (5, 1.0, 1152921504606846976),
+    (10, 0.5, 576460752303423488),
+    (15, 0.25, 288230376151711744),
+]
+_MIX_DEFAULT = (0.125, 144115188075855872)
+
+MIX_ORACLE = f"""
+WITH rated AS (
+  SELECT doc_id, source,
+    CAST(SUBSTR(source, 4) AS INT) AS src_idx,
+    CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+  FROM documents
+)
+SELECT doc_id, source,
+  CAST(CASE WHEN src_idx < 5 THEN 1.0 WHEN src_idx < 10 THEN 0.5
+       WHEN src_idx < 15 THEN 0.25 ELSE 0.125 END AS DOUBLE) AS sample_rate
+FROM rated
+WHERE u < CASE WHEN src_idx < {_MIX_TIERS[0][0]} THEN {_MIX_TIERS[0][2]}
+               WHEN src_idx < {_MIX_TIERS[1][0]} THEN {_MIX_TIERS[1][2]}
+               WHEN src_idx < {_MIX_TIERS[2][0]} THEN {_MIX_TIERS[2][2]}
+               ELSE {_MIX_DEFAULT[1]} END
+"""
+
+
+@query("corpus_source_mix", oracle=MIX_ORACLE)
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixing: per-source differential-rate sampling. Each doc
+    draws a reproducible uniform from the top 60 bits of md5(doc_id) and is
+    kept iff u < rate·2^60 for its source's tier — the deterministic
+    Bernoulli that makes a 100 TB data mix re-runnable byte-for-byte (and
+    resumable: membership is a pure function of doc_id, no RNG state).
+    Entirely map-side — filter and projection push to the parquet scan;
+    shuffle count: zero."""
+    d = load_table(spark, sf_dir, "documents")
+    src_idx = F.substring("source", 4, 10).cast("int")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+    rate = thresh = None
+    for bound, r, t in reversed(_MIX_TIERS):
+        rate = F.when(src_idx < bound, r).otherwise(
+            rate if rate is not None else F.lit(_MIX_DEFAULT[0])
+        )
+        thresh = F.when(src_idx < bound, t).otherwise(
+            thresh if thresh is not None else F.lit(_MIX_DEFAULT[1])
+        )
+    return d.where(u < thresh).select("doc_id", "source", rate.alias("sample_rate"))
