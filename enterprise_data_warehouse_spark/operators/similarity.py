@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.deterministic import DEC, dec2dbl
 from ..queries import query
 from ..sources.tables import load_table
 
@@ -406,4 +407,51 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TOPK_K)
         .select("query_id", "neighbor_id", "cosine_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+# --- per-label centroids (element-wise array aggregation) --------------------
+
+CENTROID_ORACLE = f"""
+WITH ex AS (
+  SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, {DIM + 1})) AS t(i)
+), comp AS (
+  SELECT label, pos,
+    CAST(ROUND(SUM(CAST(x AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT(x) AS c,
+    COUNT(x) AS cnt
+  FROM ex GROUP BY label, pos
+)
+SELECT label, MIN(cnt) AS n_vectors, list(c ORDER BY pos) AS centroid
+FROM comp GROUP BY label
+"""
+
+
+@query("embedding_centroids", oracle=CENTROID_ORACLE)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid: element-wise mean of 64-dim vectors — the
+    cluster-center / class-prototype primitive (IVF training step, label
+    prototypes, drift reference vectors).
+
+    Scale shape: posexplode to (label, pos, x) then ONE groupBy(label, pos)
+    — the narrow explode keeps component sums map-side-combinable, so the
+    shuffle carries 64 partial rows per (label × partition) regardless of
+    vector count; a whole-array groupBy(label).agg would instead funnel
+    every vector of a label through one reducer. Reassembly sorts the 64
+    component structs per label (array_sort → deterministic order), never a
+    global sort. Component means use the decimal-exact davg discipline
+    (functions/deterministic.py) so partition order can't shift a ULP."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode(as_double("embedding")).alias("pos", "x")
+    )
+    comp = ex.groupBy("label", "pos").agg(
+        (dec2dbl(F.sum(F.col("x").cast(DEC))) / F.count("x")).alias("c"),
+        F.count("x").alias("cnt"),
+    )
+    return comp.groupBy("label").agg(
+        F.min("cnt").alias("n_vectors"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid"),
     )

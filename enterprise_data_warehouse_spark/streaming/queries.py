@@ -203,3 +203,89 @@ def streaming_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "stream_sessions_" + uuid.uuid4().hex[:8]
     return run_stream_to_memory(spark, out, name)
+
+
+ENRICHED_ORACLE = """
+SELECT
+  DATE_TRUNC('hour', e.ts) AS window_start,
+  c.c_mktsegment AS segment,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+def _segment_hourly(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Shared stream/batch builder: enrich events with the customer dim,
+    aggregate hourly counts per market segment."""
+    enriched = events.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        events.user_id == F.col("c_custkey"),
+    )
+    return (
+        enriched.groupBy(
+            F.window("ts", "1 hour"), F.col("c_mktsegment").alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "n_users_approx",
+        )
+    )
+
+
+@query("segment_hourly_counts", oracle=ENRICHED_ORACLE)
+def segment_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch path of the stream-static enrichment: events ⋈ broadcast
+    customer dim → hourly counts per market segment. The oracle checks the
+    join+window semantics with exact COUNT(DISTINCT); the streaming twin
+    (below) runs the same builder where distinct-count must be the HLL++
+    sketch (exact distinct isn't incrementally mergeable across
+    micro-batches without keeping every key in state)."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    # oracle-exact variant: batch can afford exact distinct
+    enriched = e.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        e.user_id == F.col("c_custkey"),
+    )
+    return (
+        enriched.groupBy(F.window("ts", "1 hour"), F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+@query("streaming_segment_counts")
+def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join end-to-end: a REAL readStream over events joined
+    per-micro-batch to the static customer dimension (broadcast — the join
+    is stateless map-side work; only the windowed agg keeps state), drained
+    via availableNow. The canonical streaming-enrichment topology: facts
+    stream, dims are slowly-changing tables re-read per batch. Rows-only
+    driver check; tests assert equality with the batch builder."""
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    out = _segment_hourly(stream, c)
+    name = "stream_segments_" + uuid.uuid4().hex[:8]
+    return run_stream_to_memory(spark, out, name)

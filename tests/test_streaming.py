@@ -36,6 +36,15 @@ def test_stream_equals_batch_sessions(spark):
     assert _norm(batch) == _norm(streamed)
 
 
+def test_stream_static_join_equals_batch(spark):
+    from enterprise_data_warehouse_spark.sources.tables import load_table
+    from enterprise_data_warehouse_spark.streaming.queries import _segment_hourly
+
+    batch = _segment_hourly(load_table(spark, SF, "events"), load_table(spark, SF, "customer"))
+    streamed = REG["streaming_segment_counts"].fn(spark, SF)
+    assert _norm(batch) == _norm(streamed)
+
+
 def test_session_window_bounce_semantics(spark):
     out = REG["session_metrics_batch"].fn(spark, SF)
     rows = out.collect()
