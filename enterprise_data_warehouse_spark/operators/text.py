@@ -354,3 +354,58 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             thresh if thresh is not None else F.lit(_MIX_DEFAULT[1])
         )
     return d.where(u < thresh).select("doc_id", "source", rate.alias("sample_rate"))
+
+
+# --- PII scrub ---------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+PII_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN
+      text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-'
+           || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  LEN(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+  LEN(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+  MD5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM corpus
+"""
+
+
+@query("pii_scrub", oracle=PII_ORACLE)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: regexp count + replace of emails/phones, verified by
+    md5 of the scrubbed text (hash travels, not the text). Test fixture
+    plants a deterministic email+phone in every 7th doc (the synthetic
+    corpus contains none). Pure per-row JVM regex — map-side, zero shuffle,
+    pushdown-friendly; the shape that runs at 100 TB as a plain projection.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    t = F.col("t")
+    return d.select("doc_id", planted.alias("t")).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+            )
+        ).alias("scrubbed_md5"),
+    )
