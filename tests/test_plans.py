@@ -175,7 +175,43 @@ PYTHON_BOUNDARY = {
     "stateful_user_ewma",
 }
 # Real-stream queries: fn() drains a stream; plan inspection is meaningless.
-STREAM_RUNNERS = {"streaming_hourly_counts", "streaming_dedup_events", "stateful_user_ewma"}
+STREAM_RUNNERS = {
+    "streaming_hourly_counts",
+    "streaming_dedup_events",
+    "stateful_user_ewma",
+    "streaming_session_metrics",
+    "streaming_segment_counts",
+}
+
+
+def test_map_side_corpus_ops_have_zero_exchanges(spark):
+    """corpus_source_mix and pii_scrub claim pure map-side execution —
+    assert no Exchange at all (filter/projection push to the scan)."""
+    for name in ("corpus_source_mix", "pii_scrub"):
+        plan = plan_of(REG[name].fn(spark, SF))
+        assert "Exchange" not in plan, f"{name}: {plan}"
+
+
+def test_minhash_signature_stage_is_shuffle_free(spark):
+    """MinHash signatures are computed per-row from the shingle array —
+    the plan up to signatures must contain no Exchange."""
+    from enterprise_data_warehouse_spark.operators.dedup import (
+        _with_synthetic_dupes,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    d = _with_synthetic_dupes(load_table(spark, SF, "documents"))
+    plan = plan_of(minhash_signatures(shingle_sets(d)))
+    assert "Exchange" not in plan, plan
+
+
+def test_embedding_centroids_two_shuffles(spark):
+    """posexplode → groupBy(label,pos) → groupBy(label): exactly the two
+    aggregation exchanges, no join, no global sort."""
+    plan = plan_of(REG["embedding_centroids"].fn(spark, SF))
+    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchanges <= 2 and "Join" not in plan and "Sort [" not in plan, plan
 
 
 def test_no_cartesian_products_anywhere(spark):
