@@ -142,6 +142,53 @@ def read_csv_seed(spark: SparkSession, path: str, schema: str | None = None) -> 
     return reader.csv(path)
 
 
+def write_with_audit(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    audit_path: str,
+    run_name: str,
+    not_null_cols: Sequence[str] = (),
+    watermark_col: str | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> dict[str, float]:
+    """S8+S12 fused: materialize `df` AND collect its audit metrics in ONE
+    scan via `df.observe` (Spark's accumulator-backed observation API).
+
+    The reference audits with post-hook SELECTs against the table it just
+    built (macros/scd_type2_macro.sql:154-182, generate_fact_tables.sql:
+    130-155) — a second full scan per model. At 100 TB that doubles I/O;
+    observed metrics ride the write's own pass for free. Collected here:
+    row count, per-column null counts (the dbt `not_null` tests), and the
+    max watermark (feeds the next incremental run without the S3 scalar
+    subquery re-scan).
+    """
+    from pyspark.sql import Observation
+
+    metrics_exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in not_null_cols:
+        metrics_exprs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}")
+        )
+    if watermark_col:
+        metrics_exprs.append(
+            F.max(F.col(watermark_col).cast("string")).alias("max_watermark")
+        )
+    obs = Observation(run_name)
+    observed = df.observe(obs, *metrics_exprs)
+    write_table(observed, path, partition_by=partition_by)
+    metrics = dict(obs.get)
+    status = (
+        "PASS"
+        if all(v == 0 for k, v in metrics.items() if k.startswith("nulls_"))
+        else "FAIL"
+    )
+    append_audit(spark, audit_path, run_name, status, {
+        k: v for k, v in metrics.items() if k != "max_watermark"
+    })
+    return metrics
+
+
 def append_audit(
     spark: SparkSession, path: str, run_name: str, status: str, metrics: dict[str, float]
 ) -> None:

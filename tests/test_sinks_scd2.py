@@ -140,3 +140,31 @@ def test_write_clustered_layout(spark, tmp_path):
     # partition pruning still applies on the directory key
     pruned = spark.read.parquet(path).where(F.col("order_year") == 1996)
     assert pruned.count() == o.where(F.col("order_year") == 1996).count()
+
+
+def test_write_with_audit_single_pass(spark, tmp_path):
+    from enterprise_data_warehouse_spark.sources.sink import write_with_audit
+
+    orders = load_table(spark, SF, "orders")
+    path = str(tmp_path / "orders_out")
+    audit = str(tmp_path / "audit")
+    metrics = write_with_audit(
+        spark,
+        orders,
+        path,
+        audit,
+        "orders_build",
+        not_null_cols=["o_custkey", "o_orderdate"],
+        watermark_col="o_orderdate",
+    )
+    n = orders.count()
+    assert metrics["n_rows"] == n
+    assert metrics["nulls_o_custkey"] == 0 and metrics["nulls_o_orderdate"] == 0
+    assert metrics["max_watermark"] == str(
+        orders.agg(F.max(F.col("o_orderdate").cast("string"))).first()[0]
+    )
+    # the write itself is complete and equal to the source
+    assert spark.read.parquet(path).count() == n
+    # audit row landed with PASS
+    arow = spark.read.parquet(audit).first()
+    assert arow["run_name"] == "orders_build" and arow["status"] == "PASS"
