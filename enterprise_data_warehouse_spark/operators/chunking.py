@@ -101,3 +101,79 @@ def doc_chunks_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_idx",
         F.array_join(F.slice("toks", start, length), " ").alias("chunk"),
     )
+
+
+# --- cross-document chunk containment ---------------------------------------
+
+SHARED_CHUNKS_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         LEN(string_split(text, ' ')) AS n
+  FROM corpus
+), idx AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, CAST(FLOOR((n - 1) / {STRIDE}.0) AS BIGINT))) AS chunk_idx
+  FROM toks
+), chunks AS (
+  SELECT doc_id,
+    MD5(array_to_string(
+      toks[chunk_idx*{STRIDE}+1 : LEAST(chunk_idx*{STRIDE}+{CHUNK}, n)], ' ')) AS chunk_fp
+  FROM idx
+)
+SELECT chunk_fp,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS first_doc_id
+FROM chunks
+GROUP BY chunk_fp
+HAVING COUNT(DISTINCT doc_id) > 1
+"""
+
+
+@query("shared_chunk_fingerprints", oracle=SHARED_CHUNKS_ORACLE)
+def shared_chunk_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup: fingerprint every overlapping token chunk and
+    surface fingerprints occurring in more than one document — the operator
+    that catches boilerplate paragraphs and partially-copied documents that
+    whole-doc hashing misses. Test fixture re-injects every 5th doc so
+    cross-doc repeats exist in the synthetic corpus.
+
+    Scale: the chunk expansion is the codegen'd doc_chunks_native shape
+    (explode inside the scan stage), the md5 collapses each ~50-token chunk
+    to 32 bytes BEFORE the shuffle, and the single groupBy(chunk_fp) is
+    map-side combinable — shuffle bytes ∝ chunk count, not corpus bytes."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    toks = F.split("text", " ")
+    withtoks = corpus.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    idx = withtoks.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("n") - 1) / STRIDE).cast("int"))
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * STRIDE + 1
+    length = F.least(F.lit(CHUNK), F.col("n") - F.col("chunk_idx") * STRIDE)
+    chunks = idx.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice("toks", start, length), " ")).alias("chunk_fp"),
+    )
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
