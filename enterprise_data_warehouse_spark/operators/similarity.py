@@ -455,3 +455,112 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
         ).alias("centroid"),
     )
+
+
+# --- k-means (fixed-iteration Lloyd, oracle-verified) ------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (same determinism discipline as
+    seq_dot)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sql_sq_dist(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {DIM + 1}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _sql_assign(cent: str) -> str:
+    return f"""
+  SELECT e.vec_id, e.embedding, c.cluster_id,
+         {_sql_sq_dist('e.embedding', 'c.c')} AS dist
+  FROM embeddings e CROSS JOIN {cent} c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                             ORDER BY dist, c.cluster_id) = 1
+"""
+
+
+def _sql_recenter(assign: str) -> str:
+    return f"""
+  SELECT cluster_id, list(comp ORDER BY pos) AS c FROM (
+    SELECT cluster_id, i AS pos,
+      CAST(ROUND(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,10))), 4)
+           AS DOUBLE) / COUNT(*) AS comp
+    FROM {assign}, unnest(range(1, {DIM + 1})) AS t(i)
+    GROUP BY cluster_id, i
+  ) GROUP BY cluster_id
+"""
+
+
+KMEANS_ORACLE = f"""
+WITH cent0 AS (
+  SELECT vec_id AS cluster_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+), assign1 AS ({_sql_assign('cent0')}),
+cent1 AS ({_sql_recenter('assign1')}),
+assign2 AS ({_sql_assign('cent1')})
+SELECT cluster_id, COUNT(*) AS n_vectors, MIN(vec_id) AS first_vec_id
+FROM assign2 GROUP BY cluster_id
+"""
+
+
+@query("kmeans_embeddings", oracle=KMEANS_ORACLE)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding table, k={KMEANS_K}, exactly
+    {KMEANS_ITERS} unrolled iterations — the iterative-algorithm pattern
+    (assign → recenter → repeat) as a driver-side loop of DataFrame ops,
+    value-verified against a DuckDB oracle that unrolls the same two
+    iterations in CTEs. Determinism stack: seeded centroids (first k
+    vectors), sequential-fold distances, argmin tie-broken on cluster_id,
+    decimal-exact component means — bit-identical assignments cross-engine.
+
+    Scale shape per iteration: centroids are k×{DIM} doubles → broadcast;
+    assignment is a map-side crossJoin + per-row argmin (no shuffle);
+    recentering is the narrow posexplode groupBy of embedding_centroids.
+    Production differences (noted, not semantic): k-means++ init from a
+    sampled sketch, convergence test on centroid movement, and
+    localCheckpoint per iteration to truncate lineage."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    centroids = e.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("v").alias("c")
+    )
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster_id")
+        assigned = (
+            e.crossJoin(F.broadcast(centroids))
+            .withColumn("dist", sq_dist(F.col("v"), F.col("c")))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "v", "cluster_id")
+        )
+        comp = assigned.select(
+            "cluster_id", F.posexplode("v").alias("pos", "x")
+        ).groupBy("cluster_id", "pos").agg(
+            (dec2dbl(F.sum(F.col("x").cast(DEC))) / F.count("x")).alias("comp")
+        )
+        centroids = comp.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+                lambda s: s["comp"],
+            ).alias("c")
+        )
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("first_vec_id")
+    )
