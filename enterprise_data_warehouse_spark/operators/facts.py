@@ -226,3 +226,86 @@ def catalog_fact_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog.load(CATALOG_PATH)
     reg = _registry(spark, sf_dir)
     return build_fact(reg.ref("events"), cat.fact("fact_events_daily"))
+
+
+# --- snapshot reconciliation -------------------------------------------------
+
+_DIFF_HASH = "MD5(CONCAT(CAST(o_custkey AS VARCHAR), '|', o_orderstatus, '|', CAST(o_totalprice AS VARCHAR), '|', CAST(o_orderdate AS VARCHAR), '|', o_orderpriority))"
+
+SNAPSHOT_DIFF_ORACLE = f"""
+WITH old AS (
+  SELECT o_orderkey, {_DIFF_HASH} AS row_hash
+  FROM orders WHERE o_orderkey % 97 != 0
+), new AS (
+  SELECT o_orderkey, {_DIFF_HASH} AS row_hash
+  FROM (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 89 = 0
+                THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END
+             AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 101 != 0
+  )
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+       WHEN n.o_orderkey IS NULL THEN 'removed'
+       ELSE 'changed' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.row_hash != n.row_hash
+"""
+
+
+def _order_row_hash(df: DataFrame) -> DataFrame:
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_custkey").cast("string"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("string"),
+            F.col("o_orderdate").cast("string"),
+            "o_orderpriority",
+        )
+    )
+    return df.select("o_orderkey", h.alias("row_hash"))
+
+
+@query("snapshot_diff", oracle=SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version reconciliation (the audit-helper / anti-entropy
+    primitive behind incremental-load validation): full-outer join two
+    snapshots on the business key, classify each key as added / removed /
+    changed by non-key row hash. Test fixture derives both snapshots from
+    `orders` deterministically (every 97th key absent from the old
+    snapshot → 'added', every 101st absent from the new → 'removed',
+    every 89th repriced in the new → 'changed').
+
+    Scale: rows collapse to (key, 16-byte hash) BEFORE the join — shuffle
+    bytes ∝ key count, not row width; the join is a plain hash-partitioned
+    equi-join, and unchanged keys (the overwhelming majority) are filtered
+    without leaving the join stage."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = _order_row_hash(orders.where(F.col("o_orderkey") % 97 != 0))
+    new = _order_row_hash(
+        orders.where(F.col("o_orderkey") % 101 != 0).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return joined.where(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.row_hash") != F.col("n.row_hash"))
+    ).select(
+        F.coalesce("o.o_orderkey", "n.o_orderkey").alias("o_orderkey"),
+        change.alias("change_type"),
+    )
