@@ -302,3 +302,39 @@ def returned_customer_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), "c_custkey")
         .limit(20)
     )
+
+
+PRIORITY_COUNTS_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+@query("order_priority_counts", oracle=PRIORITY_COUNTS_ORACLE)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape: correlated EXISTS → LEFT SEMI join (J7 family).
+    Returned-lineitem existence probe against a quarter of orders, counted
+    per priority (the synthetic lineitem has no commit/receipt dates, so
+    the EXISTS predicate is l_returnflag = 'R' — same plan shape). The
+    date-range predicate pushes to the orders scan; the returnflag filter
+    pushes to the lineitem scan; the semi-join stops probing an order at
+    its first match, so no distinct/dedup pass is needed on the probe
+    side."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
