@@ -78,6 +78,11 @@ MAX_SHINGLE_DF = 1000  # drop shingles in > this many docs: boilerplate
 # cap bounds self-join fan-out at web scale. No effect on the synthetic
 # corpus (max df ≪ cap) — semantics mirrored in the oracle regardless.
 
+# Parity note: the Spark side joins on xxhash64(shingle) (see
+# exploded_shingles) while this oracle joins raw shingle strings, so parity
+# is PROBABILISTIC under the int64-hash trade-off — a (birthday-bound ~1e-7)
+# collision would perturb one n_common/DF count. If this oracle ever
+# mismatches at a larger SF, triage as a hash collision first.
 JACCARD_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -305,13 +310,16 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5 costs ~3× xxhash64 in the map stage, so production keeps xxhash64.
 
 
-def portable_hash64(c: Column, seed: int) -> Column:
+def portable_hash64(c: Column, seed: int | Column) -> Column:
     """SQL mirror:
-    ``CAST(('0x' || SUBSTR(MD5(x || '#' || seed), 1, 15)) AS BIGINT)``."""
+    ``CAST(('0x' || SUBSTR(MD5(x || '#' || seed), 1, 15)) AS BIGINT)``.
+
+    ``seed`` may be a literal int or a Column (e.g. a lambda variable inside
+    a higher-order transform) — one definition for both call sites, so the
+    two formulations cannot drift apart."""
+    seed_col = F.lit(str(seed)) if isinstance(seed, int) else seed.cast("string")
     return (
-        F.conv(
-            F.substring(F.md5(F.concat_ws("#", c, F.lit(str(seed)))), 1, 15), 16, 10
-        )
+        F.conv(F.substring(F.md5(F.concat_ws("#", c, seed_col)), 1, 15), 16, 10)
         .cast("bigint")
     )
 
@@ -358,22 +366,12 @@ def minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _with_synthetic_dupes(
         load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
     )
-    # map-side signatures (see minhash_signatures) — seed arrives as a
-    # Column from the outer lambda, so the portable hash is inlined here
-    # with a column-typed seed instead of portable_hash64's int seed
+    # map-side signatures (see minhash_signatures); the seed arrives as a
+    # Column from the outer lambda — portable_hash64 accepts both
     sig_expr = F.transform(
         F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
         lambda s: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda x: F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws("#", x, s.cast("string"))), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
-            )
+            F.transform(F.col("shingles"), lambda x: portable_hash64(x, s))
         ),
     )
     sig = shingle_sets(d).select("doc_id", sig_expr.alias("signature"))
@@ -536,7 +534,7 @@ FROM comp
 @query("near_dup_clusters", oracle=CLUSTER_ORACLE)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: connected components over the near-dup candidate
-    graph (Jaccard ≥ {JACCARD_THRESHOLD} pairs), cluster id = min doc_id in
+    graph (Jaccard ≥ JACCARD_THRESHOLD pairs), cluster id = min doc_id in
     the component, canonical survivor = that doc. The step that turns
     pairwise candidates into "keep one per group" decisions.
 

@@ -81,12 +81,13 @@ WITH counts AS (
   FROM counts
 ), entropy AS (
   SELECT lang,
-    ROUND(-SUM((CAST(cnt AS DOUBLE)/CAST(total AS DOUBLE))
-          * LN(CAST(cnt AS DOUBLE)/CAST(total AS DOUBLE)) / LN(2.0)), 6) AS source_entropy_bits
+    CAST(ROUND(-SUM(CAST((CAST(cnt AS DOUBLE)/CAST(total AS DOUBLE))
+          * LN(CAST(cnt AS DOUBLE)/CAST(total AS DOUBLE)) / LN(2.0)
+          AS DECIMAL(38,10))), 6) AS DOUBLE) AS source_entropy_bits
   FROM tops GROUP BY lang
 )
 SELECT t.lang, t.source AS top_source, t.cnt AS top_source_count,
-       t.n_distinct_sources, t.total AS n_docs, e.source_entropy_bits
+       t.n_distinct_sources, CAST(t.total AS BIGINT) AS n_docs, e.source_entropy_bits
 FROM tops t JOIN entropy e ON t.lang = e.lang
 WHERE t.rn = 1
 """
@@ -109,8 +110,11 @@ def categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_distinct_sources"),
     )
     p = F.col("cnt").cast("double") / F.col("total").cast("double")
+    # Per-term cast to decimal before the SUM: double addition is
+    # order-dependent, and a last-ULP difference can flip the 6dp rounding.
+    term = (p * F.log(p) / F.log(F.lit(2.0))).cast(DEC)
     entropy = tops.groupBy("lang").agg(
-        F.round(-F.sum(p * F.log(p) / F.log(F.lit(2.0))), 6).alias("source_entropy_bits")
+        F.round(-F.sum(term), 6).cast("double").alias("source_entropy_bits")
     )
     return (
         tops.where(F.col("rn") == 1)

@@ -72,7 +72,8 @@ COND_AGG_ORACLE = f"""
 SELECT
   o_orderstatus,
   COUNT(*) AS n_orders,
-  SUM(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END) AS orders_since_2000,
+  CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+    AS orders_since_2000,
   CAST(ROUND(COALESCE(SUM(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01'
        THEN CAST(o_totalprice AS DECIMAL(38,10)) END), 0), 4) AS DOUBLE) AS revenue_since_2000,
   CAST(ROUND(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT'

@@ -270,7 +270,7 @@ WITH planes AS (
   SELECT sa.bucket, sa.vec_id AS vec_a, sb.vec_id AS vec_b
   FROM sigs sa JOIN sigs sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
 )
-SELECT p.bucket, p.vec_a, p.vec_b,
+SELECT CAST(p.bucket AS BIGINT) AS bucket, p.vec_a, p.vec_b,
   {_sql_cosine('ea.embedding', 'eb.embedding')} AS cosine_sim
 FROM pairs p
 JOIN embeddings ea ON ea.vec_id = p.vec_a
@@ -518,15 +518,15 @@ FROM assign2 GROUP BY cluster_id
 
 @query("kmeans_embeddings", oracle=KMEANS_ORACLE)
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means over the embedding table, k={KMEANS_K}, exactly
-    {KMEANS_ITERS} unrolled iterations — the iterative-algorithm pattern
+    """Lloyd's k-means over the embedding table (k/iters: see KMEANS_K and
+    KMEANS_ITERS above) — the iterative-algorithm pattern
     (assign → recenter → repeat) as a driver-side loop of DataFrame ops,
     value-verified against a DuckDB oracle that unrolls the same two
     iterations in CTEs. Determinism stack: seeded centroids (first k
     vectors), sequential-fold distances, argmin tie-broken on cluster_id,
     decimal-exact component means — bit-identical assignments cross-engine.
 
-    Scale shape per iteration: centroids are k×{DIM} doubles → broadcast;
+    Scale shape per iteration: centroids are k×DIM doubles → broadcast;
     assignment is a map-side crossJoin + per-row argmin (no shuffle);
     recentering is the narrow posexplode groupBy of embedding_centroids.
     Production differences (noted, not semantic): k-means++ init from a

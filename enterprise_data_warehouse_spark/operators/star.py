@@ -49,7 +49,7 @@ SELECT
   COUNT(*) AS n_items,
   {sql_dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_net_revenue,
   {sql_davg("l_quantity")} AS avg_qty,
-  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_items,
+  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_items,
   CAST(ROUND(COALESCE(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10)) END), 0), 4) AS DOUBLE)
        AS urgent_discounted_revenue

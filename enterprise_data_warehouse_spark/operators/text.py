@@ -183,7 +183,7 @@ WITH corpus AS (
 )
 SELECT lang,
   COUNT(*) AS n_docs,
-  SUM(n_tokens) AS total_tokens,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
   CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
 FROM kept GROUP BY lang
 """

@@ -167,8 +167,12 @@ def write_with_audit(
 
     metrics_exprs = [F.count(F.lit(1)).alias("n_rows")]
     for c in not_null_cols:
+        # coalesce: F.sum over ZERO rows observes as null — an empty-but-
+        # valid write must audit as PASS with nulls_*=0, not FAIL with None.
         metrics_exprs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}")
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(f"nulls_{c}")
         )
     if watermark_col:
         metrics_exprs.append(

@@ -29,15 +29,32 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Make ANY caller-provided SparkSession meet the engine's contract.
+
+    Both confs are runtime-settable SQL confs, so this works even when the
+    session was built elsewhere (e.g. the verify driver's plain session):
+
+    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which the
+      vectorized parquet reader rejects outright; with the flag it surfaces
+      as long ns and ``load_table`` converts to a µs timestamp.
+    - UTC session timezone: timestamp→date/extract semantics must match the
+      DuckDB oracle's naive timestamps, independent of host TZ.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, min_partitions: int | None = None
 ) -> DataFrame:
     """S1: lazy columnar scan of one table.
 
     events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark's
-    vectorized reader rejects; we read it as long ns (legacy flag set in
-    session.py) and convert to a µs timestamp (lossless — the generator
-    emits whole microseconds).
+    vectorized reader rejects; we read it as long ns (legacy flag, set here
+    at runtime so ANY caller-provided SparkSession works — not just
+    session.get_spark) and convert to a µs timestamp (lossless — the
+    generator emits whole microseconds).
 
     ``min_partitions``: opt-in for CPU-heavy per-row operators (shingling,
     hashing). A small single-row-group file scans as ONE partition, which
@@ -45,6 +62,7 @@ def load_table(
     repartition restores parallelism. At production scale the scan already
     has ≥ this many splits and the branch is a no-op (no shuffle added).
     """
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

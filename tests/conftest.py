@@ -14,9 +14,20 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    from enterprise_data_warehouse_spark.session import get_spark
+    # Deliberately a PLAIN session (no nanosAsLong / timeZone / AQE tuning):
+    # the verify driver builds its own session the same way, so every query
+    # must self-provision its confs via sources.tables.ensure_runtime_confs.
+    # shuffle.partitions is test-speed only; it cannot change results.
+    from pyspark.sql import SparkSession
 
-    s = get_spark("edw-tests", shuffle_partitions=8)
+    s = (
+        SparkSession.builder.master("local[8]")
+        .appName("edw-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     yield s
     s.stop()
 

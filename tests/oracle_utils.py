@@ -41,9 +41,13 @@ def compare_query(spark, duck, name: str, spec) -> list[str]:
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(spec.oracle)
-    duck_cols = [d[0].lower() for d in res.description]
-    duck_rows = res.fetchall()
+    # Fetch via Arrow, not fetchall(): DuckDB's integer SUM returns HUGEINT,
+    # which Arrow surfaces as decimal128 (→ Decimal, not int). The driver's
+    # hasher sees that representation, so the local gate must too — an
+    # un-CAST integer SUM in an oracle then fails HERE, not in the driver.
+    tbl = duck.execute(spec.oracle).arrow()
+    duck_cols = [c.lower() for c in tbl.column_names]
+    duck_rows = [tuple(d.values()) for d in tbl.to_pylist()]
 
     if sorted(spark_cols) != sorted(duck_cols):
         problems.append(f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")

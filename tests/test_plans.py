@@ -214,18 +214,36 @@ def test_embedding_centroids_two_shuffles(spark):
     assert n_exchanges <= 2 and "Join" not in plan and "Sort [" not in plan, plan
 
 
+# Queries whose BroadcastNestedLoopJoin is INTENTIONAL: the broadcast side
+# is provably tiny and key-less (scalar stats, quantile cut-points, k
+# centroids, a handful of query vectors), so a nested-loop against it is the
+# right plan at any scale. Anything NOT listed here that grows a BNLJ is a
+# plan regression (e.g. an equi-join whose keys stopped being recognized).
+BNLJ_ALLOWED = {
+    "customer_rfm_scalable",  # broadcast quantile cut-points (9 rows)
+    "cosine_topk",  # broadcast query vectors (constant count)
+    "embedding_near_dup",  # broadcast sampled probe vectors
+    "ivf_topk",  # broadcast coarse centroids (k rows)
+    "kmeans_embeddings",  # broadcast centroids (k rows per iteration)
+    "ks_drift_pvalue",  # broadcast scalar KS statistic (1 row)
+}
+
+
 def test_no_cartesian_products_anywhere(spark):
     """Sweep every registered batch query's physical plan: an accidental
-    CartesianProduct/BroadcastNestedLoopJoin on big sides is the classic
-    silent 100 TB killer. (ngram_jaccard_pairs & simhash band joins are
-    equi-joins — they must NOT appear here either.)"""
+    CartesianProduct — or a BroadcastNestedLoopJoin outside the explicit
+    tiny-side allowlist — is the classic silent 100 TB killer.
+    (ngram_jaccard_pairs & simhash band joins are equi-joins — they must
+    NOT appear here either.)"""
     offenders = []
     for name, spec in REG.items():
         if name in STREAM_RUNNERS:
             continue
         plan = plan_of(spec.fn(spark, SF))
         if "CartesianProduct" in plan:
-            offenders.append(name)
+            offenders.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            offenders.append(f"{name}: BroadcastNestedLoopJoin")
     assert not offenders, offenders
 
 
