@@ -193,20 +193,29 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 
 def minhash_signatures(ss: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """k minhashes per doc computed entirely MAP-SIDE from the shingle
-    array: ``sig[s] = array_min(transform(shingles, x -> xxhash64(x, s)))``
-    via nested SQL lambdas — whole-stage codegen, ZERO shuffle (the old
-    explode + groupBy-of-k-mins version paid a map-side-combined exchange;
-    measured 2.4× slower at sf0.1 with bit-identical output). Signature
-    cost is k·|shingles| hash evals per row either way — eliminating the
-    exchange and the explode row-blowup is pure win, and at 100 TB it
-    removes the only shuffle before the band join."""
+    array via nested SQL lambdas — whole-stage codegen, ZERO shuffle (the
+    old explode + groupBy-of-k-mins version paid a map-side-combined
+    exchange; measured 2.4× slower at sf0.1 with bit-identical output).
+
+    Two-level hashing: each variable-length shingle STRING is hashed ONCE
+    (``base = xxhash64(x)``), and the k per-seed hashes re-hash only that
+    fixed 8-byte long (``xxhash64(base, s)``). The naive form re-hashes the
+    ~30-char string k times — O(k·len) vs O(len + k·8) bytes hashed per
+    shingle. (Multiply-add universal hashing would be cheaper still, but
+    bigint overflow throws under ANSI mode, which the driver's session may
+    enable; xxhash64 over a long cannot overflow.) At 100 TB this is the
+    dominant map cost of the whole dedup pipeline, and there is no shuffle
+    before the band join."""
+    base = F.transform(F.col("shingles"), lambda x: F.xxhash64(x))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda s: F.array_min(
-            F.transform(F.col("shingles"), lambda x: F.xxhash64(x, s))
+            F.transform(F.col("_base64"), lambda h: F.xxhash64(h, s))
         ),
     )
-    return ss.select("doc_id", sig.alias("signature"))
+    return ss.select("doc_id", base.alias("_base64")).select(
+        "doc_id", sig.alias("signature")
+    )
 
 
 @query("minhash_lsh_candidates", bench=True)

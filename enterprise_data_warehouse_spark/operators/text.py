@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries import query
-from ..sources.tables import load_table
+from ..sources.tables import cpu_parallelism, load_table
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
@@ -408,4 +408,135 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
             )
         ).alias("scrubbed_md5"),
+    )
+
+
+# --- BPE-ish token counting ------------------------------------------------
+
+# GPT-2-style pre-tokenizer shape, ASCII-scoped so Java regex (Spark) and
+# RE2 (DuckDB) agree match-for-match: contraction suffixes, then
+# space-prefixed letter runs, digit runs, symbol runs, then bare whitespace.
+# Verified identical counts across engines on the full sf0.01 corpus.
+BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id, lang,
+  LEN(string_split(text, ' ')) AS ws_tokens,
+  LEN(regexp_extract_all(text, '{BPE_PAT.replace("'", "''")}')) AS bpe_tokens,
+  CAST(LEN(regexp_extract_all(text, '{BPE_PAT.replace("'", "''")}')) AS DOUBLE)
+    / LEN(string_split(text, ' ')) AS tokens_per_word
+FROM documents
+"""
+
+
+@query("token_count_profile", oracle=TOKEN_COUNT_ORACLE)
+def token_count_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways the brief asks for: whitespace tokens and a
+    BPE-ish regex tokenizer (GPT-2 pre-tokenizer shape — the standard proxy
+    for LLM token budgets when the real BPE merges table isn't in the
+    engine). Pure per-row regex/array ops: no shuffle, whole-stage codegen,
+    linear in document bytes at any scale. tokens_per_word is the
+    cost-planning ratio (≈1.3 for English prose under GPT-2)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(tokens())
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PAT), 0))
+    return d.select(
+        "doc_id",
+        "lang",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (bpe.cast("double") / ws).alias("tokens_per_word"),
+    )
+
+
+# --- repetition / degenerate-text quality signals ---------------------------
+
+REPETITION_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), base AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct, w
+  FROM w WHERE len(w) >= 3
+), bi AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+  FROM base
+), bic AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g
+), bia AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+  FROM bic GROUP BY doc_id
+), tri AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM base
+), tric AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g
+), tria AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_trigram_frac
+  FROM tric GROUP BY doc_id
+)
+SELECT b.doc_id,
+  b.n_words,
+  CAST(b.n_distinct AS DOUBLE) / b.n_words AS distinct_word_ratio,
+  bia.top_bigram_frac,
+  tria.top_trigram_frac
+FROM base b
+JOIN bia ON b.doc_id = bia.doc_id
+JOIN tria ON b.doc_id = tria.doc_id
+"""
+
+
+def _top_gram_frac(d: DataFrame, n: int, out: str) -> DataFrame:
+    """(doc_id, <out>) where <out> = count of the most frequent word n-gram
+    over total n-grams — the Gopher-style repeated-phrase signal. Overlapping
+    n-grams are built map-side from the bound token array; the two
+    aggregations are map-side-combinable groupBys (no window, no sort)."""
+    w = F.col("_w")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+    )
+    per_gram = (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(out)
+    )
+
+
+@query("repetition_scores", oracle=REPETITION_ORACLE)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-text detection for training corpora (the Gopher repetition
+    rules): distinct-word ratio plus top-bigram / top-trigram mass fraction.
+    Looping or boilerplate text scores high on the gram fractions and low on
+    distinct ratio; downstream filters threshold these columns.
+
+    Scale shape: token arrays bind once map-side; each n-gram signal is
+    explode → two combinable groupBys keyed by doc_id (partial aggregation
+    collapses per-doc grams before the shuffle); final assembly is two
+    equi-joins on doc_id. No windows, no global sorts. Ratios are
+    int/int double divisions — engine-exact, no rounding discipline needed.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+        .select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+        .where(F.size("_w") >= 3)
+    )
+    base = d.select(
+        "doc_id",
+        F.size("_w").alias("n_words"),
+        (F.size(F.array_distinct("_w")).cast("double") / F.size("_w")).alias(
+            "distinct_word_ratio"
+        ),
+    )
+    bi = _top_gram_frac(d, 2, "top_bigram_frac")
+    tri = _top_gram_frac(d, 3, "top_trigram_frac")
+    return base.join(bi, "doc_id").join(tri, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "distinct_word_ratio",
+        "top_bigram_frac",
+        "top_trigram_frac",
     )

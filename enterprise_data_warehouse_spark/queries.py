@@ -86,8 +86,6 @@ PRIORITY_ORDER = [
     "session_gap_detection",
     "rolling_1h_features",
     "customer_rfm_scalable",
-    "order_ranking",
-    "forward_fill_values",
     # scd2 / facts / catalog
     "scd2_customer_dim",
     "incremental_fact_merge",
@@ -102,6 +100,8 @@ PRIORITY_ORDER = [
     "language_id",
     "doc_fingerprint",
     "corpus_pipeline",
+    "token_count_profile",
+    "repetition_scores",
     # deduplication
     "exact_dedup",
     "ngram_jaccard_pairs",
