@@ -486,3 +486,93 @@ def ks_binned_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ks_stat_binned"),
         F.count("*").alias("n_bins"),
     )
+
+
+# --- A8 ext: higher moments (skewness / kurtosis), engine-exact ----------------
+
+# Raw power sums in decimal (order-independent), then ONE identical IEEE
+# double expression tree on both engines — no library skewness()/kurtosis()
+# call, because Spark and DuckDB disagree on sample-adjustment formulas.
+# pow(var, 1.5) is avoided (libm pow is not correctly rounded); sqrt is, so
+# sd³ = sqrt(var)·var is bit-deterministic. Power sums round at scale 0:
+# Σx⁴ magnitudes would overflow the 2^53 single-rounding guarantee at the
+# default scale 4, and integer-rounded sums keep the decimal→double cast
+# exact far beyond 100 TB row counts.
+
+
+def _psum(x, power: int):
+    c = F.col(x)
+    prod = c
+    for _ in range(power - 1):
+        prod = prod * c
+    return F.round(F.sum(prod.cast(DEC)), 0).cast("double")
+
+
+def _sql_psum(x: str, power: int) -> str:
+    prod = "*".join([x] * power)
+    return f"CAST(ROUND(SUM(CAST(({prod}) AS DECIMAL(38,10))), 0) AS DOUBLE)"
+
+
+MOMENTS_ORACLE = f"""
+WITH sums AS (
+  SELECT event_type,
+    COUNT(value) AS n,
+    {_sql_psum('value', 1)} AS s1,
+    {_sql_psum('value', 2)} AS s2,
+    {_sql_psum('value', 3)} AS s3,
+    {_sql_psum('value', 4)} AS s4
+  FROM events GROUP BY event_type
+), m AS (
+  SELECT event_type, n,
+    s1 / n AS m1, s2 / n AS m2, s3 / n AS m3, s4 / n AS m4
+  FROM sums
+), c AS (
+  SELECT event_type, n, m1,
+    m2 - m1 * m1 AS var_pop,
+    m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1 AS mu3,
+    m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1 AS mu4
+  FROM m
+)
+SELECT event_type, n,
+  m1 AS mean_value,
+  var_pop,
+  mu3 / (SQRT(var_pop) * var_pop) AS skewness_pop,
+  mu4 / (var_pop * var_pop) - 3 AS kurtosis_excess
+FROM c
+"""
+
+
+@query("feature_moments", oracle=MOMENTS_ORACLE)
+def feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 ext: population skewness + excess kurtosis per feature slice
+    (reference feature_store_manager.py:831-845 profiles skew/kurtosis via
+    pandas). One map-side-combinable groupBy computes the four power sums;
+    the moment algebra is a per-group scalar epilogue — the aggregation
+    shape is identical at 100 TB (no second pass, no window)."""
+    e = load_table(spark, sf_dir, "events")
+    sums = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        _psum("value", 1).alias("s1"),
+        _psum("value", 2).alias("s2"),
+        _psum("value", 3).alias("s3"),
+        _psum("value", 4).alias("s4"),
+    )
+    n = F.col("n")
+    m1, m2 = F.col("s1") / n, F.col("s2") / n
+    m3, m4 = F.col("s3") / n, F.col("s4") / n
+    var_pop = m2 - m1 * m1
+    mu3 = m3 - F.lit(3) * m1 * m2 + F.lit(2) * m1 * m1 * m1
+    mu4 = (
+        m4
+        - F.lit(4) * m1 * m3
+        + F.lit(6) * m1 * m1 * m2
+        - F.lit(3) * m1 * m1 * m1 * m1
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        m1.alias("mean_value"),
+        var_pop.alias("var_pop"),
+        (mu3 / (F.sqrt(var_pop) * var_pop)).alias("skewness_pop"),
+        (mu4 / (var_pop * var_pop) - F.lit(3)).alias("kurtosis_excess"),
+    )
