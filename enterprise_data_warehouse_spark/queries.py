@@ -38,6 +38,7 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
 
 _OPERATOR_MODULES = [
     "enterprise_data_warehouse_spark.operators.star",
+    "enterprise_data_warehouse_spark.operators.tpch",
     "enterprise_data_warehouse_spark.operators.relational",
     "enterprise_data_warehouse_spark.operators.windows",
     "enterprise_data_warehouse_spark.operators.scd2",

@@ -226,6 +226,8 @@ BNLJ_ALLOWED = {
     "ivf_topk",  # broadcast coarse centroids (k rows)
     "kmeans_embeddings",  # broadcast centroids (k rows per iteration)
     "ks_drift_pvalue",  # broadcast scalar KS statistic (1 row)
+    "important_suppliers",  # broadcast global revenue threshold (1 row)
+    "dormant_customers",  # broadcast global average balance (1 row)
 }
 
 
@@ -258,3 +260,30 @@ def test_python_nodes_only_where_declared(spark):
         if any(m in plan for m in ("BatchEvalPython", "ArrowEvalPython", "PythonUDTF", "FlatMapGroupsInPandas")):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_tpch_pack_broadcasts_dims_not_fact(spark):
+    """TPC-H-shape pack: part/nation/supplier dimensions broadcast; the
+    lineitem fact must never be the broadcast side."""
+    for name in ("promo_revenue", "product_profit", "disjunctive_revenue"):
+        plan = plan_of(REG[name].fn(spark, SF))
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan}"
+        bcast_sections = re.findall(r"BroadcastExchange[^\n]*\n(?:.*\n){0,8}", plan)
+        assert not any("lineitem" in s for s in bcast_sections), (
+            f"{name}: fact side broadcast"
+        )
+
+
+def test_large_orders_topk_no_global_sort(spark):
+    """Q18 shape must plan TakeOrderedAndProject (top-k), not a full global
+    Sort+Exchange of the joined result."""
+    plan = plan_of(REG["large_orders"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_top_supplier_scans_lineitem_once(spark):
+    """Q15 shape: the MAX-revenue scalar is a window over the per-supplier
+    aggregate, so the plan must contain exactly ONE lineitem scan (the naive
+    two-branch subquery formulation scans it twice)."""
+    plan = plan_of(REG["top_supplier"].fn(spark, SF))
+    assert plan.count("lineitem.parquet") == 1, plan
