@@ -177,3 +177,90 @@ def shared_chunk_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+# --- sequence packing (concat-and-cut, distributed prefix sum) ---------------
+
+SEQ_LEN = 2048  # pack budget in BPE-ish tokens
+PACK_BUCKET = 500  # docs per prefix-sum bucket (see sequence_packing)
+
+PACKING_ORACLE = f"""
+WITH counted AS (
+  SELECT doc_id,
+         CAST(LEN(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+           AS BIGINT) AS n_tokens
+  FROM documents
+), offsets AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM counted
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR(off / {SEQ_LEN}.0) AS BIGINT) AS pack_id,
+       CAST(off % {SEQ_LEN} AS BIGINT) AS pack_pos,
+       (off % {SEQ_LEN}) + n_tokens > {SEQ_LEN} AS spans_boundary
+FROM offsets
+"""
+
+
+@query("sequence_packing", oracle=PACKING_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-training sequence packing, concat-and-cut style: documents are
+    concatenated in deterministic doc_id order into a virtual token stream
+    and cut into SEQ_LEN-token packs; each doc gets its pack id, offset
+    within the pack, and a flag when it straddles a pack boundary.
+
+    The global running offset is a prefix sum. The naive window
+    (``ORDER BY doc_id`` with no partition) funnels the whole corpus
+    through ONE partition — the classic scale killer — so this computes a
+    DISTRIBUTED prefix sum instead: an intra-bucket cumulative sum
+    (window partitioned by doc_id bucket) plus per-bucket totals rolled
+    into bucket prefix offsets (tiny aggregate, broadcast back). Shuffle
+    cost: one exchange on bucket + one broadcast of |buckets| rows; no
+    stage sees more than one bucket's rows in order. The DuckDB oracle is
+    the naive single-window formulation — value-identical by construction.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import BPE_PAT
+
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PAT), 0))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_BUCKET).alias("bucket"),
+    )
+    intra_w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = counted.withColumn(
+        "intra_off", F.coalesce(F.sum("n_tokens").over(intra_w), F.lit(0))
+    )
+    bucket_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_offsets = (
+        counted.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bucket_total").over(bucket_w), F.lit(0)).alias(
+                "bucket_off"
+            ),
+        )
+    )
+    off = F.col("bucket_off") + F.col("intra_off")
+    return (
+        intra.join(F.broadcast(bucket_offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(off / SEQ_LEN).alias("pack_id"),
+            (off % SEQ_LEN).alias("pack_pos"),
+            ((off % SEQ_LEN) + F.col("n_tokens") > SEQ_LEN).alias("spans_boundary"),
+        )
+    )

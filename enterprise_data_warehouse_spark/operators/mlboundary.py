@@ -357,3 +357,68 @@ def median_price_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_median("o_totalprice").alias("median_price"),
         group_size("o_totalprice").alias("n_orders"),
     )
+
+
+# --- deterministic train/val/test split --------------------------------------
+
+SPLIT_ORACLE = """
+WITH hashed AS (
+  SELECT doc_id, lang,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '#split'), 1, 15))
+              AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM hashed
+GROUP BY 1, 2
+"""
+
+
+@query("train_test_split", oracle=SPLIT_ORACLE)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split via a PORTABLE content
+    hash of the stable key (md5 → 60-bit int → mod 100), NOT randomSplit:
+    the assignment is reproducible across runs, engines, cluster sizes, and
+    re-partitioning — the property a training pipeline needs so no document
+    ever migrates between splits when data is re-processed (leakage).
+    Rolled up by (split, lang) to audit per-language balance. Map-side only
+    until the tiny final aggregation; no extra shuffle at any scale.
+
+    Reference parity: the reference samples with SQL BERNOULLI + LIMIT
+    (ml_platform/training/automated_training_pipeline.py:142-160), which is
+    neither deterministic nor leak-proof across reruns; this is the
+    warehouse-native hardening of that step.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("doc_id").cast("string"), F.lit("split"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )

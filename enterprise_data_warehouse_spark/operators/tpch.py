@@ -56,7 +56,7 @@ GROUP BY supp_nation, cust_nation, ship_year
 """
 
 
-@query("volume_shipping", oracle=VOLUME_SHIPPING_ORACLE)
+@query("volume_shipping", oracle=VOLUME_SHIPPING_ORACLE, bench=True)
 def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 shape: bilateral trade volume by (supplier nation, customer nation,
     year). nation is broadcast twice under different aliases; the nation-pair
@@ -380,7 +380,7 @@ LIMIT 100
 """
 
 
-@query("large_orders", oracle=LARGE_ORDERS_ORACLE)
+@query("large_orders", oracle=LARGE_ORDERS_ORACLE, bench=True)
 def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: orders whose total quantity exceeds a threshold, with
     customer context, top-100 by price. The HAVING pre-aggregate runs on

@@ -287,3 +287,11 @@ def test_top_supplier_scans_lineitem_once(spark):
     two-branch subquery formulation scans it twice)."""
     plan = plan_of(REG["top_supplier"].fn(spark, SF))
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_sequence_packing_prefix_sum_is_distributed(spark):
+    """The doc-level running offset must be a bucket-partitioned window (+
+    tiny bucket-offset rollup), never a global ORDER BY window that funnels
+    every document row through one partition."""
+    plan = plan_of(REG["sequence_packing"].fn(spark, SF))
+    assert "windowspecdefinition(bucket" in plan, plan
