@@ -49,7 +49,7 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS); Spark reads it as long ns
         # with this flag, and sources.tables converts to µs timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("EDW_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("EDW_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
