@@ -24,6 +24,7 @@ from pyspark.sql.functions import udtf
 
 from ..queries import query
 from ..sources.tables import load_table
+from .text import BPE_PAT
 
 CHUNK = 50  # tokens per chunk
 STRIDE = 40  # tokens between chunk starts (CHUNK-STRIDE = 10-token overlap)
@@ -188,7 +189,7 @@ PACKING_ORACLE = f"""
 WITH counted AS (
   SELECT doc_id,
          CAST(LEN(regexp_extract_all(text,
-           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+           '{BPE_PAT.replace("'", "''")}'))
            AS BIGINT) AS n_tokens
   FROM documents
 ), offsets AS (
@@ -223,8 +224,6 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive single-window formulation — value-identical by construction.
     """
     from pyspark.sql.window import Window
-
-    from .text import BPE_PAT
 
     d = load_table(spark, sf_dir, "documents")
     counted = d.select(
