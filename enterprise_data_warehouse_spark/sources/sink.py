@@ -236,3 +236,52 @@ def write_clustered(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) of a parquet directory tree via the
+    Hadoop FS API — no data read, just the file listing."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    n_files = total = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith("_"):
+            n_files += 1
+            total += st.getLen()
+    return n_files, total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_by: Sequence[str] | None = None,
+) -> dict[str, int]:
+    """Table maintenance: rewrite a parquet directory's many small files
+    into ~target-size files (default 128 MB — one HDFS block / one scan
+    split). Snowflake does this invisibly for the reference (micro-partition
+    compaction); on a parquet lake it's an explicit op, and at 100 TB an
+    uncompacted table turns every scan into millions of file opens — small
+    files are a metadata problem long before they are an I/O problem.
+
+    Sizing uses the ACTUAL on-disk byte count (no data read), rewrites via
+    a round-robin repartition (even output sizes, no skew by content), and
+    swaps the staged directory in with the same atomic-rename discipline as
+    merge_upsert. Returns before/after file counts for auditability.
+    """
+    n_before, total_bytes = _dir_stats(spark, path)
+    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    staged = path.rstrip("/") + "__compact_staged"
+    writer = df.repartition(int(n_files)).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staged)
+    _fs_swap(spark, staged, path)
+    n_after, _ = _dir_stats(spark, path)
+    return {"files_before": n_before, "files_after": n_after}
