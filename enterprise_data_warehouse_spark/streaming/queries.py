@@ -289,3 +289,85 @@ def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _segment_hourly(stream, c)
     name = "stream_segments_" + uuid.uuid4().hex[:8]
     return run_stream_to_memory(spark, out, name)
+
+
+# --- stream-stream join -------------------------------------------------------
+
+_EVENT_STREAM_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = (
+        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _view_click_join(views: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Inner join: click within 30 minutes AFTER a view by the same user.
+    Shared by the batch twin and the stream-stream query so the semantics
+    are one piece of code."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return v.join(c, cond).select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id", "view_ts", "click_ts"
+    )
+
+
+VIEW_CLICK_JOIN_ORACLE = """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       v.ts AS view_ts, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
+@query("view_click_within_30m", oracle=VIEW_CLICK_JOIN_ORACLE)
+def view_click_within_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream join: every (view, click) pair by the
+    same user with the click ≤30 min after the view. Equi-join on user_id
+    with the time bound as a join-level range predicate — Catalyst keeps the
+    shuffle keyed on user_id only."""
+    e = load_table(spark, sf_dir, "events")
+    return _view_click_join(
+        e.where(F.col("event_type") == "view"),
+        e.where(F.col("event_type") == "click"),
+    )
+
+
+@query("streaming_view_click_join")
+def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream inner join: views stream ⋈ clicks stream with
+    1-hour watermarks on both sides and the 30-minute event-time bound in
+    the join condition — exactly the state-cleanup contract Structured
+    Streaming needs (each side's join state is dropped once the other
+    side's watermark passes the bound, so state is O(watermark window), not
+    O(stream history)). Drained via availableNow into a memory sink; tests
+    assert row-set equality with the batch twin. Rows-only driver check
+    (the drain is not a SQL-expressible shape)."""
+    e = _event_stream(spark, sf_dir)
+    views = e.where(F.col("event_type") == "view").withWatermark("ts", "1 hour")
+    clicks = e.where(F.col("event_type") == "click").withWatermark("ts", "1 hour")
+    out = _view_click_join(views, clicks)
+    name = "stream_vc_join_" + uuid.uuid4().hex[:8]
+    return run_stream_to_memory(spark, out, name, output_mode="append")

@@ -181,6 +181,7 @@ STREAM_RUNNERS = {
     "stateful_user_ewma",
     "streaming_session_metrics",
     "streaming_segment_counts",
+    "streaming_view_click_join",
 }
 
 

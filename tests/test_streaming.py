@@ -143,3 +143,13 @@ def test_streaming_dedup_equals_batch(spark):
         "event_id", "ts", "user_id", "event_type", "value"
     )
     assert _norm(out) == _norm(batch)
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """The watermarked stream-stream view⋈click join must produce exactly
+    the batch twin's row set (bounded input + availableNow drain, and no
+    row is near the watermark horizon in the fixture)."""
+    batch = REG["view_click_within_30m"].fn(spark, SF)
+    streamed = REG["streaming_view_click_join"].fn(spark, SF)
+    assert _norm(batch) == _norm(streamed)
+    assert batch.count() > 0  # non-vacuous
