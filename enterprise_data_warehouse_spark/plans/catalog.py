@@ -142,3 +142,38 @@ class ModelRegistry:
         df = self.builders[name](self)
         self._built[name] = df
         return df
+
+
+def build_scd2_dimension(
+    initial: DataFrame,
+    updates: DataFrame,
+    spec: dict,
+    initial_effective_from: str = "1900-01-01 00:00:00",
+) -> DataFrame:
+    """Compile a ``scd_type: 2`` catalog spec to the versioned dimension:
+    initial snapshot + one update batch through operators.scd2 (the
+    reference's scd_type2 macro pipeline, driven by the same YAML fields
+    its generator reads: natural_key, attributes, updated_at)."""
+    from ..operators.scd2 import scd2_apply, scd2_initial_load
+
+    key = spec["natural_key"]
+    attrs = [a["name"] for a in spec.get("attributes", [])]
+    tracked = [t["name"] for t in spec.get("tracked", [])] or attrs
+    base = scd2_initial_load(
+        initial, key, tracked, initial_effective_from, attrs=attrs
+    )
+    return scd2_apply(
+        base, updates, key, tracked, spec.get("updated_at", "updated_at"), attrs=attrs
+    )
+
+
+def build_dimension(
+    spec: dict, initial: DataFrame, updates: DataFrame | None = None
+) -> DataFrame:
+    """Dispatch on the catalog's scd_type — the single entry point the
+    model registry uses for dimension specs."""
+    if int(spec.get("scd_type", 1)) == 2:
+        if updates is None:
+            raise ValueError(f"{spec['name']}: scd_type 2 needs an update batch")
+        return build_scd2_dimension(initial, updates, spec)
+    return build_scd1_dimension(initial, spec)
