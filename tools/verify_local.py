@@ -36,6 +36,9 @@ def norm_cell(v):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if isinstance(v, np.generic):
         v = v.item()
+    if v is None or v is pd.NaT:
+        # Spark null (None) and pandas NaT must normalize identically
+        return "None"
     if isinstance(v, pd.Timestamp):
         v = v.to_pydatetime()
     if isinstance(v, datetime.datetime):
