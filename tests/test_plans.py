@@ -296,3 +296,12 @@ def test_sequence_packing_prefix_sum_is_distributed(spark):
     every document row through one partition."""
     plan = plan_of(REG["sequence_packing"].fn(spark, SF))
     assert "windowspecdefinition(bucket" in plan, plan
+
+
+def test_ngram_jaccard_single_scan_no_join(spark):
+    """The pair generator must scan documents ONCE and contain no join:
+    the DF-cap window and the per-shingle doc-list aggregation share one
+    sh64 partitioning, pairs come from array lambdas."""
+    plan = plan_of(REG["ngram_jaccard_pairs"].fn(spark, SF))
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, plan
