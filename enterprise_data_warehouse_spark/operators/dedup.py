@@ -4,12 +4,13 @@ extension): exact hash dedup, n-gram Jaccard near-dup, MinHash-LSH, SimHash.
 Scale design:
 - exact: one groupBy on a 128-bit content hash — the cheapest possible
   shuffle key; survivors picked with min(doc_id) (deterministic).
-- n-gram Jaccard: shingle-explode → self-join on shingle → per-pair common
-  counts. The shingle join is the canonical candidate generator; frequency
-  capping (drop shingles appearing in > MAX_DF docs) bounds the join fan-out
-  at web scale.
+- n-gram Jaccard: shingle-explode → per-shingle doc-list grouping → pair
+  emission with array lambdas (ONE scan, no self-join; see
+  ngram_jaccard_pairs). Frequency capping (drop shingles appearing in
+  > MAX_DF docs) bounds pair fan-out at web scale.
 - MinHash-LSH: k=32 hash functions, b=8 bands × r=4 rows; candidates = docs
-  sharing a band key. Two registrations: the fast path (xxhash64, JVM-native,
+  sharing a band key, emitted by the same grouped-pairs shape
+  (_band_pairs — the signature table is computed and shuffled once). Two registrations: the fast path (xxhash64, JVM-native,
   rows-only check + Jaccard-tracking tests) and a portable-md5 variant whose
   ENTIRE pipeline is value-verified against the DuckDB oracle.
 - SimHash: 64-bit signature from per-token hash bits, banded for Hamming
@@ -234,10 +235,41 @@ def minhash_signatures(ss: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
+def _band_pairs(bands: DataFrame, group_cols: list) -> DataFrame:
+    """Candidate pairs from band rows WITHOUT a self-join: group docs per
+    band bucket and emit i<j pairs over the doc_id-sorted list with array
+    lambdas. The self-join formulation computes the (expensive, map-side)
+    signature table TWICE — Spark does not reuse exchanges across aliased
+    self-join sides — and needs a merge hint to avoid a misestimated
+    broadcast; this shape computes it once and shuffles it once. Bucket
+    fan-out is the same O(|bucket|²) either way; LSH banding keeps buckets
+    small by construction."""
+    grouped = bands.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "signature"))).alias("docs")
+    )
+    docs = F.col("docs")
+    n = F.size(docs)
+    pair_arrays = F.transform(
+        docs,
+        lambda x, i: F.transform(
+            F.slice(docs, i + F.lit(2), n - i - F.lit(1)),
+            lambda y: F.struct(
+                x["doc_id"].alias("doc_a"),
+                y["doc_id"].alias("doc_b"),
+                x["signature"].alias("sig_a"),
+                y["signature"].alias("sig_b"),
+            ),
+        ),
+    )
+    return grouped.select(F.explode(F.flatten(pair_arrays)).alias("p")).select("p.*")
+
+
 @query("minhash_lsh_candidates", bench=True)
+
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates: b=8 bands × r=4; docs sharing a band
-    key become candidate pairs, then verified by signature agreement rate.
+    """MinHash-LSH near-dup candidates: b=8 bands x r=4; docs sharing a band
+    key become candidate pairs (grouped emission, no self-join — see
+    _band_pairs), then verified by signature agreement rate.
 
     No SQL oracle (xxhash64 is engine-native); the driver records a
     rows-only check and tests verify against true Jaccard on known dupes.
@@ -259,31 +291,22 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signature",
         F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
     ).select("doc_id", "signature", band_key.alias("band_key"))
-
-    # merge hint: same misestimate-broadcast hazard as the jaccard self-join
-    a = bands.alias("a")
-    b = bands.hint("merge").alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
-        .distinct()
-    )
+    pairs = _band_pairs(bands, ["band_key"])
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     )
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        (agree.cast("double") / MINHASH_K).alias("est_jaccard"),
-    ).where(F.col("est_jaccard") >= 0.5)
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / MINHASH_K).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= 0.5)
+        .distinct()
+    )
 
 
 # --- SimHash --------------------------------------------------------------------
@@ -386,8 +409,10 @@ WHERE CAST(len(list_filter(list_transform(range(1, {MINHASH_K + 1}),
 @query("minhash_lsh_verified", oracle=MINHASH_VERIFIED_ORACLE)
 def minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The oracle-paired MinHash-LSH: portable md5-derived minhashes, band
-    join on (band, signature-slice) — no opaque band-key hashing, so the
-    oracle mirrors the join exactly."""
+    bucketing on (band, signature-slice). The oracle states the semantics
+    as a band self-join; the engine computes the identical pair set via
+    grouped emission (_band_pairs) so the signature table is computed and
+    shuffled exactly once."""
     d = _with_synthetic_dupes(
         load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
     )
@@ -405,24 +430,17 @@ def minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signature",
         F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
     ).withColumn("band_sig", F.slice("signature", F.col("band") * LSH_ROWS + 1, LSH_ROWS))
-    a = bands.alias("a")
-    b = bands.hint("merge").alias("b")
+    pairs = _band_pairs(bands, ["band", "band_sig"])
     agree = F.size(
         F.filter(
-            F.zip_with("a.signature", "b.signature", lambda x, y: (x == y).cast("int")),
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        pairs.select(
+            "doc_a",
+            "doc_b",
             (agree.cast("double") / MINHASH_K).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= 0.5)
