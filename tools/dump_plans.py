@@ -37,9 +37,13 @@ SHOWCASE = [
      "bucket-offset rollup broadcast back — no global-order window, so no "
      "single-partition funnel of the corpus."),
     ("minhash_lsh_candidates",
-     "MinHash signatures computed entirely map-side (nested array lambdas, "
-     "zero shuffle before the band join); band self-join is a sort-merge "
-     "equi-join on the band key."),
+     "MinHash signatures computed entirely map-side (nested array lambdas); "
+     "candidate pairs come from grouped per-bucket emission — the signature "
+     "table is computed and shuffled once, and there is no join operator."),
+    ("ngram_jaccard_pairs",
+     "Single-scan near-dup candidate generation: the DF-cap window and the "
+     "per-shingle doc-list aggregation share one sh64 partitioning; pairs "
+     "are emitted with array lambdas — no self-join, half the corpus I/O."),
     ("asof_click_attribution",
      "As-of join as union + ONE partition-local window — no join operator "
      "at all, one exchange."),
