@@ -510,7 +510,10 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits voted sign-majority), banded into 4×12-bit keys — a pair within
     Hamming ≤ {HAMMING_MAX} of a shared band key is a candidate. Same
     pigeonhole guarantee as production SimHash dedup: any pair with ≤
-    {SIMHASH_BANDS}-1 differing bands shares a key."""
+    {SIMHASH_BANDS}-1 differing bands shares a key. Pairs come from the
+    grouped per-bucket emission (_band_pairs) — one signature
+    computation, one shuffle, no self-join (the oracle still states the
+    semantics as the band join)."""
     d = _with_synthetic_dupes(
         load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
     )
@@ -520,30 +523,21 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(array_distinct(split(text, ' ')), t -> {_PORTABLE_TOKEN_HASH})"
         ).alias("hs"),
     )
-    sigs = hashed.select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
-    # Python shiftright() takes only literal shift counts; column-valued
-    # shifts go through the SQL expression
+    sigs = hashed.select("doc_id", F.expr(_SIMHASH_EXPR).alias("signature"))
     band_key = F.expr(
-        f"shiftright(simhash, band * {SIMHASH_BAND_BITS}) & {2**SIMHASH_BAND_BITS - 1}"
+        f"shiftright(signature, band * {SIMHASH_BAND_BITS}) & {2**SIMHASH_BAND_BITS - 1}"
     )
     bands = sigs.select(
         "doc_id",
-        "simhash",
+        "signature",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
     ).withColumn("band_key", band_key)
-    a = bands.alias("a")
-    b = bands.hint("merge").alias("b")
-    hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    pairs = _band_pairs(bands, ["band", "band_key"])
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        pairs.select(
+            "doc_a",
+            "doc_b",
             hamming.alias("hamming"),
         )
         .where(F.col("hamming") <= HAMMING_MAX)
