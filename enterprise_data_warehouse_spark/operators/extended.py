@@ -412,3 +412,34 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders", "total_revenue",
         )
     )
+
+
+# --- distribution-rank window functions --------------------------------------
+
+RANK_DIST_ORACLE = """
+SELECT o_orderkey, o_custkey,
+  percent_rank() OVER w AS price_pct_rank,
+  cume_dist() OVER w AS price_cume_dist,
+  CAST(ntile(4) OVER w AS BIGINT) AS spend_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("order_rank_distributions", oracle=RANK_DIST_ORACLE)
+def order_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile per customer — the distribution-rank
+    window family (absent from the reference; SURVEY.md §2.5 note). One
+    partitioning serves all three. The ORDER BY is tie-broken on o_orderkey
+    because ntile assigns by row position: without a total order the
+    quartile of tied rows is partition-luck, with it the result is
+    deterministic in any engine."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+        F.ntile(4).over(w).cast("bigint").alias("spend_quartile"),
+    )
