@@ -235,16 +235,36 @@ def minhash_signatures(ss: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def _band_pairs(bands: DataFrame, group_cols: list) -> DataFrame:
+MAX_BAND_BUCKET = 1000  # docs per band bucket before the bucket is dropped.
+# Banding does NOT keep buckets small when the corpus is exact-dup heavy:
+# N byte-identical docs share identical signatures, hence one bucket in
+# EVERY band, and the grouped emission would build an N-element array plus
+# ~N²/2 pair structs in a single task (the self-join it replaced streamed
+# those pairs). The cap filters such buckets BEFORE collect_list
+# materializes anything — the count window shares the bucket-key exchange,
+# so it costs no extra shuffle (same shape as MAX_SHINGLE_DF in the n-gram
+# path). Recall note: a >cap bucket is overwhelmingly an exact-duplicate
+# cluster; run exact_dedup first (as any production pipeline does) and the
+# cap never triggers on true near-dups. Mirrored in both oracles.
+
+
+def _band_pairs(
+    bands: DataFrame, group_cols: list, max_bucket: int = MAX_BAND_BUCKET
+) -> DataFrame:
     """Candidate pairs from band rows WITHOUT a self-join: group docs per
     band bucket and emit i<j pairs over the doc_id-sorted list with array
     lambdas. The self-join formulation computes the (expensive, map-side)
     signature table TWICE — Spark does not reuse exchanges across aliased
     self-join sides — and needs a merge hint to avoid a misestimated
     broadcast; this shape computes it once and shuffles it once. Bucket
-    fan-out is the same O(|bucket|²) either way; LSH banding keeps buckets
-    small by construction."""
-    grouped = bands.groupBy(*group_cols).agg(
+    fan-out is bounded by ``max_bucket`` (see MAX_BAND_BUCKET): oversized
+    buckets — exact-dup clusters sharing identical signatures in all
+    bands — are dropped before the doc list materializes."""
+    w = Window.partitionBy(*group_cols)
+    capped = bands.withColumn("_bucket_n", F.count("*").over(w)).where(
+        F.col("_bucket_n") <= max_bucket
+    )
+    grouped = capped.groupBy(*group_cols).agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "signature"))).alias("docs")
     )
     docs = F.col("docs")
@@ -265,7 +285,6 @@ def _band_pairs(bands: DataFrame, group_cols: list) -> DataFrame:
 
 
 @query("minhash_lsh_candidates", bench=True)
-
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: b=8 bands x r=4; docs sharing a band
     key become candidate pairs (grouped emission, no self-join — see
@@ -394,6 +413,7 @@ WITH corpus AS (
   SELECT doc_id, signature, b.band,
          signature[b.band*{LSH_ROWS}+1 : b.band*{LSH_ROWS}+{LSH_ROWS}] AS band_sig
   FROM sigs CROSS JOIN (SELECT unnest(range(0, {LSH_BANDS})) AS band) b
+  QUALIFY COUNT(*) OVER (PARTITION BY b.band, band_sig) <= {MAX_BAND_BUCKET}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(len(list_filter(list_transform(range(1, {MINHASH_K + 1}),
@@ -494,6 +514,7 @@ WITH corpus AS (
   SELECT doc_id, simhash, b.band,
     (simhash >> (b.band * {SIMHASH_BAND_BITS})) & {2**SIMHASH_BAND_BITS - 1} AS band_key
   FROM sigs CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band) b
+  QUALIFY COUNT(*) OVER (PARTITION BY b.band, band_key) <= {MAX_BAND_BUCKET}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
   bit_count(xor(a.simhash, b.simhash)) AS hamming

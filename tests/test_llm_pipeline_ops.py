@@ -76,3 +76,21 @@ def test_cosine_topk_self_excluded_and_ranked(spark):
         sims = [s for _, s in lst]
         assert sims == sorted(sims, reverse=True), f"query {q} not rank-ordered"
         assert len(lst) == 5
+
+
+def test_band_pairs_caps_oversized_buckets(spark):
+    """An exact-dup-heavy bucket (identical signatures in every band) must be
+    dropped before collect_list materializes O(N^2) pair structs; small
+    buckets still emit pairs."""
+    from enterprise_data_warehouse_spark.operators.dedup import _band_pairs
+
+    rows = (
+        # 50 docs sharing one signature (one oversized bucket) ...
+        [(i, [7, 7], "big") for i in range(50)]
+        # ... plus 3 docs sharing another (a real near-dup bucket)
+        + [(100 + i, [9, 9], "small") for i in range(3)]
+    )
+    bands = spark.createDataFrame(rows, "doc_id long, signature array<long>, band_key string")
+    out = _band_pairs(bands, ["band_key"], max_bucket=10).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert got == {(100, 101), (100, 102), (101, 102)}, got
