@@ -23,14 +23,68 @@ CATALOG_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "catalog", "w
 
 def _registry(spark: SparkSession, sf_dir: str) -> ModelRegistry:
     reg = ModelRegistry(spark)
-    for t in ("lineitem", "orders", "customer", "part", "events"):
+    for t in ("lineitem", "orders", "customer", "part", "events", "supplier", "nation", "region"):
         reg.add_source(t, load_table(spark, sf_dir, t))
 
     def sales_transactions(r: ModelRegistry) -> DataFrame:
         li, o = r.ref("lineitem"), r.ref("orders")
         return li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
 
+    def customer_events(r: ModelRegistry) -> DataFrame:
+        # behavioral indicator columns so the fact's measures stay plain
+        # column aggregations (the reference stages bounce/page-view flags
+        # the same way in staging_customer_events)
+        e = r.ref("events")
+        return e.withColumn(
+            "is_view", (F.col("event_type") == "view").cast("int")
+        ).withColumn("is_click", (F.col("event_type") == "click").cast("int"))
+
+    def inventory_transactions(r: ModelRegistry) -> DataFrame:
+        # lineitem staged as signed stock movements: returns flow negative
+        li = r.ref("lineitem")
+        sign = F.when(F.col("l_returnflag") == "R", F.lit(-1.0)).otherwise(F.lit(1.0))
+        return (
+            li.withColumn("quantity_moved", sign * F.col("l_quantity"))
+            .withColumn("unit_cost", F.col("l_extendedprice") / F.col("l_quantity"))
+            .withColumn("movement_value", sign * F.col("l_extendedprice"))
+        )
+
+    def staged_products(r: ModelRegistry) -> DataFrame:
+        # pure double multiply — bit-identical in any IEEE engine, so the
+        # derived margin needs no decimal detour
+        return r.ref("part").withColumn("standard_cost", F.col("p_retailprice") * 0.8)
+
+    def staging_employees(r: ModelRegistry) -> DataFrame:
+        # supplier org chart: blocks of 10 report to the block's first key
+        s, n = r.ref("supplier"), r.ref("nation")
+        manager = F.when(F.col("s_suppkey") % 10 == 1, F.lit(None).cast("bigint")).otherwise(
+            (F.floor((F.col("s_suppkey") - 1) / 10) * 10 + 1).cast("bigint")
+        )
+        return (
+            s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+            .select(
+                F.col("s_suppkey").alias("employee_id"),
+                F.col("s_name").alias("employee_number"),
+                F.col("n_name").alias("department"),
+                F.col("s_acctbal").alias("acctbal"),
+                manager.alias("manager_id"),
+            )
+        )
+
+    def staging_geography(r: ModelRegistry) -> DataFrame:
+        n, rg = r.ref("nation"), r.ref("region")
+        return n.join(F.broadcast(rg), F.col("r_regionkey") == F.col("n_regionkey")).select(
+            F.col("n_nationkey").alias("geography_key"),
+            F.col("n_name").alias("country_name"),
+            F.col("r_name").alias("region"),
+        )
+
     reg.add_model("sales_transactions", sales_transactions)
+    reg.add_model("customer_events", customer_events)
+    reg.add_model("inventory_transactions", inventory_transactions)
+    reg.add_model("staged_products", staged_products)
+    reg.add_model("staging_employees", staging_employees)
+    reg.add_model("staging_geography", staging_geography)
     return reg
 
 
@@ -226,6 +280,164 @@ def catalog_fact_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog.load(CATALOG_PATH)
     reg = _registry(spark, sf_dir)
     return build_fact(reg.ref("events"), cat.fact("fact_events_daily"))
+
+
+# --- round-3 catalog breadth: the reference's remaining facts + dims --------
+
+_VIEWS = "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+_CLICKS = "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+
+FACT_BEHAVIOR_ORACLE = f"""
+SELECT
+  CAST(DATE_TRUNC('day', ts) AS DATE) AS date_key,
+  user_id AS customer_key,
+  CAST({_VIEWS} AS BIGINT) AS page_views,
+  CAST({_CLICKS} AS BIGINT) AS clicks,
+  {sql_davg("value")} AS avg_value,
+  COUNT(event_id) AS n_events,
+  COUNT(*) AS row_count,
+  CASE WHEN {_VIEWS} > 0
+       THEN CAST({_CLICKS} AS DOUBLE) / {_VIEWS}
+       ELSE 0.0 END AS click_through_rate,
+  CASE WHEN COUNT(*) >= 10 THEN 'HIGH'
+       WHEN COUNT(*) >= 3 THEN 'MEDIUM'
+       ELSE 'LOW' END AS engagement_tier
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("catalog_fact_customer_behavior", oracle=FACT_BEHAVIOR_ORACLE)
+def catalog_fact_customer_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: reference fact_customer_behavior (data_catalog.yml:70-104) — the
+    staging model contributes view/click indicator columns, the fact spec
+    aggregates them (sum_int: exact bigint sums) and derives a click-through
+    rate + engagement tier post-agg."""
+    cat = Catalog.load(CATALOG_PATH)
+    reg = _registry(spark, sf_dir)
+    spec = cat.fact("fact_customer_behavior")
+    return build_fact(reg.ref(spec["source"]), spec)
+
+
+_INV_STAGE = """
+  SELECT l_partkey, l_suppkey, l_shipdate,
+    CASE WHEN l_returnflag = 'R' THEN -1.0 ELSE 1.0 END * l_quantity AS quantity_moved,
+    l_extendedprice / l_quantity AS unit_cost,
+    CASE WHEN l_returnflag = 'R' THEN -1.0 ELSE 1.0 END * l_extendedprice AS movement_value
+  FROM lineitem
+"""
+
+FACT_INVENTORY_ORACLE = f"""
+WITH inv AS ({_INV_STAGE})
+SELECT
+  CAST(DATE_TRUNC('day', l_shipdate) AS DATE) AS date_key,
+  l_partkey AS product_key,
+  l_suppkey AS warehouse_key,
+  {sql_dsum("quantity_moved")} AS quantity_change,
+  {sql_davg("unit_cost")} AS avg_unit_cost,
+  {sql_dsum("movement_value")} AS total_value,
+  COUNT(*) AS row_count,
+  CASE WHEN {sql_dsum("quantity_moved")} > 0 THEN 'INBOUND'
+       WHEN {sql_dsum("quantity_moved")} < 0 THEN 'OUTBOUND'
+       ELSE 'BALANCED' END AS net_direction
+FROM inv
+GROUP BY 1, 2, 3
+"""
+
+
+@query("catalog_fact_inventory_daily", oracle=FACT_INVENTORY_ORACLE)
+def catalog_fact_inventory_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: reference fact_inventory_movements (data_catalog.yml:105-141) —
+    signed movement staging (returns negative), decimal-deterministic sums,
+    post-agg direction classification."""
+    cat = Catalog.load(CATALOG_PATH)
+    reg = _registry(spark, sf_dir)
+    spec = cat.fact("fact_inventory_daily")
+    return build_fact(reg.ref(spec["source"]), spec)
+
+
+DIM_PRODUCT_ORACLE = """
+WITH staged AS (
+  SELECT *, p_retailprice * 0.8 AS standard_cost FROM part
+)
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, standard_cost,
+  CASE WHEN p_retailprice < 1000 THEN 'BUDGET'
+       WHEN p_retailprice < 1400 THEN 'STANDARD'
+       WHEN p_retailprice < 1800 THEN 'PREMIUM'
+       ELSE 'LUXURY' END AS price_tier,
+  p_brand || ' > ' || p_type AS product_hierarchy,
+  CASE WHEN p_retailprice > 0
+       THEN (p_retailprice - standard_cost) / p_retailprice
+       ELSE 0.0 END AS profit_margin
+FROM staged
+"""
+
+
+@query("catalog_dim_product", oracle=DIM_PRODUCT_ORACLE)
+def catalog_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: reference dim_product (data_catalog.yml:330-432) — staged cost
+    column + 4-tier pricing, hierarchy concat, and margin derived attrs
+    (pure IEEE double arithmetic, engine-identical without rounding)."""
+    cat = Catalog.load(CATALOG_PATH)
+    reg = _registry(spark, sf_dir)
+    spec = cat.dimension("dim_product")
+    return build_scd1_dimension(reg.ref(spec["source"]), spec)
+
+
+DIM_EMPLOYEE_ORACLE = """
+WITH staged AS (
+  SELECT s_suppkey AS employee_id,
+         s_name AS employee_number,
+         n_name AS department,
+         s_acctbal AS acctbal,
+         CASE WHEN s_suppkey % 10 = 1 THEN NULL
+              ELSE CAST(FLOOR((s_suppkey - 1) / 10) * 10 + 1 AS BIGINT) END AS manager_id
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+)
+SELECT employee_id, employee_number, department, manager_id,
+  REPLACE(employee_number, 'Supplier#', 'Employee #') AS full_name,
+  employee_id IN (SELECT manager_id FROM staged WHERE manager_id IS NOT NULL)
+    AS is_manager,
+  CASE WHEN acctbal >= 5000 THEN 'SENIOR'
+       WHEN acctbal >= 0 THEN 'STANDARD'
+       ELSE 'PROBATION' END AS seniority_band
+FROM staged
+"""
+
+
+@query("catalog_dim_employee", oracle=DIM_EMPLOYEE_ORACLE)
+def catalog_dim_employee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2+J7: reference dim_employee (data_catalog.yml:530-599) with the
+    is_manager membership subquery (:596-597) declared in YAML as an
+    `exists_in` attribute and compiled to a broadcast semi-join flag."""
+    cat = Catalog.load(CATALOG_PATH)
+    reg = _registry(spark, sf_dir)
+    spec = cat.dimension("dim_employee")
+    staged = reg.ref(spec["source"])
+    return build_scd1_dimension(staged, spec, lookups={"staging_employees": staged})
+
+
+DIM_GEOGRAPHY_ORACLE = """
+WITH staged AS (
+  SELECT n_nationkey AS geography_key, n_name AS country_name, r_name AS region
+  FROM nation JOIN region ON r_regionkey = n_regionkey
+)
+SELECT geography_key, country_name, region,
+  country_name || ', ' || region AS full_location,
+  UPPER(SUBSTR(country_name, 1, 3)) AS location_code
+FROM staged
+"""
+
+
+@query("catalog_dim_geography", oracle=DIM_GEOGRAPHY_ORACLE)
+def catalog_dim_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: reference dim_geography (data_catalog.yml:600-656) — the
+    country/region hierarchy staged from nation ⋈ region (broadcast) with
+    concat/substring derived locations."""
+    cat = Catalog.load(CATALOG_PATH)
+    reg = _registry(spark, sf_dir)
+    spec = cat.dimension("dim_geography")
+    return build_scd1_dimension(reg.ref(spec["source"]), spec)
 
 
 # --- snapshot reconciliation -------------------------------------------------

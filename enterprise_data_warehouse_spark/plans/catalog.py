@@ -85,6 +85,10 @@ def build_fact(src: DataFrame, spec: dict, decimal_sums: bool = True) -> DataFra
             aggs.append(dsum(m["column"], m["name"]))
         elif fn_name == "avg" and decimal_sums:
             aggs.append(davg(m["column"], m["name"]))
+        elif fn_name == "sum_int":
+            # integer sums are exact in any order — no decimal detour, and
+            # the bigint result hash-matches DuckDB's CAST(SUM(..) AS BIGINT)
+            aggs.append(F.sum(m["column"]).cast("bigint").alias(m["name"]))
         else:
             aggs.append(AGG_FNS[fn_name](m["column"]).alias(m["name"]))
     aggs.append(F.count("*").alias("row_count"))
@@ -98,8 +102,20 @@ def build_fact(src: DataFrame, spec: dict, decimal_sums: bool = True) -> DataFra
     return out
 
 
-def build_scd1_dimension(src: DataFrame, spec: dict) -> DataFrame:
-    """SCD1: latest row per natural key + derived attributes."""
+def build_scd1_dimension(
+    src: DataFrame, spec: dict, lookups: Mapping[str, DataFrame] | None = None
+) -> DataFrame:
+    """SCD1: latest row per natural key + derived attributes.
+
+    Two derived-attribute kinds (reference
+    governance/data_catalog.yml:523-597 declares both):
+    - ``calculation:`` — a SQL expression over the row (F.expr)
+    - ``exists_in: {lookup, column}`` — membership semi-join (the reference's
+      ``is_manager`` pattern, data_catalog.yml:596-597: an IN (SELECT ...)
+      subquery). Compiled as a broadcast left join against the DISTINCT
+      non-null lookup values + a null flag — the lookup side is tiny
+      (distinct FK values), so no shuffle of the dimension at any scale.
+    """
     from pyspark.sql.window import Window
 
     key = spec["natural_key"]
@@ -109,7 +125,23 @@ def build_scd1_dimension(src: DataFrame, spec: dict) -> DataFrame:
         src.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
     )
     for da in spec.get("derived_attributes", []):
-        out = out.withColumn(da["name"], F.expr(da["calculation"]))
+        if "exists_in" in da:
+            ref = da["exists_in"]
+            lookup_df = (lookups or {})[ref["lookup"]]
+            ids = (
+                lookup_df.select(F.col(ref["column"]).alias("_exists_key"))
+                .where(F.col("_exists_key").isNotNull())
+                .distinct()
+            )
+            out = (
+                out.join(
+                    F.broadcast(ids), out[key] == ids["_exists_key"], "left"
+                )
+                .withColumn(da["name"], F.col("_exists_key").isNotNull())
+                .drop("_exists_key")
+            )
+        else:
+            out = out.withColumn(da["name"], F.expr(da["calculation"]))
     cols = [key] + [a["name"] for a in spec.get("attributes", [])] + [
         da["name"] for da in spec.get("derived_attributes", [])
     ]

@@ -10,7 +10,11 @@ from enterprise_data_warehouse_spark.operators.scd2 import (
     _customer_updates,
     scd2_integrity_violations,
 )
-from enterprise_data_warehouse_spark.plans.catalog import Catalog, build_dimension
+from enterprise_data_warehouse_spark.plans.catalog import (
+    Catalog,
+    build_dimension,
+    build_scd1_dimension,
+)
 from enterprise_data_warehouse_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -41,3 +45,35 @@ def test_catalog_scd1_dimension_shape(spark):
     dim = build_dimension(spec, part)
     assert dim.count() == part.select("p_partkey").distinct().count()
     assert "price_tier" in dim.columns and "size_band" in dim.columns
+
+
+def test_catalog_exists_in_semi_join_flag(spark):
+    """dim_employee's is_manager is a YAML-declared membership semi-join:
+    true exactly for employees appearing as someone's manager_id."""
+    from enterprise_data_warehouse_spark.operators.facts import _registry
+
+    spec = Catalog.load("catalog/warehouse.yml").dimension("dim_employee")
+    reg = _registry(spark, SF)
+    staged = reg.ref(spec["source"])
+    dim = build_scd1_dimension(staged, spec, lookups={"staging_employees": staged})
+    rows = {r["employee_id"]: r["is_manager"] for r in dim.collect()}
+    managers = {
+        r["manager_id"]
+        for r in staged.where(F.col("manager_id").isNotNull()).collect()
+    }
+    assert rows, "empty dimension"
+    for emp, flag in rows.items():
+        assert flag == (emp in managers), (emp, flag)
+
+
+def test_catalog_fact_sum_int_is_bigint(spark):
+    """sum_int measures stay exact bigint — no decimal/double detour."""
+    from enterprise_data_warehouse_spark.operators.facts import _registry
+    from enterprise_data_warehouse_spark.plans.catalog import build_fact
+
+    cat = Catalog.load("catalog/warehouse.yml")
+    spec = cat.fact("fact_customer_behavior")
+    reg = _registry(spark, SF)
+    fact = build_fact(reg.ref(spec["source"]), spec)
+    dtypes = dict(fact.dtypes)
+    assert dtypes["page_views"] == "bigint" and dtypes["clicks"] == "bigint"
