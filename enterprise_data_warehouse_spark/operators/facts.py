@@ -68,6 +68,9 @@ def _registry(spark: SparkSession, sf_dir: str) -> ModelRegistry:
                 F.col("n_name").alias("department"),
                 F.col("s_acctbal").alias("acctbal"),
                 manager.alias("manager_id"),
+                F.expr(
+                    "CONCAT(LOWER(REPLACE(s_name, 'Supplier#', 'emp')), '@corp.example')"
+                ).alias("email"),
             )
         )
 
@@ -356,10 +359,28 @@ def catalog_fact_inventory_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_fact(reg.ref(spec["source"]), spec)
 
 
-DIM_PRODUCT_ORACLE = """
-WITH staged AS (
-  SELECT *, p_retailprice * 0.8 AS standard_cost FROM part
-)
+# staged-model SQL mirrors shared by the dim oracles and the generated
+# quality-suite oracle (single source of truth per staging model)
+STAGING_EMPLOYEES_SQL = """
+  SELECT s_suppkey AS employee_id,
+         s_name AS employee_number,
+         n_name AS department,
+         s_acctbal AS acctbal,
+         CASE WHEN s_suppkey % 10 = 1 THEN NULL
+              ELSE CAST(FLOOR((s_suppkey - 1) / 10) * 10 + 1 AS BIGINT) END AS manager_id,
+         LOWER(REPLACE(s_name, 'Supplier#', 'emp')) || '@corp.example' AS email
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+"""
+
+STAGED_PRODUCTS_SQL = "SELECT *, p_retailprice * 0.8 AS standard_cost FROM part"
+
+STAGING_GEOGRAPHY_SQL = """
+  SELECT n_nationkey AS geography_key, n_name AS country_name, r_name AS region
+  FROM nation JOIN region ON r_regionkey = n_regionkey
+"""
+
+DIM_PRODUCT_ORACLE = f"""
+WITH staged AS ({STAGED_PRODUCTS_SQL})
 SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice, standard_cost,
   CASE WHEN p_retailprice < 1000 THEN 'BUDGET'
        WHEN p_retailprice < 1400 THEN 'STANDARD'
@@ -384,17 +405,9 @@ def catalog_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_scd1_dimension(reg.ref(spec["source"]), spec)
 
 
-DIM_EMPLOYEE_ORACLE = """
-WITH staged AS (
-  SELECT s_suppkey AS employee_id,
-         s_name AS employee_number,
-         n_name AS department,
-         s_acctbal AS acctbal,
-         CASE WHEN s_suppkey % 10 = 1 THEN NULL
-              ELSE CAST(FLOOR((s_suppkey - 1) / 10) * 10 + 1 AS BIGINT) END AS manager_id
-  FROM supplier JOIN nation ON n_nationkey = s_nationkey
-)
-SELECT employee_id, employee_number, department, manager_id,
+DIM_EMPLOYEE_ORACLE = f"""
+WITH staged AS ({STAGING_EMPLOYEES_SQL})
+SELECT employee_id, employee_number, department, manager_id, email,
   REPLACE(employee_number, 'Supplier#', 'Employee #') AS full_name,
   employee_id IN (SELECT manager_id FROM staged WHERE manager_id IS NOT NULL)
     AS is_manager,
@@ -417,11 +430,8 @@ def catalog_dim_employee(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_scd1_dimension(staged, spec, lookups={"staging_employees": staged})
 
 
-DIM_GEOGRAPHY_ORACLE = """
-WITH staged AS (
-  SELECT n_nationkey AS geography_key, n_name AS country_name, r_name AS region
-  FROM nation JOIN region ON r_regionkey = n_regionkey
-)
+DIM_GEOGRAPHY_ORACLE = f"""
+WITH staged AS ({STAGING_GEOGRAPHY_SQL})
 SELECT geography_key, country_name, region,
   country_name || ', ' || region AS full_location,
   UPPER(SUBSTR(country_name, 1, 3)) AS location_code

@@ -22,9 +22,13 @@ from ..queries import query
 from ..sources.tables import load_table
 
 
+# anchored; matches in Spark rlike and DuckDB regexp_matches identically
+EMAIL_RE = r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"
+
+
 @dataclass(frozen=True)
 class Check:
-    kind: str  # unique | not_null | accepted_values | relationships | positive_values
+    kind: str  # unique | not_null | accepted_values | relationships | positive_values | email_format
     table: str
     column: str
     values: Sequence[str] | None = None  # accepted_values
@@ -48,6 +52,8 @@ def run_check(tables: dict[str, DataFrame], c: Check) -> DataFrame:
         violations = df.select(c.column).join(parent, c.column, "left_anti").agg(F.count("*"))
     elif c.kind == "positive_values":
         violations = df.where(col <= 0).agg(F.count("*"))
+    elif c.kind == "email_format":
+        violations = df.where(~col.rlike(EMAIL_RE) | col.isNull()).agg(F.count("*"))
     else:
         raise ValueError(f"unknown check kind: {c.kind}")
     n = violations.toDF("n_violations")
@@ -120,3 +126,136 @@ def quality_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         t: load_table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem")
     }
     return run_suite(tables, SUITE)
+
+
+# --- catalog-driven test codegen ---------------------------------------------
+# The reference auto-generates per-column schema tests from the catalog YAML
+# (scripts/utilities/generate_fact_dimension_models.py:405-489; defaults
+# governance/data_catalog.yml:670-683). Here the SAME YAML drives both the
+# Spark check suite and the DuckDB oracle string: compile_checks walks the
+# specs, compile_suite_oracle emits the equivalent SQL — so the two can not
+# drift apart, and the driver value-verifies the generated suite.
+
+
+def compile_checks(cat) -> list[Check]:
+    """Walk the catalog into Check objects:
+    - each dimension's natural key gets the configured default tests
+      (quality.natural_key_tests, default unique + not_null)
+    - attribute `tests:` lists compile per-kind (accepted_values reads the
+      sibling `values:` list)
+    - fact dimension_keys with a `ref:` compile to a relationships check on
+      the raw table named by ref.from
+    - fact measures with `tests:` compile against measure `from:` tables
+    """
+    key_tests = (cat.raw.get("quality") or {}).get(
+        "natural_key_tests", ["unique", "not_null"]
+    )
+    checks: list[Check] = []
+    for d in cat.dimensions:
+        t = d.get("source")
+        if not t:
+            continue
+        for kind in key_tests:
+            checks.append(Check(kind, t, d["natural_key"]))
+        for a in d.get("attributes", []):
+            for kind in a.get("tests", []):
+                vals = tuple(a["values"]) if kind == "accepted_values" else None
+                checks.append(Check(kind, t, a["name"], values=vals))
+    for f in cat.facts:
+        for k in f.get("dimension_keys", []):
+            ref = k.get("ref")
+            if ref:
+                checks.append(
+                    Check(
+                        "relationships",
+                        ref.get("from", f["source"]),
+                        k["source_column"],
+                        ref_table=ref["table"],
+                        ref_column=ref["column"],
+                    )
+                )
+        for m in f.get("measures", []):
+            for kind in m.get("tests", []):
+                checks.append(Check(kind, m.get("from", f["source"]), m["column"]))
+    # two specs may declare the same FK/test (e.g. two facts sharing a
+    # dimension ref) — one test run per distinct check, order-preserving
+    return list(dict.fromkeys(checks))
+
+
+def _check_sql(c: Check) -> str:
+    t, col = c.table, c.column
+    if c.kind == "unique":
+        sub = f"(SELECT COUNT(*) FROM (SELECT {col} FROM {t} GROUP BY {col} HAVING COUNT(*) > 1))"
+    elif c.kind == "not_null":
+        sub = f"(SELECT COUNT(*) FROM {t} WHERE {col} IS NULL)"
+    elif c.kind == "accepted_values":
+        vals = ", ".join(f"'{v}'" for v in c.values)
+        sub = f"(SELECT COUNT(*) FROM {t} WHERE {col} NOT IN ({vals}) OR {col} IS NULL)"
+    elif c.kind == "relationships":
+        sub = (
+            f"(SELECT COUNT(*) FROM {t} c WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {c.ref_table} p WHERE p.{c.ref_column} = c.{col}))"
+        )
+    elif c.kind == "positive_values":
+        sub = f"(SELECT COUNT(*) FROM {t} WHERE {col} <= 0)"
+    elif c.kind == "email_format":
+        sub = (
+            f"(SELECT COUNT(*) FROM {t} WHERE NOT regexp_matches({col}, '{EMAIL_RE}') "
+            f"OR {col} IS NULL)"
+        )
+    else:
+        raise ValueError(f"unknown check kind: {c.kind}")
+    return (
+        f"SELECT '{c.kind}' AS check_name, '{t}' AS table_name, "
+        f"'{col}' AS column_name, {sub} AS n_violations"
+    )
+
+
+def compile_suite_oracle(checks: Sequence[Check]) -> str:
+    # staged models some checks target, stated once as CTEs (unused CTEs are
+    # legal); raw tables resolve to the driver's pre-registered views
+    from .facts import STAGED_PRODUCTS_SQL, STAGING_EMPLOYEES_SQL, STAGING_GEOGRAPHY_SQL
+
+    body = "\n  UNION ALL\n  ".join(_check_sql(c) for c in checks)
+    return f"""
+WITH staging_employees AS ({STAGING_EMPLOYEES_SQL}),
+staged_products AS ({STAGED_PRODUCTS_SQL}),
+staging_geography AS ({STAGING_GEOGRAPHY_SQL}),
+results AS (
+  {body}
+)
+SELECT check_name, table_name, column_name, n_violations,
+  CASE WHEN n_violations = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+FROM results
+"""
+
+
+def _catalog():
+    import os
+
+    from ..plans.catalog import Catalog
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "catalog", "warehouse.yml"
+    )
+    return Catalog.load(path)
+
+
+_CATALOG_CHECKS = compile_checks(_catalog())
+CATALOG_SUITE_ORACLE = compile_suite_oracle(_CATALOG_CHECKS)
+
+
+@query("catalog_quality_suite", oracle=CATALOG_SUITE_ORACLE)
+def catalog_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog-compiled test suite: every check row here was generated
+    from catalog/warehouse.yml `tests:`/`ref:` declarations plus the
+    natural-key defaults — nothing hand-declared (compare quality_check_suite
+    above, the hand-written r01 suite kept for continuity)."""
+    from .facts import _registry
+
+    reg = _registry(spark, sf_dir)
+    needed = {c.table for c in _CATALOG_CHECKS} | {
+        c.ref_table for c in _CATALOG_CHECKS if c.ref_table
+    }
+    tables = {t: reg.ref(t) for t in needed}
+    return run_suite(tables, _CATALOG_CHECKS)

@@ -77,3 +77,27 @@ def test_catalog_fact_sum_int_is_bigint(spark):
     fact = build_fact(reg.ref(spec["source"]), spec)
     dtypes = dict(fact.dtypes)
     assert dtypes["page_views"] == "bigint" and dtypes["clicks"] == "bigint"
+
+
+def test_quality_codegen_from_catalog():
+    """compile_checks derives the suite purely from YAML declarations:
+    natural-key defaults, per-column tests, fact relationship refs."""
+    from enterprise_data_warehouse_spark.operators.quality import (
+        Check,
+        compile_checks,
+    )
+
+    checks = compile_checks(Catalog.load("catalog/warehouse.yml"))
+    kinds = {(c.kind, c.table, c.column) for c in checks}
+    # natural-key defaults
+    assert ("unique", "part", "p_partkey") in kinds
+    assert ("not_null", "staging_employees", "employee_id") in kinds
+    # declared column tests incl. email_format and accepted_values
+    assert ("email_format", "staging_employees", "email") in kinds
+    assert ("accepted_values", "customer", "c_mktsegment") in kinds
+    # fact relationship refs target the raw `from:` table
+    assert (
+        Check("relationships", "orders", "o_custkey",
+              ref_table="customer", ref_column="c_custkey") in checks
+    )
+    assert len(checks) == len(set(checks)), "duplicate generated checks"
