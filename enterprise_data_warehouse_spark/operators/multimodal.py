@@ -173,21 +173,57 @@ def _decode_image_real(payload: bytes, width: int, height: int):
 
 def _fake_pixel_stats(payload: bytes) -> tuple[float, float]:
     """Deterministic stand-in for decoded-pixel statistics: byte-value mean
-    and population std of the payload — stable across engines and runs."""
+    and population std of the payload.
+
+    Computed from EXACT integer moments (s1=Σb, s2=Σb²) and then combined
+    with the same double-arithmetic shape the SQL oracle uses — for payloads
+    under ~1 MB both moments are < 2^53, every intermediate is exactly
+    representable, and the two engines produce bit-identical doubles, which
+    is what lets the Arrow boundary be value-hash-verified."""
     n = len(payload)
     if n == 0:
         return 0.0, 0.0
-    mean = sum(payload) / n
-    var = sum((b - mean) ** 2 for b in payload) / n
-    return float(mean), float(var**0.5)
+    s1 = sum(payload)
+    s2 = sum(b * b for b in payload)
+    mean = s1 / n
+    var = (float(s2) - float(s1) * float(s1) / n) / n
+    return float(mean), max(var, 0.0) ** 0.5
 
 
-@query("image_feature_extract")
+IMAGE_FEATURE_ORACLE = """
+WITH imgs AS (
+  SELECT doc_id, text,
+    CAST(64 + (doc_id % 16) * 32 AS INT) AS width,
+    CAST(64 + (doc_id % 12) * 32 AS INT) AS height
+  FROM documents WHERE doc_id % 3 = 0
+), chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM imgs
+), moments AS (
+  SELECT doc_id, COUNT(*) AS n,
+         SUM(ord(ch)) AS s1, SUM(ord(ch) * ord(ch)) AS s2
+  FROM chars GROUP BY doc_id
+)
+SELECT i.doc_id, i.width, i.height,
+  CAST(m.s1 AS DOUBLE) / m.n AS mean_intensity,
+  SQRT(GREATEST((CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) / m.n) / m.n, 0.0))
+    AS std_intensity,
+  CAST(i.width AS DOUBLE) / i.height AS aspect_ratio
+FROM imgs i JOIN moments m ON m.doc_id = i.doc_id
+"""
+
+
+@query("image_feature_extract", oracle=IMAGE_FEATURE_ORACLE)
 def image_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D-style decode→feature batch: mapInPandas over (payload, meta) — one
     Arrow batch per ~10k rows, model/decoder initialized once per batch
-    iterator (not per row). Rows-only check: the fake decode is Python-side.
-    """
+    iterator (not per row).
+
+    Oracle-paired: the deterministic byte-stat fake (the stand-in for pixel
+    statistics while the real decoder is import-gated, see
+    _decode_image_real) is itself SQL-expressible, so the whole Arrow
+    round-trip — schema, batching, column alignment — is value-verified
+    against DuckDB, not just row-counted. The corpus is ASCII, so byte
+    values equal character ordinals on the oracle side."""
     import pandas as pd
 
     m = media_manifest_df(spark, sf_dir).where(F.col("media_type") == "image")

@@ -117,6 +117,7 @@ PRIORITY_ORDER = [
     # -- multimodal ---------------------------------------------------------
     "video_frame_sample_plan",
     "audio_chunk_plan",
+    "image_feature_extract",  # oracle-paired in r03 (byte-stat fake mirrored)
     # -- streaming batch twins ----------------------------------------------
     "sliding_hourly_counts",
     "segment_hourly_counts",
@@ -125,7 +126,6 @@ PRIORITY_ORDER = [
     "minhash_lsh_candidates",
     "simhash_signatures",
     "ann_lsh_buckets",
-    "image_feature_extract",
     "ts_features_pandas",
     "score_customers_pandas",
     # -- spill past the 50-slot budget; rotate forward in round 4 ----------
