@@ -82,12 +82,53 @@ def _registry(spark: SparkSession, sf_dir: str) -> ModelRegistry:
             F.col("r_name").alias("region"),
         )
 
-    reg.add_model("sales_transactions", sales_transactions)
-    reg.add_model("customer_events", customer_events)
-    reg.add_model("inventory_transactions", inventory_transactions)
-    reg.add_model("staged_products", staged_products)
-    reg.add_model("staging_employees", staging_employees)
-    reg.add_model("staging_geography", staging_geography)
+    reg.add_model("sales_transactions", sales_transactions, deps=("lineitem", "orders"))
+    reg.add_model("customer_events", customer_events, deps=("events",))
+    reg.add_model("inventory_transactions", inventory_transactions, deps=("lineitem",))
+    reg.add_model("staged_products", staged_products, deps=("part",))
+    reg.add_model("staging_employees", staging_employees, deps=("supplier", "nation"))
+    reg.add_model("staging_geography", staging_geography, deps=("nation", "region"))
+    return reg
+
+
+def full_catalog_registry(spark: SparkSession, sf_dir: str) -> ModelRegistry:
+    """Every YAML catalog model registered with its dependency edges — the
+    graph ModelRegistry.build_all runs topo-parallel (staging layer first,
+    then facts/dims concurrently, mirroring the reference's dbt layer order
+    and thread count). dim_customer (SCD2) is excluded: it takes an update
+    batch as input, so it builds through the sinks/scd2 path, not the
+    stateless graph."""
+    _scd1 = build_scd1_dimension
+    reg = _registry(spark, sf_dir)
+    cat = Catalog.load(CATALOG_PATH)
+    for fact_name in (
+        "fact_sales_daily",
+        "fact_events_daily",
+        "fact_customer_behavior",
+        "fact_inventory_daily",
+    ):
+        spec = cat.fact(fact_name)
+        reg.add_model(
+            fact_name,
+            lambda r, s=spec: build_fact(r.ref(s["source"]), s),
+            deps=(spec["source"],),
+        )
+    for dim_name in ("dim_part", "dim_product", "dim_geography"):
+        spec = cat.dimension(dim_name)
+        src = spec.get("source", "part")
+        reg.add_model(
+            dim_name,
+            lambda r, s=spec, src=src: _scd1(r.ref(src), s),
+            deps=(src,),
+        )
+    emp = cat.dimension("dim_employee")
+    reg.add_model(
+        "dim_employee",
+        lambda r, s=emp: _scd1(
+            r.ref(s["source"]), s, lookups={s["source"]: r.ref(s["source"])}
+        ),
+        deps=(emp["source"],),
+    )
     return reg
 
 

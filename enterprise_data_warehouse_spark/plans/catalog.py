@@ -151,18 +151,35 @@ def build_scd1_dimension(
 @dataclass
 class ModelRegistry:
     """dbt-style ref() graph: sources are DataFrames, models are builders
-    that may ref() other models; builds memoize (ephemeral semantics)."""
+    that may ref() other models; builds memoize (ephemeral semantics).
+
+    ``build_all`` is the topo-parallel runner the reference drives through
+    dbt (profiles.yml:13,39 — threads 8/16; airflow dbt_orchestration_dag.py
+    :320-323 — staging → dims/facts layer order): models are levelled by
+    their declared ``deps`` (Kahn's algorithm) and each level is built with
+    a driver-side thread pool. Spark is happy to run jobs from multiple
+    driver threads — the scheduler interleaves their stages across the
+    cluster, which is exactly how dbt overlaps independent model builds on
+    a warehouse. Memoized refs make concurrent same-dep lookups cheap, and
+    a lock makes the inline-build fallback (an undeclared dep) safe."""
 
     spark: SparkSession
     sources: dict[str, DataFrame] = field(default_factory=dict)
     builders: dict[str, Callable[["ModelRegistry"], DataFrame]] = field(default_factory=dict)
+    deps: dict[str, tuple[str, ...]] = field(default_factory=dict)
     _built: dict[str, DataFrame] = field(default_factory=dict)
 
     def add_source(self, name: str, df: DataFrame) -> None:
         self.sources[name] = df
 
-    def add_model(self, name: str, builder: Callable[["ModelRegistry"], DataFrame]) -> None:
+    def add_model(
+        self,
+        name: str,
+        builder: Callable[["ModelRegistry"], DataFrame],
+        deps: tuple[str, ...] | list[str] = (),
+    ) -> None:
         self.builders[name] = builder
+        self.deps[name] = tuple(deps)
 
     def ref(self, name: str) -> DataFrame:
         if name in self._built:
@@ -171,9 +188,61 @@ class ModelRegistry:
             return self.sources[name]
         if name not in self.builders:
             raise KeyError(f"unknown model/source: {name}")
-        df = self.builders[name](self)
-        self._built[name] = df
-        return df
+        with self._ref_lock:
+            if name not in self._built:  # double-checked under the lock
+                self._built[name] = self.builders[name](self)
+        return self._built[name]
+
+    def __post_init__(self) -> None:
+        import threading
+
+        self._ref_lock = threading.RLock()
+
+    def layers(self) -> list[list[str]]:
+        """Kahn levels over declared deps: level N models depend only on
+        sources and models in levels < N. Unknown deps and cycles raise."""
+        for name, ds in self.deps.items():
+            for d in ds:
+                if d not in self.builders and d not in self.sources:
+                    raise KeyError(f"{name}: unknown dep {d!r}")
+        remaining = set(self.builders)
+        resolved = set(self.sources)
+        levels: list[list[str]] = []
+        while remaining:
+            level = sorted(
+                n for n in remaining if all(d in resolved for d in self.deps[n])
+            )
+            if not level:
+                raise ValueError(f"dependency cycle among: {sorted(remaining)}")
+            levels.append(level)
+            resolved.update(level)
+            remaining.difference_update(level)
+        return levels
+
+    def build_all(
+        self,
+        threads: int = 8,
+        action: Callable[[str, DataFrame], None] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Build every registered model, layer by layer, models within a
+        layer concurrently on ``threads`` driver threads. ``action`` is the
+        per-model materialization (write/count); None just compiles plans."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(name: str) -> None:
+            df = self.ref(name)
+            if action is not None:
+                action(name, df)
+
+        for level in self.layers():
+            if len(level) == 1 or threads <= 1:
+                for n in level:
+                    one(n)
+                continue
+            with ThreadPoolExecutor(max_workers=min(threads, len(level))) as ex:
+                for fut in [ex.submit(one, n) for n in level]:
+                    fut.result()  # re-raise builder errors with traceback
+        return dict(self._built)
 
 
 def build_scd2_dimension(

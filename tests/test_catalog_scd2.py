@@ -101,3 +101,48 @@ def test_quality_codegen_from_catalog():
               ref_table="customer", ref_column="c_custkey") in checks
     )
     assert len(checks) == len(set(checks)), "duplicate generated checks"
+
+
+def test_topo_parallel_build_all(spark):
+    """build_all levels the catalog graph (staging before consumers) and
+    builds each level with driver-side threads; every dep's action fires
+    before its dependent's."""
+    import threading
+
+    from enterprise_data_warehouse_spark.operators.facts import full_catalog_registry
+
+    reg = full_catalog_registry(spark, SF)
+    idx = {n: i for i, layer in enumerate(reg.layers()) for n in layer}
+    assert idx["sales_transactions"] < idx["fact_sales_daily"]
+    assert idx["staging_employees"] < idx["dim_employee"]
+    assert idx["staged_products"] < idx["dim_product"]
+
+    events, lock = [], threading.Lock()
+
+    def act(name, df):
+        n = df.count()
+        with lock:
+            events.append((name, n))
+
+    built = reg.build_all(threads=8, action=act)
+    done = [n for n, _ in events]
+    assert set(done) == set(reg.builders), "every model built exactly once"
+    assert len(done) == len(set(done))
+    for name, deps in reg.deps.items():
+        for d in deps:
+            if d in reg.builders:
+                assert done.index(d) < done.index(name), (d, name)
+    assert all(n > 0 for _, n in events), "empty model build"
+    assert set(built) == set(reg.builders)
+
+
+def test_build_all_detects_cycles(spark):
+    from enterprise_data_warehouse_spark.plans.catalog import ModelRegistry
+
+    import pytest
+
+    reg = ModelRegistry(spark)
+    reg.add_model("a", lambda r: r.ref("b"), deps=("b",))
+    reg.add_model("b", lambda r: r.ref("a"), deps=("a",))
+    with pytest.raises(ValueError, match="cycle"):
+        reg.layers()
