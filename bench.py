@@ -42,13 +42,15 @@ def main() -> None:
     force(bench_queries[next(iter(bench_queries))].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name, spec in bench_queries.items():
-        best = float("inf")
+        rs = []
         for _ in range(2):
             t0 = time.perf_counter()
             force(spec.fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            rs.append(round(time.perf_counter() - t0, 3))
+        runs[name] = rs
+        timings[name] = min(rs)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -58,6 +60,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # methodology v2 since r02: per-query best-of-2 with a warm
+                # JVM (v1/r01 was single-run); both raw runs recorded so
+                # cross-round deltas stay interpretable under host steal.
+                "methodology": "best_of_2_noop_sink_v2",
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -206,7 +206,7 @@ FROM offsets
 """
 
 
-@query("sequence_packing", oracle=PACKING_ORACLE)
+@query("sequence_packing", oracle=PACKING_ORACLE, bench=True)
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-training sequence packing, concat-and-cut style: documents are
     concatenated in deterministic doc_id order into a virtual token stream

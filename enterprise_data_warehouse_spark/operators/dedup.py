@@ -524,7 +524,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """
 
 
-@query("simhash_hamming_pairs", oracle=SIMHASH_PAIRS_ORACLE)
+@query("simhash_hamming_pairs", oracle=SIMHASH_PAIRS_ORACLE, bench=True)
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidate pairs, fully oracle-verified: portable
     48-bit signatures from md5 token hashes (one hash per DISTINCT token,
@@ -589,7 +589,7 @@ FROM comp
 """
 
 
-@query("near_dup_clusters", oracle=CLUSTER_ORACLE)
+@query("near_dup_clusters", oracle=CLUSTER_ORACLE, bench=True)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: connected components over the near-dup candidate
     graph (Jaccard ≥ JACCARD_THRESHOLD pairs), cluster id = min doc_id in

@@ -516,7 +516,7 @@ FROM assign2 GROUP BY cluster_id
 """
 
 
-@query("kmeans_embeddings", oracle=KMEANS_ORACLE)
+@query("kmeans_embeddings", oracle=KMEANS_ORACLE, bench=True)
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding table (k/iters: see KMEANS_K and
     KMEANS_ITERS above) — the iterative-algorithm pattern
