@@ -35,13 +35,20 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     Both confs are runtime-settable SQL confs, so this works even when the
     session was built elsewhere (e.g. the verify driver's plain session):
 
-    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which the
-      vectorized parquet reader rejects outright; with the flag it surfaces
-      as long ns and ``load_table`` converts to a µs timestamp.
+    - ``nanosAsLong``: a TIMESTAMP(NANOS) parquet column (early testdata
+      generations) is rejected by the vectorized reader outright; with the
+      flag it surfaces as long ns and ``load_table`` converts to µs.
+    - ``inferTimestampNTZ=false``: a naive TIMESTAMP(MICROS) parquet column
+      (current testdata generation) would otherwise surface as
+      TIMESTAMP_NTZ, which breaks TIMESTAMP-only expressions (unix_micros)
+      and silently splits union branches into NTZ-vs-LTZ coercion casts.
+      Reading it as LTZ under a pinned UTC session TZ keeps wall-clock
+      values identical to the oracle's naive timestamps.
     - UTC session timezone: timestamp→date/extract semantics must match the
       DuckDB oracle's naive timestamps, independent of host TZ.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 

@@ -25,6 +25,35 @@ from .incremental import (
     tumbling_counts,
 )
 
+
+def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table, schema-pinned (required by
+    readStream) and generation-adaptive: the driver's testdata has stored
+    ``ts`` both as TIMESTAMP(NANOS) (surfacing as long ns under the legacy
+    flag) and as naive TIMESTAMP(MICROS) (surfacing as LTZ under
+    ``inferTimestampNTZ=false``). We peek at the BATCH schema — a footer
+    read via load_table, which also provisions the session confs — and pin
+    the matching stream schema, so every streaming query shares one source
+    definition instead of five drifting copies."""
+    ts_type = dict(load_table(spark, sf_dir, "events").dtypes)["ts"]
+    if ts_type == "bigint":
+        schema = (
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        conv = lambda df: df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))  # noqa: E731
+    else:
+        schema = (
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        conv = lambda df: df  # noqa: E731
+    return conv(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
 TUMBLING_ORACLE = """
 SELECT
   DATE_TRUNC('hour', ts) AS window_start,
@@ -100,19 +129,8 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark + tumbling agg, drained via Trigger.AvailableNow into a memory
     sink. Rows-only driver check; tests assert equality with the batch path.
     """
-    # ts is TIMESTAMP(NANOS) → read as long (session flag), convert to µs.
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
     # file source needs a directory: stream the sf dir, globbed to events
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    agg = tumbling_counts(stream)
+    agg = tumbling_counts(event_stream(spark, sf_dir))
     name = "stream_hourly_" + uuid.uuid4().hex[:8]
     return run_stream_to_memory(spark, agg, name)
 
@@ -155,20 +173,9 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     history): the property that makes streaming dedup viable at 100 TB/day.
     Batch-path equality is asserted in tests; rows-only driver check
     (append-mode memory-sink drain)."""
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-
-    def src():
-        return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
-
-    doubled = src().union(src())  # every event arrives twice
+    doubled = event_stream(spark, sf_dir).union(
+        event_stream(spark, sf_dir)
+    )  # every event arrives twice
     deduped = (
         doubled.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
@@ -187,17 +194,7 @@ def streaming_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complete-mode drain of the bounded stream emits every session, so tests
     assert exact equality with `session_metrics_batch`. Rows-only driver
     check (real stream)."""
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    out = session_metrics(stream).withColumn(
+    out = session_metrics(event_stream(spark, sf_dir)).withColumn(
         "session_value",
         F.round(F.col("session_value").cast("decimal(38,10)"), 4).cast("double"),
     )
@@ -275,37 +272,14 @@ def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     via availableNow. The canonical streaming-enrichment topology: facts
     stream, dims are slowly-changing tables re-read per batch. Rows-only
     driver check; tests assert equality with the batch builder."""
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
     c = load_table(spark, sf_dir, "customer")
-    out = _segment_hourly(stream, c)
+    out = _segment_hourly(event_stream(spark, sf_dir), c)
     name = "stream_segments_" + uuid.uuid4().hex[:8]
     return run_stream_to_memory(spark, out, name)
 
 
 # --- stream-stream join -------------------------------------------------------
 
-_EVENT_STREAM_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
-def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = (
-        spark.readStream.schema(_EVENT_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def _view_click_join(views: DataFrame, clicks: DataFrame) -> DataFrame:
@@ -365,7 +339,7 @@ def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(stream history)). Drained via availableNow into a memory sink; tests
     assert row-set equality with the batch twin. Rows-only driver check
     (the drain is not a SQL-expressible shape)."""
-    e = _event_stream(spark, sf_dir)
+    e = event_stream(spark, sf_dir)
     views = e.where(F.col("event_type") == "view").withWatermark("ts", "1 hour")
     clicks = e.where(F.col("event_type") == "click").withWatermark("ts", "1 hour")
     out = _view_click_join(views, clicks)

@@ -87,17 +87,9 @@ def stateful_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests assert parity with a batch recomputation."""
     import uuid
 
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    out = stateful_ewma(stream)
+    from .queries import event_stream
+
+    out = stateful_ewma(event_stream(spark, sf_dir))
     name = "ewma_" + uuid.uuid4().hex[:8]
     q = (
         out.writeStream.format("memory")

@@ -1,0 +1,122 @@
+"""Commit-manifest protocol (sources/versioned.py): the table must stay
+readable — and show ONLY fully-committed data — through every crash point,
+including the window where sink.merge_upsert's delete-then-rename swap is
+unsafe on object stores."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_data_warehouse_spark.sources.versioned import VersionedTable
+
+
+def _rows(df):
+    return {(r["id"], r["val"]) for r in df.collect()}
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id int, val string")
+
+
+def test_commit_read_roundtrip(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    assert not t.exists()
+    with pytest.raises(FileNotFoundError):
+        t.read()
+    v = t.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    assert v == 1 and t.current_version() == 1
+    assert _rows(t.read()) == {(1, "a"), (2, "b")}
+
+
+def test_merge_semantics_match_merge_upsert(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.merge(_mk(spark, [(2, "B"), (4, "d")]), keys=["id"])
+    assert _rows(t.read()) == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    assert t.current_version() == 2
+    # old version still present until vacuum — time travel for free
+    assert t.committed_versions() == [1, 2]
+
+
+def test_kill_between_data_write_and_marker_leaves_table_readable(spark, tmp_path):
+    """THE crash window: writer dies after fully staging v2's data but
+    before the commit marker. merge_upsert's swap at this point has already
+    deleted the target on an object store; here readers never look at v2."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a"), (2, "b")]))
+
+    # simulate the crash: stage v2 data, "die" before _create_marker
+    merged = _mk(spark, [(1, "a"), (2, "B"), (3, "c")])
+    t._write_data(merged, version=2)
+    assert os.path.isdir(tmp_path / "t" / "v00000002")  # orphan staged dir
+
+    # reader: still v1, still complete
+    assert t.current_version() == 1
+    assert _rows(t.read()) == {(1, "a"), (2, "b")}
+
+    # recovery is just a re-run: merge retries, commits v2 over the orphan
+    t.merge(_mk(spark, [(2, "B"), (3, "c")]), keys=["id"])
+    assert t.current_version() == 2
+    assert _rows(t.read()) == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_kill_with_half_written_data_dir(spark, tmp_path):
+    """Partial data dir (writer died mid-parquet-write): no marker, so the
+    half-written files are invisible to readers."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    # half-written v2: directory with a non-parquet temp file only
+    bad = tmp_path / "t" / "v00000002"
+    bad.mkdir()
+    (bad / "part-00000.parquet._COPYING_").write_bytes(b"\x00garbage")
+    assert t.current_version() == 1
+    assert _rows(t.read()) == {(1, "a")}
+    removed = t.vacuum(keep=2)
+    assert removed["orphans"] == [2]
+    assert not bad.exists()
+
+
+def test_marker_without_data_dir_is_ignored(spark, tmp_path):
+    """Crash mid-vacuum (marker deleted first, then data) in the inverse
+    order — or manual damage: a marker pointing at a missing dir must not
+    break reads."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    t.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    # damage: v2's data dir vanishes but its marker survives
+    import shutil
+
+    shutil.rmtree(tmp_path / "t" / "v00000002")
+    assert t.current_version() == 1
+    assert _rows(t.read()) == {(1, "a")}
+
+
+def test_vacuum_keeps_last_n_and_drops_orphans(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.commit(_mk(spark, [(1, f"v{i + 1}")]))
+    t._write_data(_mk(spark, [(9, "orphan")]), version=9)
+    removed = t.vacuum(keep=2)
+    assert removed == {"versions": [1, 2], "orphans": [9]}
+    assert t.committed_versions() == [3, 4]
+    assert _rows(t.read()) == {(1, "v4")}
+    assert not (tmp_path / "t" / "v00000001").exists()
+    assert not (tmp_path / "t" / "v00000009").exists()
+
+
+def test_incremental_idempotent_and_crash_replayable(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    src = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"), (2, "2024-01-02 10:00:00", "b")],
+        "id int, updated_at string, val string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    t.incremental(src, "updated_at", ["id"])
+    rows1 = {(r["id"], r["val"]) for r in t.read().collect()}
+    assert rows1 == {(1, "a"), (2, "b")}
+    # replay (e.g. after a crash downstream): same source, no duplicates
+    t.incremental(src, "updated_at", ["id"])
+    rows2 = {(r["id"], r["val"]) for r in t.read().collect()}
+    assert rows2 == rows1
