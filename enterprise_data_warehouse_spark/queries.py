@@ -92,6 +92,7 @@ PRIORITY_ORDER = [
     # -- dedup / similarity scale paths ------------------------------------
     "near_dup_clusters",
     "ivf_topk",
+    "ann_multiprobe_topk",  # new in r03 (multi-probe recall hardening)
     "embedding_centroids",
     "kmeans_embeddings",
     # -- relational / window extensions ------------------------------------
