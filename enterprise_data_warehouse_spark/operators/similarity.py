@@ -689,8 +689,109 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = e.where(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cluster_id"), F.col("v").alias("c")
     )
+    assigned = _lloyd_iterations(e, centroids, KMEANS_ITERS)
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("first_vec_id")
+    )
+
+
+SKETCH_MOD = 10  # ~10% hash sample feeds the seeding pass
+
+_SQL_SKETCH_PRED = (
+    "(CAST(('0x' || SUBSTR(MD5(CAST(vec_id AS VARCHAR) || '#seed'), 1, 15)) "
+    f"AS BIGINT) % {SKETCH_MOD}) = 0"
+)
+
+
+def _sql_ff_round(i: int, prev_d: str, prev_c: str) -> str:
+    """One farthest-first round: fold centroid i-1's distance into the
+    running min, then pick the sketch point with the max min-distance."""
+    return f"""d{i} AS (
+  SELECT p.vec_id, p.v, LEAST(p.dmin, {_sql_sq_dist('p.v', 'cc.c')}) AS dmin
+  FROM {prev_d} p CROSS JOIN {prev_c} cc
+), c{i} AS (
+  SELECT {i} AS cluster_id, v AS c FROM d{i} ORDER BY dmin DESC, vec_id ASC LIMIT 1
+)"""
+
+
+KMEANS_PP_ORACLE = f"""
+WITH sketch AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE {_SQL_SKETCH_PRED}
+), c0 AS (
+  SELECT 0 AS cluster_id, v AS c FROM sketch ORDER BY vec_id ASC LIMIT 1
+), d0 AS (
+  SELECT s.vec_id, s.v, {_sql_sq_dist('s.v', 'cc.c')} AS dmin
+  FROM sketch s CROSS JOIN c0 cc
+), c1 AS (
+  SELECT 1 AS cluster_id, v AS c FROM d0 ORDER BY dmin DESC, vec_id ASC LIMIT 1
+), {_sql_ff_round(2, 'd0', 'c1')}, {_sql_ff_round(3, 'd2', 'c2')},
+cent0 AS (
+  SELECT * FROM c0 UNION ALL SELECT * FROM c1
+  UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
+), assign1 AS ({_sql_assign('cent0')}),
+cent1 AS ({_sql_recenter('assign1')}),
+assign2 AS ({_sql_assign('cent1')})
+SELECT CAST(cluster_id AS INT) AS cluster_id, COUNT(*) AS n_vectors,
+       MIN(vec_id) AS first_vec_id
+FROM assign2 GROUP BY cluster_id
+"""
+
+
+@query("kmeans_pp_embeddings", oracle=KMEANS_PP_ORACLE)
+def kmeans_pp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means with k-means++-style seeding from a sampled sketch — the
+    production init the plain kmeans_embeddings docstring promises. The
+    sketch is a ~10% portable-hash sample (see SKETCH_MOD); seeding is the
+    deterministic greedy D² variant (farthest-first traversal: next seed =
+    sketch point with max min-distance to the seeds so far, ties → lowest
+    vec_id), then the shared Lloyd loop runs on the FULL corpus.
+
+    Scale shape: the k-1 seeding rounds each reduce the sketch to ONE row
+    (a scalar argmax collect — sketch-sized driver interaction, same
+    discipline as the watermark scalar in sources/sink.py); distances fold
+    against literal centroid arrays map-side, so seeding never shuffles.
+    Every stage is value-checked: the DuckDB oracle unrolls the same
+    sketch, the same 3 farthest-first rounds, and the same 2 Lloyd
+    iterations in CTEs — bit-identical assignments cross-engine."""
+    from ..operators.dedup import portable_hash64
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    sketch = e.where(
+        portable_hash64(F.col("vec_id").cast("string"), F.lit("seed")) % SKETCH_MOD == 0
+    )
+
+    def lit_vec(vals: list[float]) -> Column:
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    first = sketch.orderBy(F.asc("vec_id")).select("v").head()
+    seeds = [list(first["v"])]
+    cur = sketch.withColumn("dmin", sq_dist(F.col("v"), lit_vec(seeds[0])))
+    for _ in range(KMEANS_K - 1):
+        nxt = cur.orderBy(F.desc("dmin"), F.asc("vec_id")).select("v", "dmin").head()
+        seeds.append(list(nxt["v"]))
+        cur = cur.withColumn(
+            "dmin", F.least(F.col("dmin"), sq_dist(F.col("v"), lit_vec(seeds[-1])))
+        )
+    centroids = spark.createDataFrame(
+        [(i, vec) for i, vec in enumerate(seeds)], "cluster_id int, c array<double>"
+    )
+    assigned = _lloyd_iterations(e, centroids, KMEANS_ITERS)
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("first_vec_id")
+    )
+
+
+def _lloyd_iterations(e: DataFrame, centroids: DataFrame, iters: int) -> DataFrame:
+    """Shared Lloyd loop: per iteration, broadcast the (k×DIM) centroid set,
+    map-side argmin assignment (ties → cluster_id), decimal-exact
+    posexplode recentering. Returns the final (vec_id, v, cluster_id)."""
+    from pyspark.sql.window import Window
+
     assigned = None
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         w = Window.partitionBy("vec_id").orderBy("dist", "cluster_id")
         assigned = (
             e.crossJoin(F.broadcast(centroids))
@@ -710,6 +811,4 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["comp"],
             ).alias("c")
         )
-    return assigned.groupBy("cluster_id").agg(
-        F.count("*").alias("n_vectors"), F.min("vec_id").alias("first_vec_id")
-    )
+    return assigned

@@ -95,6 +95,7 @@ PRIORITY_ORDER = [
     "ann_multiprobe_topk",  # new in r03 (multi-probe recall hardening)
     "embedding_centroids",
     "kmeans_embeddings",
+    "kmeans_pp_embeddings",  # new in r03 (sketch-seeded init)
     # -- relational / window extensions ------------------------------------
     "range_bin_lookup",
     "order_rollup_hierarchy",
