@@ -273,12 +273,35 @@ def compact_parquet(
     a round-robin repartition (even output sizes, no skew by content), and
     swaps the staged directory in with the same atomic-rename discipline as
     merge_upsert. Returns before/after file counts for auditability.
+
+    Partitioned layout: a round-robin repartition would hand EVERY task
+    rows of every partition value, so the partitionBy writer would emit up
+    to n_files × |values| files — compaction that can INCREASE file count.
+    Instead we shuffle on the partition columns plus a bounded hash salt
+    (≤ files_per_partition distinct values), so each output directory gets
+    at most files_per_partition ~target-size files.
     """
     n_before, total_bytes = _dir_stats(spark, path)
     n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
+    if partition_by:
+        n_parts = df.select(*partition_by).distinct().count()
+        files_per_part = max(1, -(-int(n_files) // max(n_parts, 1)))  # ceil
+        data_cols = [c for c in df.columns if c not in partition_by]
+        salt = (
+            F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.lit(files_per_part))
+            if data_cols
+            else F.lit(0)
+        )
+        shuffled = df.repartition(
+            int(n_parts * files_per_part),
+            *[F.col(c) for c in partition_by],
+            salt,
+        )
+    else:
+        shuffled = df.repartition(int(n_files))
     staged = path.rstrip("/") + "__compact_staged"
-    writer = df.repartition(int(n_files)).write.mode("overwrite")
+    writer = shuffled.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staged)

@@ -3,6 +3,8 @@ from the reference (micro-partition compaction) made explicit."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from enterprise_data_warehouse_spark.sources.sink import compact_parquet, _dir_stats
 from enterprise_data_warehouse_spark.sources.tables import load_table
 
@@ -24,3 +26,33 @@ def test_compaction_shrinks_file_count_preserves_rows(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == before_rows
     assert abs(after.agg({"o_totalprice": "sum"}).first()[0] - before_sum) < 1e-6
+
+
+def test_partitioned_compaction_cannot_increase_file_count(spark, tmp_path):
+    """The partition_by path: round-robin + partitionBy would emit
+    n_files × |values| files (more debris than it started with); the
+    salted partition-column shuffle must emit ≤ files_per_partition files
+    per directory and strictly shrink the total."""
+    import os
+
+    path = str(tmp_path / "orders_part")
+    orders = load_table(spark, SF, "orders").withColumn(
+        "prio", F.col("o_orderpriority")
+    )
+    # 16 tasks × 5 priorities ≈ 80 small files of debris
+    orders.repartition(16).write.partitionBy("prio").parquet(path)
+    n_before, _ = _dir_stats(spark, path)
+    assert n_before > 16
+    before_rows = spark.read.parquet(path).count()
+
+    stats = compact_parquet(spark, path, partition_by=["prio"])
+    assert stats["files_after"] < stats["files_before"]
+    # tiny table → 1 target file per partition value
+    part_dirs = [d for d in os.listdir(path) if d.startswith("prio=")]
+    assert len(part_dirs) == 5
+    for d in part_dirs:
+        files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
