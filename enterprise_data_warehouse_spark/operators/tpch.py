@@ -481,3 +481,284 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+# --- Q6: forecast revenue change ----------------------------------------------
+
+FORECAST_REVENUE_ORACLE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 4)
+       AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+"""
+
+
+@query("forecast_revenue", oracle=FORECAST_REVENUE_ORACLE)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: revenue increase from eliminating a discount band — a pure
+    filter-aggregate with NO join and NO groupBy. The whole point at scale
+    is pushdown: all three predicates reach the parquet scan as
+    PushedFilters, row-group stats skip everything outside the year, and
+    the aggregate is one map-side partial + a single-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+# --- Q12: late shipments by priority (adapted) --------------------------------
+
+LATE_SHIP_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+"""
+
+
+@query("late_shipment_priority", oracle=LATE_SHIP_ORACLE)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape adapted to this schema (no l_shipmode/l_receiptdate: "late"
+    = shipped >60 days after order date; l_linestatus stands in for the
+    shipmode grouping): join + cross-table date predicate + dual CASE
+    counts. One shuffle on the join key, then a tiny grouped agg; the
+    priority CASEs stay inside whole-stage codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# --- Q2: min-cost supplier per part (adapted) ---------------------------------
+
+MIN_COST_ORACLE = """
+WITH observed AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+  FROM lineitem WHERE l_quantity > 0.0
+), part_min AS (
+  SELECT l_partkey, MIN(unit_price) AS min_price
+  FROM observed GROUP BY l_partkey
+)
+SELECT p_brand, o.l_partkey AS partkey, s_name, s_acctbal, o.unit_price AS min_unit_price
+FROM observed o
+JOIN part_min m ON o.l_partkey = m.l_partkey AND o.unit_price = m.min_price
+JOIN part ON p_partkey = o.l_partkey
+JOIN supplier ON s_suppkey = o.l_suppkey
+WHERE p_size <= 5
+"""
+
+
+@query("min_cost_supplier", oracle=MIN_COST_ORACLE)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape adapted (no partsupp: supply cost = observed unit price on
+    lineitem): the correlated-min subquery — the supplier(s) achieving each
+    part's minimum price. The min is computed once per part and joined
+    back (the standard decorrelation); at scale both sides shuffle on
+    l_partkey only, and the dimension joins broadcast. Doubles compare
+    exactly cross-engine because both sides derive the SAME division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 5)
+    s = load_table(spark, sf_dir, "supplier")
+    observed = li.where(F.col("l_quantity") > 0.0).select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    part_min = observed.groupBy("l_partkey").agg(
+        F.min("unit_price").alias("min_price")
+    ).select(F.col("l_partkey").alias("pm_partkey"), "min_price")
+    return (
+        observed.join(
+            part_min,
+            (F.col("l_partkey") == F.col("pm_partkey"))
+            & (F.col("unit_price") == F.col("min_price")),
+        )
+        .select(F.col("l_partkey").alias("partkey"), "l_suppkey", "unit_price")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_brand",
+            "partkey",
+            "s_name",
+            "s_acctbal",
+            F.col("unit_price").alias("min_unit_price"),
+        )
+    )
+
+
+# --- Q16: supplier diversity by part attributes (adapted) ---------------------
+
+SUPPLIER_PART_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'BRAND_1' AND p_size IN (1, 4, 7)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("supplier_part_counts", oracle=SUPPLIER_PART_ORACLE)
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape adapted (part⋈supplier association via lineitem; negative
+    account balance stands in for the complaints NOT IN): distinct-count
+    aggregation behind a broadcast anti-join exclusion list. The distinct
+    shuffles (p_brand, p_type, p_size, l_suppkey) — exact, not approx,
+    because Q16 answers "how many suppliers COULD supply this", where an
+    HLL estimate would mis-rank close groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "BRAND_1") & (F.col("p_size").isin(1, 4, 7))
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0.0)
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# --- Q20: dominant-share suppliers (adapted) ----------------------------------
+
+EXCESS_MULT = 3.0  # "excess" = a supplier ships >3× its fair share of a part
+
+EXCESS_SHIPPED_ORACLE = f"""
+WITH supplier_part_qty AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS supp_qty
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+), part_qty AS (
+  SELECT l_partkey,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_qty,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT DISTINCT s_name, n.n_name AS nation
+FROM supplier_part_qty sp
+JOIN part_qty pq ON sp.l_partkey = pq.l_partkey
+JOIN supplier ON s_suppkey = sp.l_suppkey
+JOIN nation n ON s_nationkey = n.n_nationkey
+WHERE sp.supp_qty * pq.n_suppliers > {EXCESS_MULT} * pq.total_qty
+"""
+
+
+@query("excess_shipped_parts", oracle=EXCESS_SHIPPED_ORACLE)
+def excess_shipped_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape adapted (no partsupp stock: a supplier "holds excess" when
+    it shipped more than EXCESS_MULT× its fair 1/n share of a part's total
+    volume — a relative rule, so it stays discriminating as row counts per
+    part grow with scale): nested aggregations at two grains joined on the
+    finer key, then a DISTINCT projection through broadcast dims. Both aggs
+    and their join shuffle on l_partkey — at scale this is two
+    map-side-combined passes over one scan, no re-shuffle between them."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(dsum("l_quantity", "supp_qty"))
+    pq = li.groupBy("l_partkey").agg(
+        dsum("l_quantity", "total_qty"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+    )
+    return (
+        sp.join(pq, "l_partkey")
+        .where(
+            F.col("supp_qty") * F.col("n_suppliers")
+            > F.lit(EXCESS_MULT) * F.col("total_qty")
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
+        .distinct()
+    )
+
+
+# --- Q21: sole-late suppliers on multi-supplier orders (adapted) --------------
+
+WAITING_SUPPLIERS_ORACLE = """
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+              THEN 1 ELSE 0 END AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_suppliers,
+         COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late
+  FROM lines GROUP BY l_orderkey
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lines l
+  JOIN per_order po ON l.l_orderkey = po.l_orderkey
+  WHERE l.is_late = 1 AND po.n_suppliers >= 2 AND po.n_late = 1
+) sole_late
+JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+"""
+
+
+@query("waiting_suppliers", oracle=WAITING_SUPPLIERS_ORACLE)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape adapted (late = shipped >30 days after order date):
+    suppliers who were the ONLY late supplier on a finished multi-supplier
+    order. The classic EXISTS/NOT-EXISTS pair decorrelates into ONE
+    per-order aggregation (distinct suppliers, distinct late suppliers)
+    joined back to the late lines — one l_orderkey shuffle replaces two
+    correlated self-joins of lineitem against itself, the difference
+    between O(scan) and O(scan²) at 100 TB."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    lines = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30), 1
+        ).otherwise(0).alias("is_late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    sole_late = (
+        lines.where(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_suppliers") >= 2) & (F.col("n_late") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+    )

@@ -79,6 +79,13 @@ PRIORITY_ORDER = [
     "large_orders",
     "disjunctive_revenue",
     "dormant_customers",
+    # -- TPC-H shapes new in r03 (Q2/Q6/Q12/Q16/Q20/Q21 adaptations) ------
+    "forecast_revenue",
+    "late_shipment_priority",
+    "min_cost_supplier",
+    "supplier_part_counts",
+    "excess_shipped_parts",
+    "waiting_suppliers",
     # -- drift / stats extensions -----------------------------------------
     "ks_binned_drift",
     "feature_moments",
