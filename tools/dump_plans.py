@@ -50,6 +50,20 @@ SHOWCASE = [
     ("doc_chunks_native",
      "Chunk expansion (sequence → explode → slice) runs inside the scan "
      "stage, fully codegen'd, no Python."),
+    ("forecast_revenue",
+     "Q6 shape: all three predicates reach the scan as DataFilters, then "
+     "map-side partial sum → ONE single-partition exchange. The minimal "
+     "possible plan for a filter-aggregate."),
+    ("waiting_suppliers",
+     "Q21 shape decorrelated: the EXISTS/NOT-EXISTS pair is ONE per-order "
+     "aggregation (distinct/distinct-late supplier counts) joined back to "
+     "the late lines on l_orderkey — no correlated lineitem self-join; "
+     "orders and supplier broadcast."),
+    ("ann_multiprobe_topk",
+     "Multi-probe ANN: signatures and margins are map-side array "
+     "arithmetic, probe buckets explode flips+1 rows per query, and "
+     "candidates come from a bucket equi-join (broadcast at this SF, "
+     "shuffle-hash at scale) — never an all-pairs join."),
 ]
 
 
