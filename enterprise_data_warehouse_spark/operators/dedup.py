@@ -654,3 +654,80 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
         F.count("*").over(w).alias("cluster_size"),
     )
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+DECON_N = 5  # contamination n-gram width (13 in GPT-3's rule; 5 fits the
+#              short synthetic docs — the operator is width-parametric)
+DECON_EVAL_MOD = 20  # ~5% deterministic hash sample plays the benchmark set
+
+DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(range(1, len(w) - {DECON_N - 2}),
+      i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(DECON_N))}))) AS g
+  FROM toks
+), hashed AS (
+  SELECT doc_id,
+    CAST(('0x' || SUBSTR(MD5(g || '#g'), 1, 15)) AS BIGINT) AS g64,
+    (CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '#eval'), 1, 15))
+      AS BIGINT) % {DECON_EVAL_MOD}) = 0 AS is_eval
+  FROM grams
+)
+SELECT t.doc_id,
+  CAST(COUNT(DISTINCT t.g64) AS BIGINT) AS n_shared_grams,
+  CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+FROM hashed t
+JOIN (SELECT DISTINCT doc_id, g64 FROM hashed WHERE is_eval) e
+  ON t.g64 = e.g64
+WHERE NOT t.is_eval
+GROUP BY t.doc_id
+"""
+
+
+@query("benchmark_decontamination", oracle=DECON_ORACLE)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (the GPT-3 appendix-C rule, arXiv:2005.14165
+    §C: drop training docs sharing any N-gram with a benchmark): flag every
+    train doc that shares ≥1 distinct DECON_N-gram with the eval set, with
+    how many grams and how many eval docs it collides with. The eval set is
+    a deterministic ~5% hash sample standing in for a benchmark suite.
+
+    Scale shape: benchmark suites are tiny relative to a 100 TB corpus, so
+    the eval (gram, doc) pairs BROADCAST and contamination detection is a
+    map-side hash join against the corpus's exploded grams — one scan, one
+    shuffle (the per-doc count agg). Grams join as portable 60-bit md5
+    keys, not ~40-char strings (8-byte shuffle keys; same birthday-bound
+    trade as exploded_shingles, and the oracle hashes identically so
+    parity stays exact)."""
+    d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+    grams = (
+        shingle_sets(d, DECON_N)
+        .select("doc_id", F.explode("shingles").alias("g"))
+        .select(
+            "doc_id",
+            portable_hash64(F.col("g"), F.lit("g")).alias("g64"),
+            (
+                portable_hash64(F.col("doc_id").cast("string"), F.lit("eval"))
+                % DECON_EVAL_MOD
+                == 0
+            ).alias("is_eval"),
+        )
+    )
+    eval_grams = (
+        grams.where(F.col("is_eval"))
+        .select(F.col("doc_id").alias("eval_doc_id"), "g64")
+        .distinct()
+    )
+    return (
+        grams.where(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "g64")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g64").cast("bigint").alias("n_shared_grams"),
+            F.countDistinct("eval_doc_id").cast("bigint").alias("n_eval_docs"),
+        )
+    )

@@ -98,6 +98,7 @@ PRIORITY_ORDER = [
     "token_frequencies",
     # -- dedup / similarity scale paths ------------------------------------
     "near_dup_clusters",
+    "benchmark_decontamination",  # new in r03 (eval-set contamination)
     "ivf_topk",
     "ann_multiprobe_topk",  # new in r03 (multi-probe recall hardening)
     "embedding_centroids",
