@@ -576,3 +576,69 @@ def feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mu3 / (F.sqrt(var_pop) * var_pop)).alias("skewness_pop"),
         (mu4 / (var_pop * var_pop) - F.lit(3)).alias("kurtosis_excess"),
     )
+
+
+# --- join-key skew profiler ----------------------------------------------------
+
+SKEW_TOPK = 10
+
+SKEW_ORACLE = f"""
+WITH counts AS (
+  SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM counts
+), ranked AS (
+  SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rk
+  FROM counts
+)
+SELECT r.rk, r.key, CAST(r.cnt AS BIGINT) AS cnt,
+  CAST(r.cnt AS DOUBLE) / t.total_rows AS share,
+  CAST(r.cnt AS DOUBLE) * t.n_keys / t.total_rows AS skew_ratio
+FROM ranked r CROSS JOIN tot t
+WHERE r.rk <= {SKEW_TOPK}
+"""
+
+
+@query("key_skew_profile", oracle=SKEW_ORACLE)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the top-SKEW_TOPK heaviest keys of
+    events.user_id with their row share and skew ratio (count ÷ the fair
+    1/n_keys share). The pre-flight check a 100 TB join needs — a
+    skew_ratio ≫ 1 key is the one that OOMs a sort-merge task, and its
+    share tells you whether AQE skew-split handles it or the job wants the
+    salting pattern (salted_event_rollup).
+
+    Scale shape: one map-side-combined count per key, a one-row global
+    rollup broadcast back (BNLJ against a single row, allowlisted), and a
+    TakeOrderedAndProject top-k — no global sort of the key histogram."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = counts.agg(
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    # orderBy+limit plans TakeOrderedAndProject (per-partition heaps); the
+    # rank window then runs over ONLY the SKEW_TOPK surviving rows.
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(SKEW_TOPK)
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        top.join(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "rk",
+            "key",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total_rows")).alias("share"),
+            (
+                F.col("cnt").cast("double")
+                * F.col("n_keys")
+                / F.col("total_rows")
+            ).alias("skew_ratio"),
+        )
+    )

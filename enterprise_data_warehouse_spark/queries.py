@@ -91,6 +91,7 @@ PRIORITY_ORDER = [
     "feature_moments",
     "ks_drift_pvalue",
     "snapshot_diff",
+    "key_skew_profile",  # new in r03 (pre-join skew diagnostic)
     # -- text / corpus extensions ------------------------------------------
     "tfidf_top_terms",
     "corpus_source_mix",
@@ -126,8 +127,10 @@ PRIORITY_ORDER = [
     "train_test_split",
     # -- multimodal ---------------------------------------------------------
     "video_frame_sample_plan",
+    "image_feature_extract",  # oracle-paired in r03 (byte-stat fake
+    #   mirrored) — ahead of audio_chunk_plan: de-weaking the r02 "weak"
+    #   flag needs a DRIVER record, audio_chunk_plan is already J-verified
     "audio_chunk_plan",
-    "image_feature_extract",  # oracle-paired in r03 (byte-stat fake mirrored)
     # -- streaming batch twins ----------------------------------------------
     "sliding_hourly_counts",
     "segment_hourly_counts",
