@@ -731,3 +731,81 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("eval_doc_id").cast("bigint").alias("n_eval_docs"),
         )
     )
+
+
+# --- incremental batch-vs-corpus dedup ----------------------------------------
+
+INCR_BATCH_OFFSET = 2_000_000
+
+INCR_DEDUP_ORACLE = f"""
+WITH batch AS (
+  SELECT doc_id + {INCR_BATCH_OFFSET} AS batch_id,
+         CASE WHEN doc_id % 10 = 5 THEN text || ' novel suffix' ELSE text END AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + {2 * INCR_BATCH_OFFSET} AS batch_id, text || ' novel suffix' AS text
+  FROM documents WHERE doc_id % 20 = 5
+), corpus_fp AS (
+  SELECT DISTINCT MD5(text) AS fp FROM documents
+), batch_fp AS (
+  SELECT batch_id, MD5(text) AS fp FROM batch
+), in_batch AS (
+  SELECT batch_id, fp,
+    MIN(batch_id) OVER (PARTITION BY fp) AS first_batch_id
+  FROM batch_fp
+)
+SELECT b.batch_id,
+  CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+       WHEN b.batch_id != b.first_batch_id THEN 'dup_in_batch'
+       ELSE 'kept' END AS status
+FROM in_batch b LEFT JOIN corpus_fp c ON b.fp = c.fp
+"""
+
+
+@query("incremental_dedup", oracle=INCR_DEDUP_ORACLE)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: classify every doc of a new batch as
+    kept / exact-duplicate-of-corpus / duplicate-within-batch — the daily
+    path of a growing corpus, where re-crawled pages must not re-enter and
+    the batch itself carries internal dupes. The batch is built
+    deterministically from the corpus (a re-crawl slice, a slice with
+    novel suffixes, and a doubled slice) so all three outcomes occur.
+
+    Scale shape: the existing corpus participates ONLY as its distinct
+    md5 fingerprint set — at 100 TB that is the incrementally-maintained
+    fingerprint table (sources/versioned.py merge target), orders of
+    magnitude smaller than the text, and the batch-vs-corpus check is a
+    hash join on 16-byte keys. In-batch dedup is one fp-partitioned
+    window. Reference parity: scripts/utilities/generate_fact_dimension_models.py
+    dedups staged loads by natural key the same way (MERGE semantics)."""
+    d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+    recrawl = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + INCR_BATCH_OFFSET).alias("batch_id"),
+        F.when(
+            F.col("doc_id") % 10 == 5, F.concat(F.col("text"), F.lit(" novel suffix"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    # double a slice of the NOVEL docs — a batch-internal dup that is not
+    # also a corpus dup, so all three statuses occur
+    doubled = d.where(F.col("doc_id") % 20 == 5).select(
+        (F.col("doc_id") + 2 * INCR_BATCH_OFFSET).alias("batch_id"),
+        F.concat(F.col("text"), F.lit(" novel suffix")).alias("text"),
+    )
+    batch = recrawl.unionByName(doubled).select(
+        "batch_id", F.md5("text").alias("fp")
+    )
+    corpus_fp = d.select(F.md5("text").alias("fp")).distinct()
+    w = Window.partitionBy("fp")
+    in_batch = batch.withColumn("first_batch_id", F.min("batch_id").over(w))
+    return (
+        in_batch.join(
+            corpus_fp.withColumn("in_corpus", F.lit(True)), "fp", "left"
+        )
+        .select(
+            "batch_id",
+            F.when(F.col("in_corpus"), F.lit("dup_of_corpus"))
+            .when(F.col("batch_id") != F.col("first_batch_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )

@@ -100,6 +100,7 @@ PRIORITY_ORDER = [
     # -- dedup / similarity scale paths ------------------------------------
     "near_dup_clusters",
     "benchmark_decontamination",  # new in r03 (eval-set contamination)
+    "incremental_dedup",  # new in r03 (batch-vs-corpus ingest dedup)
     "ivf_topk",
     "ann_multiprobe_topk",  # new in r03 (multi-probe recall hardening)
     "embedding_centroids",
