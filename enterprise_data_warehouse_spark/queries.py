@@ -106,6 +106,7 @@ PRIORITY_ORDER = [
     "embedding_centroids",
     "kmeans_embeddings",
     "kmeans_pp_embeddings",  # new in r03 (sketch-seeded init)
+    "embedding_quantize",  # new in r03 (int8 ANN storage path)
     # -- relational / window extensions ------------------------------------
     "range_bin_lookup",
     "order_rollup_hierarchy",
