@@ -118,6 +118,9 @@ PRIORITY_ORDER = [
     # -- chunking / packing -------------------------------------------------
     "doc_chunks_udtf",
     "sequence_packing",
+    "image_feature_extract",  # oracle-paired in r03 (byte-stat fake
+    #   mirrored) — placed well inside the 50-slot budget: de-weaking the
+    #   r02 "weak" flag needs a DRIVER record
     # -- catalog codegen / facts / dims ------------------------------------
     "catalog_dim_part",
     "catalog_fact_events_daily",
@@ -129,9 +132,6 @@ PRIORITY_ORDER = [
     "train_test_split",
     # -- multimodal ---------------------------------------------------------
     "video_frame_sample_plan",
-    "image_feature_extract",  # oracle-paired in r03 (byte-stat fake
-    #   mirrored) — ahead of audio_chunk_plan: de-weaking the r02 "weak"
-    #   flag needs a DRIVER record, audio_chunk_plan is already J-verified
     "audio_chunk_plan",
     # -- streaming batch twins ----------------------------------------------
     "sliding_hourly_counts",
