@@ -5,39 +5,47 @@ delete-then-rename — atomic per-directory on HDFS, but on object stores a
 crash between the delete and the rename leaves NO readable table. This
 module closes that window the way Delta Lake's ``_delta_log`` does
 (reference's production materialization target is Snowflake/Delta; see
-SURVEY.md §7.4a): data is written to an immutable versioned directory, and
-the table "pointer" only moves when a tiny commit-marker file is created —
-single-file creation is atomic on HDFS (NameNode op) and on S3/GCS (PUT is
-all-or-nothing). There is no moment at which a reader can observe a
-half-table:
+SURVEY.md §7.4a): data is staged into a uniquely-named immutable directory,
+and the table "pointer" only moves when a tiny commit-marker file is
+created — single-file creation is atomic on HDFS (NameNode op) and on
+S3/GCS (PUT is all-or-nothing). There is no moment at which a reader can
+observe a half-table:
 
     root/
-      v00000001/ ... parquet files ...          (immutable once committed)
-      v00000002/ ...
-      _commits/v00000001.json                   (existence == committed)
+      v00000001-3f2a9c1b/ ... parquet files ...  (immutable once committed)
+      v00000002-8d11e04a/ ...
+      _commits/v00000001.json                    {"dir": "v00000001-3f2a9c1b", ...}
       _commits/v00000002.json
 
-* Readers resolve ``current = max(version with a marker AND a data dir)``
+* Readers resolve ``current = max(version whose marker's data dir exists)``
   and read that directory only.
-* Writers stage ``v{n+1}`` fully, then create the marker. A crash at ANY
-  point before the marker leaves an orphan data dir the readers never see
-  — the previous version stays live. ``vacuum`` reclaims orphans and old
+* Writers stage a fresh uuid-suffixed dir, then create the marker. A crash
+  at ANY point before the marker leaves an orphan dir readers never see —
+  the previous version stays live. ``vacuum`` reclaims orphans and old
   versions.
-* Concurrency: single-writer (same stance as Delta on S3 without a lock
-  service). The marker create uses ``overwrite=False`` so two racing
-  writers of the same version cannot both succeed.
+* Concurrency: the marker create uses ``overwrite=False``, so of two
+  writers racing for the same version number exactly ONE commit wins; the
+  loser's uuid-suffixed staging dir never collides with committed data (it
+  becomes an orphan for vacuum) and the loser sees ConcurrentWriteError —
+  re-derive against the new current version and retry (optimistic
+  concurrency, the Delta-on-S3 stance).
 """
 
 from __future__ import annotations
 
 import json
 import re
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-_VERSION_RE = re.compile(r"^v(\d{8})$")
+_DIR_RE = re.compile(r"^v(\d{8})-[0-9a-f]{8}$")
 _MARKER_RE = re.compile(r"^v(\d{8})\.json$")
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first. Re-read and retry."""
 
 
 def _fs(spark: SparkSession, path: str):
@@ -60,23 +68,42 @@ class VersionedTable:
     def _path(self, rel: str):
         return self._jvm.org.apache.hadoop.fs.Path(f"{self.root}/{rel}")
 
-    def _data_dir(self, version: int) -> str:
-        return f"{self.root}/v{version:08d}"
-
     def _marker(self, version: int):
         return self._path(f"_commits/v{version:08d}.json")
 
+    def _read_marker(self, version: int) -> dict | None:
+        marker = self._marker(version)
+        if not self._hfs.exists(marker):
+            return None
+        stream = self._hfs.open(marker)
+        try:
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            parts = []
+            line = reader.readLine()
+            while line is not None:
+                parts.append(line)
+                line = reader.readLine()
+        finally:
+            stream.close()
+        return json.loads("\n".join(parts))
+
     # -- read side ---------------------------------------------------------
     def committed_versions(self) -> list[int]:
-        """Versions with BOTH a marker and a data dir, ascending. The data-dir
-        check makes vacuum's marker-then-data delete order crash-safe too."""
+        """Versions whose marker exists AND whose marker-referenced data dir
+        exists, ascending. The data-dir check makes vacuum's
+        marker-then-data delete order crash-safe too."""
         commits = self._path("_commits")
         if not self._hfs.exists(commits):
             return []
         out = []
         for st in self._hfs.listStatus(commits):
             m = _MARKER_RE.match(st.getPath().getName())
-            if m and self._hfs.exists(self._path(f"v{m.group(1)}")):
+            if not m:
+                continue
+            meta = self._read_marker(int(m.group(1)))
+            if meta and self._hfs.exists(self._path(meta["dir"])):
                 out.append(int(m.group(1)))
         return sorted(out)
 
@@ -87,27 +114,45 @@ class VersionedTable:
     def exists(self) -> bool:
         return self.current_version() is not None
 
-    def read(self) -> DataFrame:
-        v = self.current_version()
-        if v is None:
-            raise FileNotFoundError(f"no committed version under {self.root}")
-        return self.spark.read.parquet(self._data_dir(v))
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the current version, or a specific still-retained one
+        (time travel — every committed version is immutable until
+        vacuumed)."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version under {self.root}")
+        elif version not in self.committed_versions():
+            raise FileNotFoundError(
+                f"version {version} not committed (or vacuumed) under {self.root}"
+            )
+        meta = self._read_marker(version)
+        return self.spark.read.parquet(f"{self.root}/{meta['dir']}")
 
     # -- write side --------------------------------------------------------
-    def _write_data(self, df: DataFrame, version: int,
-                    partition_by: Sequence[str] | None = None) -> None:
-        """Stage the data dir WITHOUT committing (split out so the kill-test
-        can simulate a crash between data write and marker create)."""
-        writer = df.write.mode("overwrite")
+    def _stage_data(self, df: DataFrame, version: int,
+                    partition_by: Sequence[str] | None = None) -> str:
+        """Write the data into a fresh uuid-suffixed dir WITHOUT committing
+        (split out so the kill-tests can simulate a crash between data
+        write and marker create). Unique naming means a racing or replayed
+        writer can never touch an already-committed directory."""
+        dirname = f"v{version:08d}-{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("error")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(self._data_dir(version))
+        writer.parquet(f"{self.root}/{dirname}")
+        return dirname
 
     def _create_marker(self, version: int, meta: dict) -> None:
         marker = self._marker(version)
         self._hfs.mkdirs(marker.getParent())
         # overwrite=False: racing writers of the same version — one wins.
-        out = self._hfs.create(marker, False)
+        try:
+            out = self._hfs.create(marker, False)
+        except Exception as e:  # py4j wraps FileAlreadyExistsException
+            raise ConcurrentWriteError(
+                f"version {version} of {self.root} was committed concurrently"
+            ) from e
         try:
             out.write(bytearray(json.dumps(meta, sort_keys=True), "utf-8"))
         finally:
@@ -116,8 +161,8 @@ class VersionedTable:
     def commit(self, df: DataFrame, partition_by: Sequence[str] | None = None,
                op: str = "overwrite") -> int:
         version = (self.current_version() or 0) + 1
-        self._write_data(df, version, partition_by)
-        self._create_marker(version, {"version": version, "op": op})
+        dirname = self._stage_data(df, version, partition_by)
+        self._create_marker(version, {"version": version, "dir": dirname, "op": op})
         return version
 
     def merge(self, src: DataFrame, keys: Sequence[str]) -> int:
@@ -148,25 +193,29 @@ class VersionedTable:
         return self.merge(delta, keys)
 
     # -- maintenance -------------------------------------------------------
-    def vacuum(self, keep: int = 2) -> dict[str, list[int]]:
-        """Reclaim (a) orphan data dirs — staged versions whose writer died
-        before the marker — and (b) committed versions older than the last
-        ``keep``. Markers are deleted BEFORE their data dir so a crash
-        mid-vacuum never yields a marker pointing at missing data (readers
-        also double-check the data dir exists)."""
+    def vacuum(self, keep: int = 2) -> dict[str, list[int] | list[str]]:
+        """Reclaim (a) orphan data dirs — staged dirs whose writer died (or
+        lost a commit race) before the marker — and (b) committed versions
+        older than the last ``keep``. Markers are deleted BEFORE their data
+        dir so a crash mid-vacuum never yields a marker pointing at missing
+        data (readers also double-check the data dir exists)."""
         committed = self.committed_versions()
         live = set(committed[-keep:]) if committed else set()
+        live_dirs = {self._read_marker(v)["dir"] for v in live}
         removed_versions: list[int] = []
-        removed_orphans: list[int] = []
+        removed_orphans: list[str] = []
         for v in committed:
             if v not in live:
+                meta = self._read_marker(v)
                 self._hfs.delete(self._marker(v), False)
-                self._hfs.delete(self._path(f"v{v:08d}"), True)
+                self._hfs.delete(self._path(meta["dir"]), True)
                 removed_versions.append(v)
+        # after the loop above, every dir still listed that is not a live
+        # version's dir is an orphan (crashed or race-losing writer)
         if self._hfs.exists(self._path("")):
             for st in self._hfs.listStatus(self._path("")):
-                m = _VERSION_RE.match(st.getPath().getName())
-                if m and int(m.group(1)) not in live and int(m.group(1)) not in removed_versions:
+                name = st.getPath().getName()
+                if _DIR_RE.match(name) and name not in live_dirs:
                     self._hfs.delete(st.getPath(), True)
-                    removed_orphans.append(int(m.group(1)))
+                    removed_orphans.append(name)
         return {"versions": removed_versions, "orphans": sorted(removed_orphans)}

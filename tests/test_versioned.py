@@ -1,7 +1,7 @@
 """Commit-manifest protocol (sources/versioned.py): the table must stay
 readable — and show ONLY fully-committed data — through every crash point,
 including the window where sink.merge_upsert's delete-then-rename swap is
-unsafe on object stores."""
+unsafe on object stores, and through lost commit races."""
 
 from __future__ import annotations
 
@@ -10,7 +10,10 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from enterprise_data_warehouse_spark.sources.versioned import VersionedTable
+from enterprise_data_warehouse_spark.sources.versioned import (
+    ConcurrentWriteError,
+    VersionedTable,
+)
 
 
 def _rows(df):
@@ -19,6 +22,12 @@ def _rows(df):
 
 def _mk(spark, rows):
     return spark.createDataFrame(rows, "id int, val string")
+
+
+def _data_dirs(tmp_path):
+    return sorted(
+        d for d in os.listdir(tmp_path / "t") if d.startswith("v") and "-" in d
+    )
 
 
 def test_commit_read_roundtrip(spark, tmp_path):
@@ -44,20 +53,21 @@ def test_merge_semantics_match_merge_upsert(spark, tmp_path):
 def test_kill_between_data_write_and_marker_leaves_table_readable(spark, tmp_path):
     """THE crash window: writer dies after fully staging v2's data but
     before the commit marker. merge_upsert's swap at this point has already
-    deleted the target on an object store; here readers never look at v2."""
+    deleted the target on an object store; here readers never look at the
+    staged dir."""
     t = VersionedTable(spark, str(tmp_path / "t"))
     t.commit(_mk(spark, [(1, "a"), (2, "b")]))
 
     # simulate the crash: stage v2 data, "die" before _create_marker
     merged = _mk(spark, [(1, "a"), (2, "B"), (3, "c")])
-    t._write_data(merged, version=2)
-    assert os.path.isdir(tmp_path / "t" / "v00000002")  # orphan staged dir
+    staged = t._stage_data(merged, version=2)
+    assert os.path.isdir(tmp_path / "t" / staged)  # orphan staged dir
 
     # reader: still v1, still complete
     assert t.current_version() == 1
     assert _rows(t.read()) == {(1, "a"), (2, "b")}
 
-    # recovery is just a re-run: merge retries, commits v2 over the orphan
+    # recovery is just a re-run: merge retries, commits v2 in a fresh dir
     t.merge(_mk(spark, [(2, "B"), (3, "c")]), keys=["id"])
     assert t.current_version() == 2
     assert _rows(t.read()) == {(1, "a"), (2, "B"), (3, "c")}
@@ -65,17 +75,16 @@ def test_kill_between_data_write_and_marker_leaves_table_readable(spark, tmp_pat
 
 def test_kill_with_half_written_data_dir(spark, tmp_path):
     """Partial data dir (writer died mid-parquet-write): no marker, so the
-    half-written files are invisible to readers."""
+    half-written files are invisible to readers and vacuum reclaims them."""
     t = VersionedTable(spark, str(tmp_path / "t"))
     t.commit(_mk(spark, [(1, "a")]))
-    # half-written v2: directory with a non-parquet temp file only
-    bad = tmp_path / "t" / "v00000002"
+    bad = tmp_path / "t" / "v00000002-deadbeef"
     bad.mkdir()
     (bad / "part-00000.parquet._COPYING_").write_bytes(b"\x00garbage")
     assert t.current_version() == 1
     assert _rows(t.read()) == {(1, "a")}
     removed = t.vacuum(keep=2)
-    assert removed["orphans"] == [2]
+    assert removed["orphans"] == ["v00000002-deadbeef"]
     assert not bad.exists()
 
 
@@ -89,7 +98,8 @@ def test_marker_without_data_dir_is_ignored(spark, tmp_path):
     # damage: v2's data dir vanishes but its marker survives
     import shutil
 
-    shutil.rmtree(tmp_path / "t" / "v00000002")
+    v2_dir = t._read_marker(2)["dir"]
+    shutil.rmtree(tmp_path / "t" / v2_dir)
     assert t.current_version() == 1
     assert _rows(t.read()) == {(1, "a")}
 
@@ -98,13 +108,34 @@ def test_vacuum_keeps_last_n_and_drops_orphans(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "t"))
     for i in range(4):
         t.commit(_mk(spark, [(1, f"v{i + 1}")]))
-    t._write_data(_mk(spark, [(9, "orphan")]), version=9)
+    orphan = t._stage_data(_mk(spark, [(9, "orphan")]), version=9)
     removed = t.vacuum(keep=2)
-    assert removed == {"versions": [1, 2], "orphans": [9]}
+    assert removed["versions"] == [1, 2]
+    assert removed["orphans"] == [orphan]
     assert t.committed_versions() == [3, 4]
     assert _rows(t.read()) == {(1, "v4")}
-    assert not (tmp_path / "t" / "v00000001").exists()
-    assert not (tmp_path / "t" / "v00000009").exists()
+    assert _data_dirs(tmp_path) == sorted(
+        t._read_marker(v)["dir"] for v in (3, 4)
+    )
+
+
+def test_time_travel_and_racing_writer_conflict(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    t.commit(_mk(spark, [(1, "A"), (2, "b")]))
+    # time travel: v1 still readable until vacuum
+    assert _rows(t.read(version=1)) == {(1, "a")}
+    assert _rows(t.read()) == {(1, "A"), (2, "b")}
+    with pytest.raises(FileNotFoundError):
+        t.read(version=9)
+    # racing writers of the SAME version: unique staging dirs never touch
+    # committed data, and the marker create (overwrite=False) arbitrates —
+    # the loser gets ConcurrentWriteError and the table is unchanged
+    staged = t._stage_data(_mk(spark, [(9, "loser")]), version=2)
+    with pytest.raises(ConcurrentWriteError):
+        t._create_marker(2, {"version": 2, "dir": staged, "op": "overwrite"})
+    assert _rows(t.read()) == {(1, "A"), (2, "b")}
+    assert _rows(t.read(version=1)) == {(1, "a")}  # history intact too
 
 
 def test_incremental_idempotent_and_crash_replayable(spark, tmp_path):
