@@ -226,6 +226,8 @@ BNLJ_ALLOWED = {
     "embedding_near_dup",  # broadcast sampled probe vectors
     "ivf_topk",  # broadcast coarse centroids (k rows)
     "kmeans_embeddings",  # broadcast centroids (k rows per iteration)
+    "kmeans_pp_embeddings",  # broadcast sketch-seeded centroids (k rows)
+    "key_skew_profile",  # broadcast global count rollup (1 row)
     "ks_drift_pvalue",  # broadcast scalar KS statistic (1 row)
     "important_suppliers",  # broadcast global revenue threshold (1 row)
     "dormant_customers",  # broadcast global average balance (1 row)
