@@ -49,6 +49,85 @@ def _registry(spark: SparkSession, sf_dir: str) -> ModelRegistry:
             .withColumn("movement_value", sign * F.col("l_extendedprice"))
         )
 
+    def staging_financials(r: ModelRegistry) -> DataFrame:
+        # orders enriched with the customer's nation as the business unit and
+        # deterministic budget/forecast columns (pure IEEE double arithmetic,
+        # engine-identical — the reference stages these from a GL feed,
+        # data_catalog.yml:144)
+        o, c = r.ref("orders"), r.ref("customer")
+        return o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+            "o_orderdate",
+            F.col("c_nationkey").alias("business_unit_id"),
+            F.col("o_orderpriority").alias("account_id"),
+            F.col("o_totalprice").alias("actual_amount_usd"),
+            # double * bigint then / exact-double divisor: every intermediate
+            # is a double-on-double op, so the value is bit-identical in any
+            # IEEE engine (a `1 + k/100.0` form is NOT — DuckDB folds the
+            # literal division in decimal, rounding at a different point)
+            (
+                F.col("o_totalprice") * (F.lit(95) + F.col("o_orderkey") % 11)
+                / F.lit(100.0)
+            ).alias("budget_amount_usd"),
+            # divisor must be a power of ten: cents × int / 10^4 terminates at
+            # scale 4, so the decimal sum never lands on a ROUND(…,4) half
+            # boundary (a /200 divisor puts every value exactly on .00005 —
+            # where sub-ulp engine differences flip the final rounding)
+            (
+                F.col("o_totalprice") * (F.lit(98) + F.col("o_orderkey") % 5)
+                / F.lit(100.0)
+            ).alias("forecast_amount_usd"),
+        )
+
+    def staging_employee_metrics(r: ModelRegistry) -> DataFrame:
+        # lineitem staged as per-employee (supplier) shipping metrics with a
+        # deterministic per-employee target
+        li = r.ref("lineitem")
+        return li.select(
+            "l_shipdate",
+            F.col("l_suppkey").alias("employee_id"),
+            F.col("l_returnflag").alias("metric_type"),
+            F.col("l_quantity").alias("metric_value"),
+            (F.lit(25.0) + (F.col("l_suppkey") % 10)).alias("target_value"),
+        )
+
+    def staging_marketing_events(r: ModelRegistry) -> DataFrame:
+        # events staged as campaign touchpoints: deterministic campaign key,
+        # channel = event_type, unit impressions, click indicator, cost share
+        e = r.ref("events")
+        return e.select(
+            "ts",
+            (F.lit(1) + F.col("event_id") % 8).alias("campaign_id"),
+            F.col("event_type").alias("channel_id"),
+            (F.lit(1) + F.col("event_id") % 3).cast("int").alias("impressions"),
+            (F.col("event_type") == "click").cast("int").alias("clicks"),
+            (F.col("value") / F.lit(10.0)).alias("cost_usd"),
+        )
+
+    def staging_date_spine(r: ModelRegistry) -> DataFrame:
+        # generated calendar spine — no source table, pure Catalyst sequence
+        spark_ = r.spark
+        spine = spark_.range(1).select(
+            F.explode(
+                F.sequence(
+                    F.lit("1995-01-01").cast("date"),
+                    F.lit("2001-12-31").cast("date"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("d")
+        )
+        iso_dow = (F.weekday("d") + 1).cast("int")
+        return spine.select(
+            F.col("d").alias("date_key"),
+            F.col("d").alias("calendar_date"),
+            F.year("d").cast("bigint").alias("year"),
+            F.quarter("d").cast("bigint").alias("quarter"),
+            F.month("d").cast("bigint").alias("month"),
+            F.dayofmonth("d").cast("bigint").alias("day_of_month"),
+            iso_dow.alias("iso_dow"),
+            F.date_format("d", "EEEE").alias("day_name"),
+            F.date_format("d", "MMMM").alias("month_name"),
+        )
+
     def staged_products(r: ModelRegistry) -> DataFrame:
         # pure double multiply — bit-identical in any IEEE engine, so the
         # derived margin needs no decimal detour
@@ -85,6 +164,16 @@ def _registry(spark: SparkSession, sf_dir: str) -> ModelRegistry:
     reg.add_model("sales_transactions", sales_transactions, deps=("lineitem", "orders"))
     reg.add_model("customer_events", customer_events, deps=("events",))
     reg.add_model("inventory_transactions", inventory_transactions, deps=("lineitem",))
+    reg.add_model(
+        "staging_financials", staging_financials, deps=("orders", "customer")
+    )
+    reg.add_model(
+        "staging_employee_metrics", staging_employee_metrics, deps=("lineitem",)
+    )
+    reg.add_model(
+        "staging_marketing_events", staging_marketing_events, deps=("events",)
+    )
+    reg.add_model("staging_date_spine", staging_date_spine, deps=())
     reg.add_model("staged_products", staged_products, deps=("part",))
     reg.add_model("staging_employees", staging_employees, deps=("supplier", "nation"))
     reg.add_model("staging_geography", staging_geography, deps=("nation", "region"))
@@ -106,6 +195,9 @@ def full_catalog_registry(spark: SparkSession, sf_dir: str) -> ModelRegistry:
         "fact_events_daily",
         "fact_customer_behavior",
         "fact_inventory_daily",
+        "fact_financial_performance",
+        "fact_employee_performance",
+        "fact_marketing_campaigns",
     ):
         spec = cat.fact(fact_name)
         reg.add_model(
@@ -113,7 +205,7 @@ def full_catalog_registry(spark: SparkSession, sf_dir: str) -> ModelRegistry:
             lambda r, s=spec: build_fact(r.ref(s["source"]), s),
             deps=(spec["source"],),
         )
-    for dim_name in ("dim_part", "dim_product", "dim_geography"):
+    for dim_name in ("dim_part", "dim_product", "dim_geography", "dim_date"):
         spec = cat.dimension(dim_name)
         src = spec.get("source", "part")
         reg.add_model(
@@ -488,6 +580,174 @@ def catalog_dim_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog.load(CATALOG_PATH)
     reg = _registry(spark, sf_dir)
     spec = cat.dimension("dim_geography")
+    return build_scd1_dimension(reg.ref(spec["source"]), spec)
+
+
+# --- round-3 catalog completion: reference facts 5-6-7 + dim_date -----------
+
+STAGING_FINANCIALS_SQL = """
+  SELECT o_orderdate,
+         c_nationkey AS business_unit_id,
+         o_orderpriority AS account_id,
+         o_totalprice AS actual_amount_usd,
+         o_totalprice * (95 + o_orderkey % 11) / 100.0 AS budget_amount_usd,
+         o_totalprice * (98 + o_orderkey % 5) / 100.0 AS forecast_amount_usd
+  FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+_FIN_ACTUAL = sql_dsum("actual_amount_usd")
+_FIN_BUDGET = sql_dsum("budget_amount_usd")
+
+FACT_FINANCIAL_ORACLE = f"""
+WITH staged AS ({STAGING_FINANCIALS_SQL})
+SELECT
+  CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS date_key,
+  business_unit_id AS business_unit_key,
+  account_id AS account_key,
+  {_FIN_ACTUAL} AS actual_amount,
+  {_FIN_BUDGET} AS budget_amount,
+  {sql_dsum("forecast_amount_usd")} AS forecast_amount,
+  COUNT(*) AS row_count,
+  {_FIN_ACTUAL} - COALESCE({_FIN_BUDGET}, 0.0) AS budget_variance,
+  CASE WHEN {_FIN_BUDGET} > 0
+       THEN ({_FIN_ACTUAL} - {_FIN_BUDGET}) / {_FIN_BUDGET}
+       ELSE 0.0 END AS budget_variance_pct
+FROM staged
+GROUP BY 1, 2, 3
+"""
+
+
+@query("catalog_fact_financial", oracle=FACT_FINANCIAL_ORACLE)
+def catalog_fact_financial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: reference fact_financial_performance (data_catalog.yml:142-182) —
+    first MONTHLY-grain spec through the compiler (GRAIN_TRUNC month), with
+    actual/budget/forecast decimal-deterministic sums and the variance /
+    variance-pct derived measures computed post-agg."""
+    cat = Catalog.load(CATALOG_PATH)
+    reg = _registry(spark, sf_dir)
+    spec = cat.fact("fact_financial_performance")
+    return build_fact(reg.ref(spec["source"]), spec)
+
+
+STAGING_EMPLOYEE_METRICS_SQL = """
+  SELECT l_shipdate,
+         l_suppkey AS employee_id,
+         l_returnflag AS metric_type,
+         l_quantity AS metric_value,
+         25.0 + (l_suppkey % 10) AS target_value
+  FROM lineitem
+"""
+
+_EMP_SCORE = sql_davg("metric_value")
+_EMP_TARGET = sql_davg("target_value")
+
+FACT_EMPLOYEE_ORACLE = f"""
+WITH staged AS ({STAGING_EMPLOYEE_METRICS_SQL})
+SELECT
+  CAST(DATE_TRUNC('quarter', l_shipdate) AS DATE) AS date_key,
+  employee_id AS employee_key,
+  metric_type AS metric_type_key,
+  {_EMP_SCORE} AS performance_score,
+  {_EMP_TARGET} AS target_score,
+  COUNT(*) AS row_count,
+  CASE WHEN {_EMP_TARGET} > 0
+       THEN {_EMP_SCORE} / {_EMP_TARGET} ELSE 0.0 END AS target_attainment,
+  CASE WHEN {_EMP_SCORE} >= {_EMP_TARGET} THEN 'EXCEEDS'
+       WHEN {_EMP_SCORE} >= {_EMP_TARGET} * 0.8 THEN 'MEETS'
+       ELSE 'BELOW' END AS rating
+FROM staged
+GROUP BY 1, 2, 3
+"""
+
+
+@query("catalog_fact_employee_perf", oracle=FACT_EMPLOYEE_ORACLE)
+def catalog_fact_employee_perf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: reference fact_employee_performance (data_catalog.yml:183-212) —
+    QUARTERLY grain with avg-aggregated measures (davg: order-independent
+    decimal sum ÷ count) and attainment/rating derived post-agg."""
+    cat = Catalog.load(CATALOG_PATH)
+    reg = _registry(spark, sf_dir)
+    spec = cat.fact("fact_employee_performance")
+    return build_fact(reg.ref(spec["source"]), spec)
+
+
+STAGING_MARKETING_SQL = """
+  SELECT ts,
+         1 + event_id % 8 AS campaign_id,
+         event_type AS channel_id,
+         CAST(1 + event_id % 3 AS INT) AS impressions,
+         CAST(event_type = 'click' AS INT) AS clicks,
+         value / 10.0 AS cost_usd
+  FROM events
+"""
+
+FACT_MARKETING_ORACLE = f"""
+WITH staged AS ({STAGING_MARKETING_SQL})
+SELECT
+  CAST(DATE_TRUNC('day', ts) AS DATE) AS date_key,
+  campaign_id AS campaign_key,
+  channel_id AS channel_key,
+  CAST(SUM(impressions) AS BIGINT) AS impressions,
+  CAST(SUM(clicks) AS BIGINT) AS clicks,
+  {sql_dsum("cost_usd")} AS campaign_cost,
+  COUNT(*) AS row_count,
+  CASE WHEN SUM(impressions) > 0
+       THEN CAST(SUM(clicks) AS DOUBLE) / SUM(impressions)
+       ELSE 0.0 END AS click_through_rate,
+  CASE WHEN SUM(clicks) > 0
+       THEN {sql_dsum("cost_usd")} / SUM(clicks)
+       ELSE 0.0 END AS cost_per_click
+FROM staged
+GROUP BY 1, 2, 3
+"""
+
+
+@query("catalog_fact_marketing", oracle=FACT_MARKETING_ORACLE)
+def catalog_fact_marketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: reference fact_marketing_campaigns (data_catalog.yml:214-247) —
+    attribution rollup with sum_int impression/click counters and the
+    guarded CTR / cost-per-click derived measures."""
+    cat = Catalog.load(CATALOG_PATH)
+    reg = _registry(spark, sf_dir)
+    spec = cat.fact("fact_marketing_campaigns")
+    return build_fact(reg.ref(spec["source"]), spec)
+
+
+STAGING_DATE_SPINE_SQL = """
+  SELECT CAST(d AS DATE) AS date_key, CAST(d AS DATE) AS calendar_date,
+    EXTRACT(year FROM d) AS year,
+    EXTRACT(quarter FROM d) AS quarter,
+    EXTRACT(month FROM d) AS month,
+    EXTRACT(day FROM d) AS day_of_month,
+    CAST(ISODOW(d) AS INT) AS iso_dow,
+    STRFTIME(d, '%A') AS day_name,
+    STRFTIME(d, '%B') AS month_name
+  FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY)) AS d)
+"""
+
+DIM_DATE_CATALOG_ORACLE = f"""
+WITH staged AS ({STAGING_DATE_SPINE_SQL})
+SELECT date_key, calendar_date, year, quarter, month, day_of_month, iso_dow,
+  day_name, month_name,
+  iso_dow IN (6, 7) AS is_weekend,
+  iso_dow BETWEEN 1 AND 5 AS is_weekday,
+  CONCAT('Q', quarter, ' ', year) AS quarter_name,
+  CONCAT(month_name, ' ', year) AS month_year,
+  CASE WHEN month >= 7 THEN year + 1 ELSE year END AS fiscal_year,
+  CAST(DATE_TRUNC('month', calendar_date) AS DATE) AS month_start_date
+FROM staged
+"""
+
+
+@query("catalog_dim_date", oracle=DIM_DATE_CATALOG_ORACLE)
+def catalog_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: reference dim_date (data_catalog.yml:433-527) as a YAML-declared
+    SCD1 model — the generated spine is the staging source; calendar names
+    and the fiscal/weekend/concat attributes are catalog `calculation`
+    strings compiled by F.expr (vs the hand-written date_dimension twin)."""
+    cat = Catalog.load(CATALOG_PATH)
+    reg = _registry(spark, sf_dir)
+    spec = cat.dimension("dim_date")
     return build_scd1_dimension(reg.ref(spec["source"]), spec)
 
 

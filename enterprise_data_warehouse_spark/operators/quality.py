@@ -214,13 +214,19 @@ def _check_sql(c: Check) -> str:
 def compile_suite_oracle(checks: Sequence[Check]) -> str:
     # staged models some checks target, stated once as CTEs (unused CTEs are
     # legal); raw tables resolve to the driver's pre-registered views
-    from .facts import STAGED_PRODUCTS_SQL, STAGING_EMPLOYEES_SQL, STAGING_GEOGRAPHY_SQL
+    from .facts import (
+        STAGED_PRODUCTS_SQL,
+        STAGING_DATE_SPINE_SQL,
+        STAGING_EMPLOYEES_SQL,
+        STAGING_GEOGRAPHY_SQL,
+    )
 
     body = "\n  UNION ALL\n  ".join(_check_sql(c) for c in checks)
     return f"""
 WITH staging_employees AS ({STAGING_EMPLOYEES_SQL}),
 staged_products AS ({STAGED_PRODUCTS_SQL}),
 staging_geography AS ({STAGING_GEOGRAPHY_SQL}),
+staging_date_spine AS ({STAGING_DATE_SPINE_SQL}),
 results AS (
   {body}
 )
