@@ -875,3 +875,103 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: a + b,
     ) / float(DIM)
     return q.select("vec_id", "scale", "qvec", err.alias("recon_mse"))
+
+
+# --- SemDeDup: cluster-then-prune semantic deduplication ---------------------
+
+SEMDEDUP_THRESHOLD = 0.95
+SEMDEDUP_CELLS = 16
+
+_SEM_CORPUS = """
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+    list_transform(range(1, 65), i -> CASE WHEN i = 1
+      THEN CAST(embedding[i] AS DOUBLE) + 0.1
+      ELSE CAST(embedding[i] AS DOUBLE) END) AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+SEMDEDUP_ORACLE = f"""
+WITH corpus AS ({_SEM_CORPUS}
+), cents AS (
+  SELECT vec_id AS cell_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < {SEMDEDUP_CELLS}
+), assigned AS (
+  SELECT c.vec_id, c.v, cc.cell_id,
+    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      ORDER BY {_sql_cosine('c.v', 'cc.cv')} DESC, cc.cell_id ASC) AS cell_rank
+  FROM corpus c CROSS JOIN cents cc
+), cells AS (
+  SELECT vec_id, v, cell_id FROM assigned WHERE cell_rank = 1
+), pairs AS (
+  SELECT b.vec_id, a.vec_id AS dup_of, a.cell_id,
+         {_sql_cosine('a.v', 'b.v')} AS cosine_sim
+  FROM cells a JOIN cells b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+), hits AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+    ORDER BY cosine_sim DESC, dup_of ASC) AS rk
+  FROM pairs WHERE cosine_sim >= {SEMDEDUP_THRESHOLD}
+)
+SELECT vec_id, dup_of, cell_id, cosine_sim FROM hits WHERE rk = 1
+"""
+
+
+@query("semantic_dedup", oracle=SEMDEDUP_ORACLE)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
+    embeddings, then prune within each cluster — a vector is removed when an
+    earlier same-cell vector is cosine-similar above the threshold. Returns
+    the removed rows with their best keeper (max cosine, ties → lowest id).
+    Test fixture plants perturbed copies (every 10th vector, first
+    coordinate +0.1 → cosine ≈ 0.995) since the synthetic corpus is
+    otherwise near-orthogonal (natural max ≈ 0.51 at sf0.01).
+
+    Scale shape (the paper's recipe): centroid count grows with the corpus
+    (they use ~100k clusters for billions of docs — here the deterministic
+    {SEMDEDUP_CELLS}-cell coarse quantizer that ivf_topk shares), assignment
+    is a broadcast map-side cross-score, and pruning is a cell-keyed
+    equi-join — candidate pairs stream through the join, never materialize
+    per-task arrays, and cost is bounded by cell size, not corpus size.
+    Cross-cell duplicates are missed by design (the paper's documented
+    recall trade-off)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", as_double("embedding").alias("v"))
+    perturbed = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") + 0.1).otherwise(
+                x.cast("double")
+            ),
+        ).alias("v"),
+    )
+    corpus = base.unionByName(perturbed)
+    cents = base.where(F.col("vec_id") < SEMDEDUP_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    cells = _assign_cells(corpus, cents, 1, "vec_id").select("vec_id", "v", "cell_id")
+    a = cells.select(
+        F.col("vec_id").alias("dup_of"), F.col("v").alias("va"), "cell_id"
+    )
+    b = cells.select("vec_id", F.col("v").alias("vb"), F.col("cell_id").alias("cb"))
+    pairs = (
+        a.join(b, (F.col("cell_id") == F.col("cb")) & (F.col("dup_of") < F.col("vec_id")))
+        .select(
+            "vec_id",
+            "dup_of",
+            "cell_id",
+            cosine(F.col("va"), F.col("vb")).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= SEMDEDUP_THRESHOLD)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine_sim"), F.asc("dup_of"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "dup_of", "cell_id", "cosine_sim")
+    )

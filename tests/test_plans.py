@@ -225,6 +225,7 @@ BNLJ_ALLOWED = {
     "cosine_topk",  # broadcast query vectors (constant count)
     "embedding_near_dup",  # broadcast sampled probe vectors
     "ivf_topk",  # broadcast coarse centroids (k rows)
+    "semantic_dedup",  # broadcast coarse centroids (k rows)
     "kmeans_embeddings",  # broadcast centroids (k rows per iteration)
     "kmeans_pp_embeddings",  # broadcast sketch-seeded centroids (k rows)
     "key_skew_profile",  # broadcast global count rollup (1 row)
