@@ -64,6 +64,15 @@ SHOWCASE = [
      "arithmetic, probe buckets explode flips+1 rows per query, and "
      "candidates come from a bucket equi-join (broadcast at this SF, "
      "shuffle-hash at scale) — never an all-pairs join."),
+    ("semantic_dedup",
+     "SemDeDup: centroid assignment is a broadcast nested-loop against "
+     "the tiny centroid table (map-side, no shuffle of the corpus); "
+     "within-cell pruning is a cell-keyed equi-join whose candidates "
+     "stream through the join operator — cost bounded by cell size."),
+    ("catalog_fact_financial",
+     "Catalog-compiled monthly fact: staging join → grain-truncated "
+     "grouped aggregate with decimal-exact partials → derived measures "
+     "projected post-agg; one exchange past the join."),
 ]
 
 
