@@ -975,3 +975,176 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("vec_id", "dup_of", "cell_id", "cosine_sim")
     )
+
+
+# --- Product Quantization: codes + asymmetric-distance search ----------------
+
+PQ_M = 8          # subspaces
+PQ_K = 16         # codes per subspace codebook
+PQ_SUB = DIM // PQ_M
+
+_SQL_SQD_SUB = (
+    f"list_reduce(list_transform(range(1, {PQ_SUB + 1}), "
+    "i -> (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))"
+    " * (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+_PQ_COMMON_SQL = f"""
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cb AS (
+  SELECT m, CAST(vec_id AS INT) AS k,
+         v[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS cv
+  FROM emb, unnest(range(0, {PQ_M})) AS t(m)
+  WHERE vec_id < {PQ_K}
+), sub AS (
+  SELECT vec_id, m, v[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sv
+  FROM emb, unnest(range(0, {PQ_M})) AS t(m)
+), best AS (
+  SELECT s.vec_id, s.m, c.k, {_SQL_SQD_SUB} AS d2
+  FROM sub s JOIN cb c ON c.m = s.m
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY d2, c.k) = 1
+)"""
+
+PQ_ENCODE_ORACLE = f"""
+WITH {_PQ_COMMON_SQL}
+SELECT vec_id,
+  list(k ORDER BY m) AS codes,
+  list_reduce(list(d2 ORDER BY m), (x, y) -> x + y) AS pq_err
+FROM best GROUP BY vec_id
+"""
+
+
+def _pq_subspaces(df: DataFrame, id_alias: str) -> DataFrame:
+    """Explode a (vec_id, v) frame into (id, m, sv) subvector rows."""
+    m = F.explode(F.array(*[F.lit(i) for i in range(PQ_M)])).alias("m")
+    out = df.select(F.col("vec_id").alias(id_alias), "v", m)
+    return out.select(
+        id_alias, "m", F.slice("v", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sv")
+    )
+
+
+def _pq_codebook(e: DataFrame) -> DataFrame:
+    """Deterministic fixture codebook: the first PQ_K vectors' subvectors
+    (production: per-subspace k-means — the Lloyd loop above, run once per
+    subspace over a sample, persisted as this same tiny table)."""
+    cb = _pq_subspaces(e.where(F.col("vec_id") < PQ_K), "k")
+    return cb.select("m", F.col("k").cast("int").alias("k"), F.col("sv").alias("cv"))
+
+
+def _pq_best_codes(e: DataFrame) -> DataFrame:
+    """(vec_id, m, k, d2): nearest codebook entry per subspace, ties → k."""
+    from pyspark.sql.window import Window
+
+    cb = _pq_codebook(e)
+    scored = _pq_subspaces(e, "vec_id").join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "k", sq_dist(F.col("sv"), F.col("cv")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "k")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _ordered_fold(pairs: Column, value_field: str) -> Column:
+    """Deterministic sum of per-subspace doubles: sort by m, fold in order
+    (a bare SUM(double) is partial-order-dependent and breaks the oracle
+    hash; 8 elements make the fold free)."""
+    return F.aggregate(
+        F.transform(F.array_sort(pairs), lambda s: s[value_field]),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+
+
+@query("pq_encode", oracle=PQ_ENCODE_ORACLE)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011, the IVF-PQ storage
+    form): split each vector into {PQ_M} subspaces, code each subvector as
+    its nearest codebook entry — {PQ_M} small ints (~8 bytes) replace 256
+    bytes of float32, with the per-vector quantization error reported.
+
+    Scale shape: the codebook is {PQ_M}×{PQ_K} tiny rows → broadcast;
+    scoring is a map-side equi-join on the subspace id; the only exchange
+    is the per-vector regroup. At 100 TB the codes table is what an ANN
+    service scans — 32× smaller than the raw embeddings."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    best = _pq_best_codes(e)
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "k"))), lambda s: s["k"]
+        ).alias("codes"),
+        _ordered_fold(F.collect_list(F.struct("m", "d2")), "d2").alias("pq_err"),
+    )
+
+
+PQ_TOPK_ORACLE = f"""
+WITH {_PQ_COMMON_SQL}, qsub AS (
+  SELECT vec_id AS query_id, m, v[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sv
+  FROM emb, unnest(range(0, {PQ_M})) AS t(m)
+  WHERE vec_id < 5
+), dtab AS (
+  SELECT q.query_id, q.m, c.k, {_SQL_SQD_SUB} AS d2
+  FROM qsub q JOIN cb c ON c.m = q.m
+), pairs AS (
+  SELECT d.query_id, b.vec_id AS neighbor_id,
+    list_reduce(list(d.d2 ORDER BY d.m), (x, y) -> x + y) AS approx_dist
+  FROM best b JOIN dtab d ON d.m = b.m AND d.k = b.k
+  WHERE b.vec_id != d.query_id
+  GROUP BY d.query_id, b.vec_id
+)
+SELECT query_id, neighbor_id, approx_dist, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY approx_dist ASC, neighbor_id ASC) AS rk
+  FROM pairs
+) WHERE rk <= {TOPK_K}
+"""
+
+
+@query("pq_adc_topk", oracle=PQ_TOPK_ORACLE)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: per query, precompute the
+    {PQ_M}×{PQ_K} table of exact subvector→codebook distances, then score
+    every corpus vector as the sum of {PQ_M} table lookups on its codes —
+    the query never touches raw corpus floats.
+
+    Scale shape: the distance table is queries×{PQ_M}×{PQ_K} rows →
+    broadcast; scoring joins it to the codes on (m, k) map-side, and the
+    per-(query, vector) regroup is the one exchange. Production keeps codes
+    as a packed array column and folds the lookup inside a single projection
+    (no explode) — the exploded join here keeps the plan oracle-mirrorable
+    while preserving the same shuffle bound (one row per subspace, never
+    per-dimension)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    best = _pq_best_codes(e)
+    cb = _pq_codebook(e)
+    qsub = _pq_subspaces(e.where(F.col("vec_id") < 5), "query_id")
+    dtab = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "k", sq_dist(F.col("sv"), F.col("cv")).alias("qd2")
+    )
+    pairs = (
+        best.join(F.broadcast(dtab), ["m", "k"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            _ordered_fold(
+                F.collect_list(F.struct("m", "qd2")), "qd2"
+            ).alias("approx_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK_K)
+        .select("query_id", "neighbor_id", "approx_dist", F.col("rk").cast("int").alias("rk"))
+    )
