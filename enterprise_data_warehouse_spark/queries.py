@@ -137,6 +137,21 @@ PRIORITY_ORDER = [
     "sliding_hourly_counts",
     "segment_hourly_counts",
     "view_click_within_30m",
+    # -- oracle-paired additions landed later in r03 (slots 57-69): ahead
+    #    of every rows-only entry so the round-4 window fronts them -------
+    "semantic_dedup",
+    "pq_encode",
+    "pq_adc_topk",
+    "catalog_fact_customer_behavior",
+    "catalog_fact_inventory_daily",
+    "catalog_dim_product",
+    "catalog_dim_employee",
+    "catalog_dim_geography",
+    "catalog_fact_financial",
+    "catalog_fact_employee_perf",
+    "catalog_fact_marketing",
+    "catalog_dim_date",
+    "catalog_quality_suite",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
