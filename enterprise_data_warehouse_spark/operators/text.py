@@ -540,3 +540,77 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_bigram_frac",
         "top_trigram_frac",
     )
+
+
+# --- inverted index: BM25-ready posting lists --------------------------------
+
+INVINDEX_K = 3  # postings kept per token (top-k by tf)
+
+INVINDEX_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), filtered AS (
+  SELECT * FROM toks WHERE LEN(token) >= 3
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM filtered GROUP BY doc_id, token
+), stats AS (
+  SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT token, df, total_tf,
+       ROUND(LN((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 4)
+         AS idf_bm25_r4,
+       doc_id, tf, rn AS posting_rank
+FROM (SELECT t.token, s.df, s.total_tf, t.doc_id, t.tf, n.n_docs,
+             ROW_NUMBER() OVER (PARTITION BY t.token
+                                ORDER BY t.tf DESC, t.doc_id) AS rn
+      FROM tf t JOIN stats s USING (token) CROSS JOIN n)
+WHERE rn <= {INVINDEX_K}
+"""
+
+
+@query("inverted_index_topk", oracle=INVINDEX_ORACLE)
+def inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-retrieval index build: per-token document-frequency, corpus
+    term-frequency, BM25 idf, and the top-k postings by tf — the lexical
+    complement to the dense ANN index (similarity.py); together they are
+    the hybrid-retrieval pair every RAG/training-data pipeline ships.
+
+    Posting lists are emitted as RANKED ROWS (token, doc_id, tf,
+    posting_rank), not collect_list arrays: at 100 TB a stopword-like
+    token's full posting list cannot materialize in one row (same fan-out
+    bound as MAX_BAND_BUCKET in dedup), and rows stay mergeable by any
+    downstream sink. Scale shape: explode → two-level agg (per-(doc,token)
+    tf is map-side combinable), vocabulary-sized stats join back on the
+    token key tf already shuffled on, window partitions by that same key —
+    one logical shuffle chain, reusable by AQE. idf uses the BM25+ form
+    ln((N - df + ½)/(df + ½) + 1), one IEEE op over exact integers, rounded
+    to 4dp for cross-engine hashing (rank ties resolve on (tf, doc_id),
+    never on the float)."""
+    d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).where(
+        F.length("token") >= 3
+    )
+    tf = toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    stats = tf.groupBy("token").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+    )
+    n_docs = d.count()  # driver-side scalar, pinned into the idf expression
+    w = Window.partitionBy("token").orderBy(F.desc("tf"), "doc_id")
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    return (
+        tf.join(stats, "token")
+        .withColumn("posting_rank", F.row_number().over(w))
+        .where(F.col("posting_rank") <= INVINDEX_K)
+        .select(
+            "token",
+            "df",
+            "total_tf",
+            F.round(idf, 4).alias("idf_bm25_r4"),
+            "doc_id",
+            "tf",
+            "posting_rank",
+        )
+    )

@@ -52,6 +52,7 @@ _OPERATOR_MODULES = [
     "enterprise_data_warehouse_spark.operators.mlboundary",
     "enterprise_data_warehouse_spark.operators.multimodal",
     "enterprise_data_warehouse_spark.operators.quality",
+    "enterprise_data_warehouse_spark.operators.layout",
     "enterprise_data_warehouse_spark.streaming.queries",
     "enterprise_data_warehouse_spark.streaming.stateful",
 ]
@@ -152,6 +153,8 @@ PRIORITY_ORDER = [
     "catalog_fact_marketing",
     "catalog_dim_date",
     "catalog_quality_suite",
+    "zorder_keys",
+    "inverted_index_topk",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",

@@ -231,6 +231,7 @@ BNLJ_ALLOWED = {
     "key_skew_profile",  # broadcast global count rollup (1 row)
     "ks_drift_pvalue",  # broadcast scalar KS statistic (1 row)
     "important_suppliers",  # broadcast global revenue threshold (1 row)
+    "zorder_keys",  # broadcast min/max normalization rollup (1 row)
     "dormant_customers",  # broadcast global average balance (1 row)
 }
 
