@@ -69,6 +69,20 @@ SHOWCASE = [
      "the tiny centroid table (map-side, no shuffle of the corpus); "
      "within-cell pruning is a cell-keyed equi-join whose candidates "
      "stream through the join operator — cost bounded by cell size."),
+    ("simhash_hamming_pairs",
+     "tf-weighted 60-bit SimHash: signatures are one map-side pass "
+     "(each distinct token hashed once, weighted bit votes), banded "
+     "candidates from grouped per-bucket emission — one shuffle, no "
+     "self-join, fan-out capped."),
+    ("zorder_keys",
+     "Z-order clustering key: min/max normalization is a 1-row broadcast "
+     "back over the scan; bit interleave is pure integer arithmetic in "
+     "the projection — the subsequent zorder_write adds only the "
+     "RangePartitioning exchange any sorted write pays."),
+    ("inverted_index_topk",
+     "Sparse-retrieval index: explode → per-(token,doc) tf (map-side "
+     "combinable) → vocabulary stats joined back on the token key tf "
+     "already shuffled on → per-token top-k window on that same key."),
     ("catalog_fact_financial",
      "Catalog-compiled monthly fact: staging join → grain-truncated "
      "grouped aggregate with decimal-exact partials → derived measures "
