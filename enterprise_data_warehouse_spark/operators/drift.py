@@ -642,3 +642,75 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_ratio"),
         )
     )
+
+
+# --- robust outliers: median absolute deviation ------------------------------
+
+MAD_K = 1.4826  # consistency constant: MAD * 1.4826 estimates sigma under
+#                normality, so the 3.0 cut mirrors the z-score rule robustly
+MAD_CUT = 3.0
+
+MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, MEDIAN(value) AS type_median
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.type_median,
+         ABS(e.value - m.type_median) AS abs_dev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, MEDIAN(abs_dev) AS type_mad FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type,
+       ROUND(d.value, 4) AS value_r4,
+       ROUND(d.type_median, 4) AS median_r4,
+       ROUND(m.type_mad, 4) AS mad_r4,
+       ROUND(ABS(d.value - d.type_median) / ({MAD_K} * m.type_mad), 4)
+         AS robust_z_r4
+FROM dev d JOIN mad m USING (event_type)
+WHERE ABS(d.value - d.type_median) > {MAD_CUT} * {MAD_K} * m.type_mad
+"""
+
+
+@query("mad_outliers", oracle=MAD_ORACLE)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    breakdown-resistant twin of A11's z-score rule (windows.py): mean/stddev
+    move with the outliers they hunt; median/MAD (50% breakdown point) do
+    not. Flags |value − median| > 3·1.4826·MAD per event_type.
+
+    Shape: two grouped EXACT medians (percentile is a sort-based agg — the
+    group count here is tiny and fixed; at 100 TB with high-cardinality
+    groups swap approx_percentile, same plan otherwise), each broadcast
+    back over the event scan — the big table is never shuffled, and the
+    second median reuses the first join's projection. Outputs rounded to
+    4dp for cross-engine hashing; the comparison predicate is pure double
+    arithmetic identical in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("type_median")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "type_median",
+        F.abs(F.col("value") - F.col("type_median")).alias("abs_dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("abs_dev", 0.5).alias("type_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("abs_dev") > MAD_CUT * MAD_K * F.col("type_mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value_r4"),
+            F.round("type_median", 4).alias("median_r4"),
+            F.round("type_mad", 4).alias("mad_r4"),
+            F.round(F.col("abs_dev") / (MAD_K * F.col("type_mad")), 4).alias(
+                "robust_z_r4"
+            ),
+        )
+    )

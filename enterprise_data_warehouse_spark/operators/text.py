@@ -614,3 +614,51 @@ def inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "posting_rank",
         )
     )
+
+
+# --- weighted corpus sampling (Efraimidis–Spirakis exponential race) ----------
+
+WSAMPLE_K = 100
+_U60 = 1152921504606846976  # 2^60
+
+WSAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+    -LN((CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         + 0.5) / {_U60}.0) / n_chars AS k
+  FROM documents
+)
+SELECT doc_id, source, n_chars
+FROM keyed ORDER BY k, doc_id LIMIT {WSAMPLE_K}
+"""
+
+
+@query("weighted_doc_sample", oracle=WSAMPLE_ORACLE)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis): each doc draws an exponential arrival −ln(u)/w with weight
+    w = n_chars; the k earliest arrivals ARE a weighted sample — the
+    quality-/length-weighted cousin of corpus_source_mix's Bernoulli rates
+    when the output must be exactly k rows.
+
+    u is the portable md5-60-bit uniform (deterministic, re-runnable —
+    same sample every run, like every sampling op here). One map-side
+    projection then ORDER BY LIMIT k, which Spark plans as
+    TakeOrderedAndProject: per-partition k-heaps merged on the driver —
+    no global sort, no single-partition window, scales to any corpus.
+    Output carries no floats (the key stays internal), so cross-engine
+    hashing is exact; a rank flip would need two arrival keys within one
+    ULP, vanishing at any k."""
+    d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        + 0.5
+    ) / float(_U60)
+    keyed = d.select(
+        "doc_id", "source", "n_chars", (-F.log(u) / F.col("n_chars")).alias("k")
+    )
+    return (
+        keyed.orderBy("k", "doc_id").limit(WSAMPLE_K).select("doc_id", "source", "n_chars")
+    )

@@ -155,6 +155,8 @@ PRIORITY_ORDER = [
     "catalog_quality_suite",
     "zorder_keys",
     "inverted_index_topk",
+    "mad_outliers",
+    "weighted_doc_sample",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
