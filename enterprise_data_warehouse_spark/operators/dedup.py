@@ -676,6 +676,56 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REPRESENTATIVE_ORACLE = f"""
+WITH comp AS ({CLUSTER_ORACLE}), ranked AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+    ROW_NUMBER() OVER (
+      PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+    COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars,
+       cluster_size, cluster_size - 1 AS n_pruned
+FROM ranked WHERE rk = 1
+"""
+
+
+@query("dedup_representatives", oracle=REPRESENTATIVE_ORACLE)
+def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: one representative per near-dup
+    cluster, chosen by a quality key (longest doc, doc_id tiebreak) rather
+    than near_dup_clusters' min-id canonical — the policy real pipelines
+    want ("keep the best copy"), and the step that turns cluster labels
+    into the final keep-list (n_pruned = docs dropped per cluster).
+
+    Scale shape: the cluster labels come from the iterative hash-min
+    propagation (near_dup_clusters — loop over edge-touching nodes only);
+    selection itself is one broadcast-friendly join onto the quality
+    column plus a per-cluster window. The window partitions by cluster_id,
+    whose cardinality ~= corpus size (mostly singletons), so there is no
+    skewed partition: max group size = max cluster size, bounded by the
+    band-bucket caps upstream. Policy key is exact (bigint n_chars +
+    doc_id) — no float ordering ambiguity cross-engine."""
+    clusters = near_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    rk_w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    sz_w = Window.partitionBy("cluster_id")
+    ranked = (
+        clusters.join(quality, "doc_id")
+        .withColumn("rk", F.row_number().over(rk_w))
+        .withColumn("cluster_size", F.count("*").over(sz_w))
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("rep_doc_id"),
+        F.col("n_chars").alias("rep_n_chars"),
+        "cluster_size",
+        (F.col("cluster_size") - 1).alias("n_pruned"),
+    )
+
+
 # --- benchmark decontamination ------------------------------------------------
 
 DECON_N = 5  # contamination n-gram width (13 in GPT-3's rule; 5 fits the

@@ -662,3 +662,162 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         keyed.orderBy("k", "doc_id").limit(WSAMPLE_K).select("doc_id", "source", "n_chars")
     )
+
+
+# --- temperature-flattened source mixing (stats-driven rates) -----------------
+
+TEMP_T = 20.0  # count threshold: sources with n_docs <= T keep everything
+#               (rate ∝ sqrt(T / n_docs) — the alpha=0.5 temperature flatten)
+
+TEMPERATURE_MIX_ORACLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), rated AS (
+  SELECT source, n_docs,
+    LEAST(1.0, SQRT({TEMP_T} / CAST(n_docs AS DOUBLE))) AS sample_rate
+  FROM counts
+)
+SELECT r.source, r.n_docs, r.sample_rate,
+  COUNT(CASE WHEN CAST(('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)
+      || '#temp'), 1, 15)) AS BIGINT) + 0.5
+      < r.sample_rate * {_U60}.0 THEN 1 END) AS n_kept
+FROM rated r JOIN documents d ON d.source = r.source
+GROUP BY r.source, r.n_docs, r.sample_rate
+"""
+
+
+@query("corpus_temperature_mix", oracle=TEMPERATURE_MIX_ORACLE)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing: sampling rates COMPUTED from
+    corpus statistics rather than declared per tier (the multilingual-LM
+    `p_s ∝ n_s^alpha` rebalance, in its cross-source-sum-free count-threshold
+    form `rate_s = min(1, sqrt(T / n_s))`, alpha = 0.5). Over-represented
+    sources are downsampled toward sqrt-scale; sources at or under the
+    threshold keep everything. Unlike `corpus_source_mix` (fixed tier
+    rates), this is the two-pass stats→rates→filter pipeline a real mix
+    rebalance runs.
+
+    Scale shape: pass 1 is a map-side-combined count per source (shuffle =
+    |sources| rows); the per-source rate table is broadcast back, so the
+    keep decision is map-side over the corpus — zero wide shuffle of
+    document rows; the output rollup re-uses the same tiny key space.
+    Cross-engine exactness: rate_s is a pure per-source IEEE expression of
+    an exact integer count (no cross-source float sum, which would be
+    summation-order-dependent); the keep test compares the exact md5-60-bit
+    uniform (salted '#temp' — independent of every other sampling op's
+    draws) against rate·2^60 with identical double rounding in both
+    engines. Ref parity: governance-tier sampling in
+    scripts/utilities/generate_fact_dimension_models.py's source-volume
+    balancing (declared); here stats-driven."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    rated = counts.select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0), F.sqrt(F.lit(TEMP_T) / F.col("n_docs").cast("double"))
+        ).alias("sample_rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#temp"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        + 0.5
+    )
+    kept = u < F.col("sample_rate") * float(_U60)
+    return (
+        d.join(F.broadcast(rated), "source")
+        .groupBy("source", "n_docs", "sample_rate")
+        .agg(F.count(F.when(kept, 1)).alias("n_kept"))
+    )
+
+
+# --- Gopher-style quality-rule verdicts ---------------------------------------
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100000
+GOPHER_MIN_MWL = 3.0  # mean word length bounds
+GOPHER_MAX_MWL = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8  # fraction of words containing a letter
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_DISTINCT_RATIO = 0.3  # distinct-word mass (repetition guard)
+
+_SW = ",".join(f"'{w}'" for w in STOPWORDS)
+
+GOPHER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), feat AS (
+  SELECT doc_id,
+    LEN(w) AS n_words,
+    CAST(list_sum(list_transform(w, x -> LEN(x))) AS DOUBLE) / LEN(w)
+      AS mean_word_len,
+    CAST(LEN(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+      / LEN(w) AS alpha_frac,
+    LEN(list_filter(w, x -> x IN ({_SW}))) AS n_stopwords,
+    CAST(LEN(list_distinct(w)) AS DOUBLE) / LEN(w) AS distinct_ratio
+  FROM toks
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords, distinct_ratio,
+  n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS ok_word_count,
+  mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL} AS ok_mean_word_len,
+  alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS ok_alpha,
+  n_stopwords >= {GOPHER_MIN_STOPWORDS} AS ok_stopwords,
+  distinct_ratio >= {GOPHER_MIN_DISTINCT_RATIO} AS ok_distinct,
+  (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+    AND (mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
+    AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+    AND n_stopwords >= {GOPHER_MIN_STOPWORDS}
+    AND distinct_ratio >= {GOPHER_MIN_DISTINCT_RATIO} AS keep
+FROM feat
+"""
+
+
+@query("gopher_quality_filters", oracle=GOPHER_ORACLE)
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filtering (Rae et al. 2021 §A1.1 shape): per-doc
+    rule features + one boolean PER RULE + the conjunctive keep verdict —
+    the auditable form (a pipeline owner needs to see WHICH rule dropped a
+    doc, not just that it vanished). Rules: word-count bounds, mean-word-
+    length bounds, alphabetic-word fraction, minimum stopword evidence
+    (English-ness), distinct-word ratio (degenerate-repetition guard).
+
+    All features are array lambdas over a tokenize-once bound column —
+    whole-stage codegen, zero shuffle, linear in corpus bytes. Ratios are
+    per-row IEEE divisions of exact integers (engine-identical); no
+    cross-row float aggregation anywhere."""
+    d = load_table(spark, sf_dir, "documents").withColumn("_toks", tokens())
+    toks = F.col("_toks")
+    n_words = F.size(toks)
+    mwl = (
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+        / n_words
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double") / n_words
+    )
+    n_stop = token_in_set(toks, STOPWORDS)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_words
+    ok_wc = n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_mwl = mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+    ok_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    ok_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    ok_distinct = distinct_ratio >= GOPHER_MIN_DISTINCT_RATIO
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        distinct_ratio.alias("distinct_ratio"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        ok_distinct.alias("ok_distinct"),
+        (ok_wc & ok_mwl & ok_alpha & ok_stop & ok_distinct).alias("keep"),
+    )

@@ -157,6 +157,9 @@ PRIORITY_ORDER = [
     "inverted_index_topk",
     "mad_outliers",
     "weighted_doc_sample",
+    "corpus_temperature_mix",
+    "gopher_quality_filters",
+    "dedup_representatives",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
