@@ -726,6 +726,78 @@ def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- blocked record linkage (entity resolution) -------------------------------
+
+LINKAGE_BLOCK_CAP = 500  # max block size before the block is dropped (same
+#                          fan-out guard as MAX_BAND_BUCKET — a blocking key
+#                          this dense means the key is non-discriminative)
+LINKAGE_MAX_DIST = 2
+
+LINKAGE_ORACLE = f"""
+WITH capped AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+  FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS _bn
+    FROM customer
+  ) WHERE _bn <= {LINKAGE_BLOCK_CAP}
+)
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       levenshtein(a.c_name, b.c_name) AS edit_distance
+FROM capped a JOIN capped b
+  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {LINKAGE_MAX_DIST}
+"""
+
+
+@query("record_linkage_pairs", oracle=LINKAGE_ORACLE)
+def record_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (entity resolution): candidate pairs from a
+    blocking key (nation × market segment), scored with Levenshtein edit
+    distance on the name, kept at distance ≤ LINKAGE_MAX_DIST — the
+    fuzzy-key cousin of exact_dedup for dimension tables whose natural
+    keys are dirty (the MDM half of the reference's customer cleanse,
+    scripts/utilities/data_quality_checks shape).
+
+    Same scale discipline as the LSH paths: NO all-pairs join — pairs are
+    emitted per block via the grouped i<j array pattern (one scan, one
+    shuffle on the block key; a self-join would scan and shuffle customer
+    twice), and blocks above LINKAGE_BLOCK_CAP are dropped before any list
+    materializes (a key that dense is non-discriminative — production
+    answer is a finer blocking key, e.g. name prefix). The distance filter
+    runs JVM-side on the exploded pairs; Levenshtein is engine-portable
+    (classic Wagner–Fischer in both Spark and DuckDB)."""
+    c = load_table(spark, sf_dir, "customer", min_partitions=cpu_parallelism(spark))
+    w = Window.partitionBy("c_nationkey", "c_mktsegment")
+    capped = (
+        c.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .withColumn("_bn", F.count("*").over(w))
+        .where(F.col("_bn") <= LINKAGE_BLOCK_CAP)
+    )
+    grouped = capped.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.array_sort(F.collect_list(F.struct("c_custkey", "c_name"))).alias("members")
+    )
+    members = F.col("members")
+    n = F.size(members)
+    pair_arrays = F.transform(
+        members,
+        lambda x, i: F.transform(
+            F.slice(members, i + F.lit(2), n - i - F.lit(1)),
+            lambda y: F.struct(
+                x["c_custkey"].alias("custkey_a"),
+                y["c_custkey"].alias("custkey_b"),
+                x["c_name"].alias("name_a"),
+                y["c_name"].alias("name_b"),
+            ),
+        ),
+    )
+    pairs = grouped.select(F.explode(F.flatten(pair_arrays)).alias("p")).select("p.*")
+    return pairs.withColumn(
+        "edit_distance", F.levenshtein("name_a", "name_b")
+    ).where(F.col("edit_distance") <= LINKAGE_MAX_DIST)
+
+
 # --- benchmark decontamination ------------------------------------------------
 
 DECON_N = 5  # contamination n-gram width (13 in GPT-3's rule; 5 fits the

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import sql_dsum
+from ..functions.deterministic import davg, sql_davg, sql_dsum
 from ..queries import query
 from ..sources.tables import load_table
 
@@ -442,4 +442,42 @@ def order_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("price_pct_rank"),
         F.cume_dist().over(w).alias("price_cume_dist"),
         F.ntile(4).over(w).cast("bigint").alias("spend_quartile"),
+    )
+
+
+# --- UNPIVOT / melt ------------------------------------------------------------
+
+_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+UNPIVOT_ORACLE = f"""
+WITH long AS (
+  {" UNION ALL ".join(f"SELECT '{m}' AS measure, {m} AS value FROM lineitem" for m in _MEASURES)}
+)
+SELECT measure, COUNT(*) AS n_rows, {sql_davg("value")} AS avg_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM long GROUP BY measure
+"""
+
+
+@query("lineitem_measure_unpivot", oracle=UNPIVOT_ORACLE)
+def lineitem_measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt) + per-measure profile: the inverse of
+    `event_type_pivot`, turning the four lineitem measures into
+    (measure, value) rows, then one grouped rollup per measure — the
+    schema-on-the-fly reshape feature stores and profilers run before
+    per-feature statistics.
+
+    Spark plans df.unpivot as a single Expand over the scan — each row is
+    read ONCE and emits |measures| rows map-side (no join, no repeated
+    scan), then the rollup is a 4-group partial agg; the ANSI mirror is the
+    classic UNION ALL formulation, which DuckDB scans per branch. Mean goes
+    through the decimal-exact davg (order-independent); min/max/count are
+    exact in any engine."""
+    li = load_table(spark, sf_dir, "lineitem").select(*_MEASURES)
+    long = li.unpivot([], list(_MEASURES), "measure", "value")
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n_rows"),
+        davg("value", "avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
     )

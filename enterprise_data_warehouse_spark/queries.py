@@ -160,6 +160,8 @@ PRIORITY_ORDER = [
     "corpus_temperature_mix",
     "gopher_quality_filters",
     "dedup_representatives",
+    "record_linkage_pairs",
+    "lineitem_measure_unpivot",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
