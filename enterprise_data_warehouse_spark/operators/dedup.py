@@ -768,7 +768,10 @@ def record_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer is a finer blocking key, e.g. name prefix). The distance filter
     runs JVM-side on the exploded pairs; Levenshtein is engine-portable
     (classic Wagner–Fischer in both Spark and DuckDB)."""
-    c = load_table(spark, sf_dir, "customer", min_partitions=cpu_parallelism(spark))
+    # no min_partitions round-robin here: the block-key window immediately
+    # hash-partitions anyway, and a preceding repartition would be a second
+    # (pure-overhead) exchange of the same rows.
+    c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey", "c_mktsegment")
     capped = (
         c.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
