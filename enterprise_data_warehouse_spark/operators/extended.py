@@ -481,3 +481,142 @@ def lineitem_measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+# --- funnel conversion (ordered-sequence product analytics) --------------------
+
+FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS t_first_view
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_first_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_first_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_first_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_first_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_first_view, c.t_first_click, p.t_first_purchase,
+  CAST(CASE WHEN p.t_first_purchase IS NOT NULL THEN 3
+            WHEN c.t_first_click IS NOT NULL THEN 2
+            WHEN v.t_first_view IS NOT NULL THEN 1
+            ELSE 0 END AS INT) AS reached_stage
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
+@query("funnel_conversion", oracle=FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase): per user, the
+    first view, the first click STRICTLY AFTER that view, and the first
+    purchase strictly after that click — the stage-ordering semantics that
+    separate a funnel from three independent MINs (a purchase before the
+    first view must NOT convert).
+
+    Spark-first shape: ONE scan, ONE shuffle — events fold into a per-user
+    time-sorted struct array and a single F.aggregate lambda walks it
+    carrying (t_view, t_click, t_purchase) state; the per-user array is
+    session-sized (bounded by per-user activity, the same assumption every
+    sessionizer here makes). The oracle states identical semantics in the
+    staged-CTE form (three passes) — Spark runs the single-pass plan, DuckDB
+    the relational one, and the results must agree exactly."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    state = F.aggregate(
+        F.col("evs"),
+        F.struct(
+            F.lit(None).cast("timestamp").alias("tv"),
+            F.lit(None).cast("timestamp").alias("tc"),
+            F.lit(None).cast("timestamp").alias("tp"),
+        ),
+        lambda acc, ev: F.struct(
+            F.when(
+                acc["tv"].isNull() & (ev["event_type"] == "view"), ev["ts"]
+            ).otherwise(acc["tv"]).alias("tv"),
+            F.when(
+                acc["tc"].isNull()
+                & acc["tv"].isNotNull()
+                & (ev["event_type"] == "click")
+                & (ev["ts"] > acc["tv"]),
+                ev["ts"],
+            ).otherwise(acc["tc"]).alias("tc"),
+            F.when(
+                acc["tp"].isNull()
+                & acc["tc"].isNotNull()
+                & (ev["event_type"] == "purchase")
+                & (ev["ts"] > acc["tc"]),
+                ev["ts"],
+            ).otherwise(acc["tp"]).alias("tp"),
+        ),
+    )
+    out = per_user.select("user_id", state.alias("s")).where(
+        F.col("s.tv").isNotNull()
+    )
+    return out.select(
+        "user_id",
+        F.col("s.tv").alias("t_first_view"),
+        F.col("s.tc").alias("t_first_click"),
+        F.col("s.tp").alias("t_first_purchase"),
+        F.when(F.col("s.tp").isNotNull(), 3)
+        .when(F.col("s.tc").isNotNull(), 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("reached_stage"),
+    )
+
+
+# --- cohort retention ----------------------------------------------------------
+
+COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS activity_week
+  FROM events
+)
+SELECT f.cohort_week,
+  date_diff('day', f.cohort_week, a.activity_week) // 7 AS week_offset,
+  COUNT(DISTINCT a.user_id) AS n_active_users
+FROM activity a JOIN firsts f ON f.user_id = a.user_id
+GROUP BY f.cohort_week, week_offset
+"""
+
+
+@query("cohort_retention", oracle=COHORT_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week, counted
+    distinct in each subsequent activity week (offset 0 = the cohort's own
+    week) — the classic warehouse retention triangle.
+
+    Scale shape: both the cohort assignment and the distinct-activity set
+    aggregate on user_id, so the join of the two is co-partitioned — ONE
+    user_id exchange serves cohort agg, distinct, and join; only the final
+    tiny (cohort × offset) rollup reshuffles. No window over a global
+    ordering anywhere."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("activity_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff("activity_week", "cohort_week") / 7
+            ).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )

@@ -162,6 +162,8 @@ PRIORITY_ORDER = [
     "dedup_representatives",
     "record_linkage_pairs",
     "lineitem_measure_unpivot",
+    "funnel_conversion",
+    "cohort_retention",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
