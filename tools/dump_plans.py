@@ -87,6 +87,19 @@ SHOWCASE = [
      "Catalog-compiled monthly fact: staging join → grain-truncated "
      "grouped aggregate with decimal-exact partials → derived measures "
      "projected post-agg; one exchange past the join."),
+    ("funnel_conversion",
+     "Ordered-sequence funnel: ONE scan, ONE user_id exchange — events "
+     "fold into a sorted per-user array and a single aggregate lambda "
+     "walks it carrying stage state (the staged-CTE formulation would "
+     "scan events three times and join twice)."),
+    ("lineitem_measure_unpivot",
+     "UNPIVOT as a single Expand over the scan: each row read once, "
+     "|measures| long rows emitted map-side, then a 4-group partial agg — "
+     "the UNION ALL formulation scans the table once per measure."),
+    ("record_linkage_pairs",
+     "Blocked entity resolution: block-size-cap window and grouped i<j "
+     "pair emission share ONE block-key exchange; Levenshtein scoring "
+     "runs JVM-side on the exploded pairs — no customer self-join."),
 ]
 
 
