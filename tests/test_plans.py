@@ -309,3 +309,32 @@ def test_ngram_jaccard_single_scan_no_join(spark):
     plan = plan_of(REG["ngram_jaccard_pairs"].fn(spark, SF))
     assert plan.count("documents.parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_funnel_single_scan_single_user_exchange(spark):
+    """The ordered-sequence funnel must be the one-pass array-fold plan:
+    events scanned ONCE, one user_id hash exchange, no join operator
+    (the staged-CTE formulation scans events three times and joins twice)."""
+    plan = plan_of(REG["funnel_conversion"].fn(spark, SF))
+    assert plan.count("events.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_unpivot_is_single_expand_pass(spark):
+    """UNPIVOT must plan as one Expand over one lineitem scan (the UNION
+    ALL formulation scans the table once per measure)."""
+    plan = plan_of(REG["lineitem_measure_unpivot"].fn(spark, SF))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("Expand") >= 1, plan
+    assert "Union" not in plan, plan
+
+
+def test_record_linkage_no_self_join_single_block_exchange(spark):
+    """Blocked entity resolution must emit pairs via the grouped array
+    pattern: customer scanned ONCE, no join operator, and the block-cap
+    window + pair grouping share one block-key exchange."""
+    plan = plan_of(REG["record_linkage_pairs"].fn(spark, SF))
+    assert plan.count("customer.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
