@@ -714,3 +714,41 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- exact interpolated percentiles (PERCENTILE_CONT family) ------------------
+
+PCTL_ORACLE = """
+SELECT o_orderpriority,
+  COUNT(*) AS n_orders,
+  quantile_cont(o_totalprice, 0.25) AS p25,
+  quantile_cont(o_totalprice, 0.50) AS p50,
+  quantile_cont(o_totalprice, 0.90) AS p90,
+  quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("order_price_percentiles", oracle=PCTL_ORACLE)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (the ANSI
+    PERCENTILE_CONT family): p25/p50/p90/p99 of order value by priority.
+    Spark's `percentile` and DuckDB's `quantile_cont` share the
+    sort-and-interpolate definition, so the doubles match bit-for-bit
+    (verified — sorting is exact, interpolation is one IEEE lerp).
+
+    Scale note: EXACT percentiles buffer each group's values (cost ∝ group
+    size, a per-group sort inside ObjectHashAggregate) — correct here
+    because priority groups are value-bounded, and the right tool whenever
+    an SLA needs exact tail latencies per bounded key. For unbounded or
+    skewed groups the engine's scale twin is `approx_percentile`
+    (customer_rfm_scalable's approxQuantile banding) — sketch-mergeable,
+    one pass, bounded memory."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.percentile("o_totalprice", 0.50).alias("p50"),
+        F.percentile("o_totalprice", 0.90).alias("p90"),
+        F.percentile("o_totalprice", 0.99).alias("p99"),
+    )

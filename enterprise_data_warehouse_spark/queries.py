@@ -164,6 +164,7 @@ PRIORITY_ORDER = [
     "lineitem_measure_unpivot",
     "funnel_conversion",
     "cohort_retention",
+    "order_price_percentiles",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",

@@ -192,6 +192,35 @@ class VersionedTable:
         delta = source.where(F.col(watermark_col) > F.lit(wm).cast("timestamp"))
         return self.merge(delta, keys)
 
+    def erase(self, subject_keys: DataFrame, keys: Sequence[str]) -> dict:
+        """Right-to-be-forgotten (GDPR Art. 17) erasure: drop every row
+        whose key appears in ``subject_keys``, commit the purged state, and
+        PHYSICALLY delete all prior versions — unlike a normal commit,
+        where history is retained for time travel, erasure must leave no
+        readable version still holding the subject's rows (Delta calls
+        this DELETE + VACUUM RETAIN 0).
+
+        Order is crash-safe at every step: the purged version's marker
+        lands before any history is deleted, so a crash mid-erase leaves
+        either (a) full history with the erase not yet visible (re-run) or
+        (b) the purged version live with some history not yet reclaimed
+        (re-run completes the vacuum) — never a missing table. Returns an
+        audit dict {version, n_erased, purged_versions} for the
+        compliance log (reference: governance retention policies,
+        governance/data_catalog.yml defaults)."""
+        target = self.read()
+        keyset = subject_keys.select(*keys).distinct()
+        survivors = target.join(keyset, list(keys), "left_anti")
+        n_before = target.count()
+        version = self.commit(survivors, op="erase")
+        n_after = self.read(version).count()
+        purged = self.vacuum(keep=1)
+        return {
+            "version": version,
+            "n_erased": n_before - n_after,
+            "purged_versions": purged["versions"],
+        }
+
     # -- maintenance -------------------------------------------------------
     def vacuum(self, keep: int = 2) -> dict[str, list[int] | list[str]]:
         """Reclaim (a) orphan data dirs — staged dirs whose writer died (or

@@ -151,3 +151,32 @@ def test_incremental_idempotent_and_crash_replayable(spark, tmp_path):
     t.incremental(src, "updated_at", ["id"])
     rows2 = {(r["id"], r["val"]) for r in t.read().collect()}
     assert rows2 == rows1
+
+
+def test_erase_removes_rows_and_purges_history(spark, tmp_path):
+    """GDPR erase: subject rows gone from the live version, ALL prior
+    versions physically deleted (no time travel back to the data), audit
+    counts correct, and the erased version still readable."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.commit(_mk(spark, [(1, "a"), (2, "b2"), (3, "c"), (4, "d")]))
+    subjects = spark.createDataFrame([(2,), (3,)], "id int")
+    audit = t.erase(subjects, ["id"])
+    assert audit["n_erased"] == 2
+    assert audit["version"] == 3
+    assert audit["purged_versions"] == [1, 2]
+    assert _rows(t.read()) == {(1, "a"), (4, "d")}
+    # history is gone: only the erased version remains committed/readable
+    assert t.committed_versions() == [3]
+    with pytest.raises(FileNotFoundError):
+        t.read(2)
+    # no data dir on disk still contains the erased rows
+    assert _data_dirs(tmp_path) == [t._read_marker(3)["dir"]]
+
+
+def test_erase_on_missing_subjects_is_noop_commit(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    audit = t.erase(spark.createDataFrame([(99,)], "id int"), ["id"])
+    assert audit["n_erased"] == 0
+    assert _rows(t.read()) == {(1, "a"), (2, "b")}
