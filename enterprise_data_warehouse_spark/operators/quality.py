@@ -265,3 +265,68 @@ def catalog_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     tables = {t: reg.ref(t) for t in needed}
     return run_suite(tables, _CATALOG_CHECKS)
+
+
+# --- column masking policies (row-level governance views) ---------------------
+
+# policy kinds: hash (pseudonymize, joinable), null (redact), partial (keep a
+# prefix, mask the rest) — the standard dynamic-data-masking trio. A policy
+# map compiles to plain projections, so masked views cost nothing at read
+# time and Catalyst prunes/pushes through them like any select.
+MASK_POLICIES = {
+    "c_name": ("hash", None),
+    "c_acctbal": ("null", "double"),
+    "c_mktsegment": ("partial", 4),
+}
+
+
+def apply_column_masks(df: DataFrame, policies: dict) -> DataFrame:
+    """Compile a masking-policy map into a projection: every column not in
+    ``policies`` passes through; masked columns keep their name and type
+    shape so downstream queries and joins are unaffected (pseudonymizing
+    `hash` masks stay equi-joinable across tables because md5 is
+    deterministic)."""
+    cols = []
+    for name in df.columns:
+        kind = policies.get(name)
+        if kind is None:
+            cols.append(F.col(name))
+        elif kind[0] == "hash":
+            cols.append(F.md5(F.col(name).cast("string")).alias(name))
+        elif kind[0] == "null":
+            cols.append(F.lit(None).cast(kind[1]).alias(name))
+        elif kind[0] == "partial":
+            n = kind[1]
+            cols.append(
+                F.concat(
+                    F.substring(F.col(name), 1, n),
+                    F.lit("****"),
+                ).alias(name)
+            )
+        else:  # pragma: no cover - config error
+            raise ValueError(f"unknown mask kind {kind!r} for {name}")
+    return df.select(*cols)
+
+
+MASKED_VIEW_ORACLE = """
+SELECT c_custkey,
+  MD5(c_name) AS c_name,
+  c_nationkey,
+  CAST(NULL AS DOUBLE) AS c_acctbal,
+  SUBSTR(c_mktsegment, 1, 4) || '****' AS c_mktsegment
+FROM customer
+"""
+
+
+@query("masked_customer_view", oracle=MASKED_VIEW_ORACLE)
+def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic data masking as a governed view: the customer dim with the
+    declared MASK_POLICIES applied — name pseudonymized (md5, still
+    joinable), balance redacted to NULL, segment partially masked. The
+    masked projection composes with everything else (same column names and
+    order), which is the point: governance that doesn't fork the schema.
+    Ref parity: governance/data_catalog.yml PII defaults; the reference
+    enforces masking in Snowflake views, here it is a compiled projection."""
+    return apply_column_masks(
+        load_table(spark, sf_dir, "customer"), MASK_POLICIES
+    )

@@ -324,3 +324,68 @@ def incremental_fact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = target.join(delta.select("o_orderkey"), "o_orderkey", "left_anti")
     return delta.unionByName(survivors)
+
+
+# --- CDC apply (Debezium-style op-log compaction) -----------------------------
+
+# The events fixture plays a CDC topic: per user_id, 'signup' is the insert,
+# 'purchase' an update carrying a new value, 'error' a delete tombstone. The
+# operator is generic over any (key, seq, op, payload) change log.
+_CDC_OPS = {"signup": "I", "purchase": "U", "error": "D"}
+
+CDC_APPLY_ORACLE = """
+WITH ops AS (
+  SELECT user_id, ts, event_id, value,
+    CASE event_type WHEN 'signup' THEN 'I'
+                    WHEN 'purchase' THEN 'U'
+                    ELSE 'D' END AS op
+  FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+), ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM ops
+)
+SELECT user_id, n_changes, ts AS last_ts, op AS last_op,
+  op <> 'D' AS is_live,
+  CASE WHEN op <> 'D' THEN value END AS current_value
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("cdc_apply", oracle=CDC_APPLY_ORACLE)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: reduce an insert/update/delete change stream to
+    current state per key — last op wins by (seq, id), delete tombstones
+    keep the key visible with ``is_live = false`` and a NULL payload (the
+    consumer decides whether to drop or retain tombstones; dropping them
+    silently is how downstream mirrors resurrect deleted rows on the next
+    full sync). This is the batch half of the Debezium→merge pattern; the
+    streaming half is streaming/incremental.py's foreachBatch MERGE.
+
+    Scale shape: one key-partitioned window ranks the log (no global
+    order); at 100 TB the log is typically date-partitioned and this
+    compaction runs per partition-window with identical semantics."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(*_CDC_OPS)
+    )
+    op = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _CDC_OPS.items() for x in kv]),
+        F.col("event_type"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = e.select("user_id", "ts", "event_id", "value", op.alias("op")) \
+        .withColumn("rn", F.row_number().over(w)) \
+        .withColumn("n_changes", F.count("*").over(Window.partitionBy("user_id")))
+    live = F.col("op") != "D"
+    return ranked.where(F.col("rn") == 1).select(
+        "user_id",
+        "n_changes",
+        F.col("ts").alias("last_ts"),
+        "op",
+        live.alias("is_live"),
+        F.when(live, F.col("value")).alias("current_value"),
+    ).withColumnRenamed("op", "last_op")

@@ -165,6 +165,8 @@ PRIORITY_ORDER = [
     "funnel_conversion",
     "cohort_retention",
     "order_price_percentiles",
+    "masked_customer_view",
+    "cdc_apply",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
