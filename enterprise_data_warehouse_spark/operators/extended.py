@@ -620,3 +620,76 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active_users"))
     )
+
+
+# --- recursive hierarchy traversal (BOM / org-chart rollup) --------------------
+
+# Spark has no recursive CTE; the engine supplies the missing capability as
+# an iterative ancestor-expansion loop (the CONNECT BY / WITH RECURSIVE
+# workload every enterprise DW runs for BOM explosions and org rollups).
+# The part table plays a BOM: part p's assembly parent is p // 2, root 0.
+
+HIERARCHY_ORACLE = """
+WITH RECURSIVE anc(node, ancestor, dist) AS (
+  SELECT p_partkey, p_partkey // 2, 1 FROM part WHERE p_partkey >= 1
+  UNION ALL
+  SELECT a.node, a.ancestor // 2, a.dist + 1 FROM anc a WHERE a.ancestor >= 1
+), depths AS (
+  SELECT node, MAX(dist) AS depth FROM anc GROUP BY node
+), subtree AS (
+  SELECT ancestor, COUNT(*) AS n_descendants FROM anc GROUP BY ancestor
+)
+SELECT p.p_partkey, COALESCE(d.depth, 0) AS depth,
+  COALESCE(s.n_descendants, 0) + 1 AS subtree_size
+FROM part p
+LEFT JOIN depths d ON d.node = p.p_partkey
+LEFT JOIN subtree s ON s.ancestor = p.p_partkey
+"""
+
+
+@query("part_hierarchy_rollup", oracle=HIERARCHY_ORACLE)
+def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy rollup WITHOUT a recursive CTE: per node, its
+    depth (distance to the root) and subtree size (descendants + self) —
+    the BOM-explosion / org-chart aggregate. The ancestor set is built by
+    an iterative frontier loop (each round joins the still-climbing
+    frontier to the parent link and localCheckpoints to keep the plan O(1)
+    deep), terminating at the root: O(depth) rounds, and real hierarchies
+    are shallow (BOM ≈ 10–20 levels) while arbitrarily WIDE — the width is
+    what Spark parallelizes. The DuckDB oracle states the same traversal
+    as WITH RECURSIVE; both aggregate the identical (node, ancestor, dist)
+    closure. At 100 TB the closure is |nodes|·depth rows — linear in the
+    hierarchy, never quadratic, because paths to the root are unique in a
+    tree."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    links = p.where(F.col("p_partkey") >= 1).select(
+        F.col("p_partkey").alias("node"),
+        (F.col("p_partkey") / 2).cast("bigint").alias("ancestor"),
+        F.lit(1).alias("dist"),
+    )
+    closure = links.localCheckpoint()
+    frontier = closure
+    while True:
+        nxt = frontier.where(F.col("ancestor") >= 1).select(
+            "node",
+            (F.col("ancestor") / 2).cast("bigint").alias("ancestor"),
+            (F.col("dist") + 1).alias("dist"),
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        nxt = nxt.localCheckpoint()
+        closure = closure.unionByName(nxt)
+        frontier = nxt
+    depths = closure.groupBy("node").agg(F.max("dist").alias("depth"))
+    subtree = closure.groupBy("ancestor").agg(
+        F.count("*").alias("n_descendants")
+    )
+    return (
+        p.join(depths, p.p_partkey == depths.node, "left")
+        .join(subtree, p.p_partkey == subtree.ancestor, "left")
+        .select(
+            "p_partkey",
+            F.coalesce("depth", F.lit(0)).alias("depth"),
+            (F.coalesce("n_descendants", F.lit(0)) + 1).alias("subtree_size"),
+        )
+    )

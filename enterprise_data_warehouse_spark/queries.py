@@ -167,6 +167,7 @@ PRIORITY_ORDER = [
     "order_price_percentiles",
     "masked_customer_view",
     "cdc_apply",
+    "part_hierarchy_rollup",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
