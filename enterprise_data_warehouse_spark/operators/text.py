@@ -821,3 +821,132 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_distinct.alias("ok_distinct"),
         (ok_wc & ok_mwl & ok_alpha & ok_stop & ok_distinct).alias("keep"),
     )
+
+
+# --- corpus novelty / vocabulary growth ---------------------------------------
+
+NOVELTY_N = 3  # novelty n-gram width
+
+NOVELTY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(range(1, len(w) - {NOVELTY_N - 2}),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+  FROM toks
+), firsts AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+)
+SELECT gr.doc_id,
+  COUNT(*) AS n_distinct_grams,
+  COUNT(CASE WHEN f.first_doc = gr.doc_id THEN 1 END) AS n_novel_grams,
+  CAST(COUNT(CASE WHEN f.first_doc = gr.doc_id THEN 1 END) AS DOUBLE)
+    / COUNT(*) AS novelty_frac
+FROM grams gr JOIN firsts f ON f.g = gr.g
+GROUP BY gr.doc_id
+"""
+
+
+@query("ngram_novelty_scores", oracle=NOVELTY_ORACLE)
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty: per doc, the fraction of its distinct 3-grams
+    that NO earlier doc (smaller doc_id = earlier in corpus order)
+    contains — the n-gram-level "how much new text does this doc add"
+    signal (the aggregate view of what benchmark_decontamination checks
+    pairwise; near-zero novelty ⇒ the doc is assembled from seen text).
+
+    Shape: explode distinct grams once, min(doc_id) per gram (map-side
+    combinable), join back on the gram key the grams are already shuffled
+    on, per-doc rollup. Cost linear in corpus grams; no pairwise
+    comparison anywhere."""
+    d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(split(text, ' ')) - {NOVELTY_N - 1}),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                )
+            )
+        ).alias("g"),
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            novel.alias("n_novel_grams"),
+            (novel.cast("double") / F.count("*")).alias("novelty_frac"),
+        )
+    )
+
+
+VOCAB_BUCKET = 50  # docs per growth-curve bucket
+
+VOCAB_GROWTH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(range(1, len(w) - {NOVELTY_N - 2}),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tok
+  FROM toks
+), firsts AS (
+  SELECT tok, MIN(doc_id) // {VOCAB_BUCKET} AS first_bucket
+  FROM grams GROUP BY tok
+), per_bucket AS (
+  SELECT first_bucket AS bucket_id, COUNT(*) AS new_tokens
+  FROM firsts GROUP BY first_bucket
+)
+SELECT bucket_id, new_tokens,
+  CAST(SUM(new_tokens) OVER (ORDER BY bucket_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+FROM per_bucket
+"""
+
+
+@query("vocab_growth_buckets", oracle=VOCAB_GROWTH_ORACLE)
+def vocab_growth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law diagnostic): cumulative distinct
+    3-gram count as the corpus is consumed in doc_id order, at a
+    VOCAB_BUCKET-doc grain (3-grams, not unigrams — a word-level vocabulary
+    saturates almost immediately on any real corpus; phrase-level growth is
+    the signal). Rising new-phrase mass late in a crawl usually means a
+    domain/language shift or junk influx — the curve is the monitoring view.
+
+    Scale note: gram first-occurrence is a distributed min per gram; the
+    cumulative window runs over the BUCKET rollup (|docs|/bucket rows, ~1e6
+    rows for a billion-doc corpus at this grain), never over docs or
+    grams — the same "shrink before you order globally" discipline as
+    sequence_packing's distributed prefix sum."""
+    d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(split(text, ' ')) - {NOVELTY_N - 1}),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                )
+            )
+        ).alias("tok"),
+    )
+    firsts = toks.groupBy("tok").agg(
+        (F.min("doc_id") / VOCAB_BUCKET).cast("bigint").alias("bucket_id")
+    )
+    per_bucket = firsts.groupBy("bucket_id").agg(
+        F.count("*").alias("new_tokens")
+    )
+    w = (
+        Window.orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_bucket.select(
+        "bucket_id",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("bigint").alias("cum_vocab"),
+    )

@@ -168,6 +168,8 @@ PRIORITY_ORDER = [
     "masked_customer_view",
     "cdc_apply",
     "part_hierarchy_rollup",
+    "ngram_novelty_scores",
+    "vocab_growth_buckets",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
