@@ -1148,3 +1148,89 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOPK_K)
         .select("query_id", "neighbor_id", "approx_dist", F.col("rk").cast("int").alias("rk"))
     )
+
+
+# --- PCA (top principal direction via power iteration) -------------------------
+
+PCA_ITERS = 2
+
+_PCA_DOT_V = (
+    f"list_reduce(list_transform(range(1, {DIM + 1}), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * v.v[i]), (x, y) -> x + y)"
+)
+
+
+def _sql_pca_step(vtab: str) -> str:
+    """One power-iteration step: comp_j = decimal-exact Σ_i (x_i·v) x_ij,
+    then row-local normalization by the decimal-exact ‖comp‖."""
+    return f"""
+  SELECT list(comp / SQRT(n2) ORDER BY pos) AS v FROM (
+    SELECT pos, comp,
+      CAST(ROUND(SUM(CAST(comp * comp AS DECIMAL(38,10))) OVER (), 4)
+        AS DOUBLE) AS n2
+    FROM (
+      SELECT i - 1 AS pos,
+        CAST(ROUND(SUM(CAST(({_PCA_DOT_V}) * CAST(e.embedding[i] AS DOUBLE)
+          AS DECIMAL(38,10))), 4) AS DOUBLE) AS comp
+      FROM embeddings e CROSS JOIN {vtab} v, unnest(range(1, {DIM + 1})) AS t(i)
+      GROUP BY i
+    )
+  )
+"""
+
+
+PCA_ORACLE = f"""
+WITH v0 AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id = 0
+), v1 AS ({_sql_pca_step('v0')}),
+v2 AS ({_sql_pca_step('v1')})
+SELECT CAST(t.i - 1 AS INT) AS pos, ROUND(v.v[t.i], 4) AS loading_r4
+FROM v2 v, unnest(range(1, {DIM + 1})) AS t(i)
+"""
+
+
+@query("pca_power_iteration", oracle=PCA_ORACLE)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding table by power iteration
+    (PCA_ITERS unrolled rounds, uncentered — the top right-singular
+    vector), the dimensionality-reduction primitive next to k-means and PQ
+    in the embeddings toolkit. Each round: score every vector against v
+    (sequential-fold dot — order-fixed IEEE), accumulate per-component sums
+    of score·x (decimal-exact, so partition order is irrelevant), normalize
+    row-locally. The DuckDB oracle unrolls the same two rounds in CTEs —
+    same discipline as the k-means oracle.
+
+    Scale shape per round: v is ONE broadcast row; scoring + posexplode
+    component sums are one map-side pass + one |DIM|-key aggregation (the
+    embedding_centroids shape); nothing global except the 64-row norm
+    rollup. Cost per round is one corpus scan — power iteration at 100 TB
+    is exactly as expensive as computing centroids."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    v = e.where(F.col("vec_id") == 0).select(F.col("emb").alias("v"))
+    for _ in range(PCA_ITERS):
+        scored = e.crossJoin(F.broadcast(v)).select(
+            seq_dot(F.col("emb"), F.col("v")).alias("score"),
+            F.posexplode("emb").alias("pos", "x"),
+        )
+        comps = scored.groupBy("pos").agg(
+            dec2dbl(F.sum((F.col("score") * F.col("x")).cast(DEC))).alias("comp")
+        )
+        n2 = comps.agg(
+            dec2dbl(F.sum((F.col("comp") * F.col("comp")).cast(DEC))).alias("n2")
+        )
+        normed = comps.crossJoin(F.broadcast(n2)).select(
+            "pos", (F.col("comp") / F.sqrt("n2")).alias("val")
+        )
+        v = normed.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"],
+            ).alias("v")
+        )
+    return (
+        v.select(F.posexplode("v").alias("pos", "loading"))
+        .select("pos", F.round("loading", 4).alias("loading_r4"))
+    )

@@ -170,6 +170,7 @@ PRIORITY_ORDER = [
     "part_hierarchy_rollup",
     "ngram_novelty_scores",
     "vocab_growth_buckets",
+    "pca_power_iteration",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",

@@ -233,6 +233,7 @@ BNLJ_ALLOWED = {
     "important_suppliers",  # broadcast global revenue threshold (1 row)
     "zorder_keys",  # broadcast min/max normalization rollup (1 row)
     "dormant_customers",  # broadcast global average balance (1 row)
+    "pca_power_iteration",  # broadcast direction vector + norm (1 row each)
 }
 
 
