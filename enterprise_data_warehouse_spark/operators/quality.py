@@ -330,3 +330,52 @@ def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_column_masks(
         load_table(spark, sf_dir, "customer"), MASK_POLICIES
     )
+
+
+# --- ANALYZE-style column statistics ------------------------------------------
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority", "o_orderdate")
+
+COLUMN_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+  COUNT(*) - COUNT({c}) AS n_nulls,
+  COUNT(DISTINCT {c}) AS ndv FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("orders_column_profile", oracle=COLUMN_PROFILE_ORACLE)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style per-column statistics (row count, null count,
+    exact NDV) — the numbers a cost-based optimizer and any profiling UI
+    (dbt docs, Great Expectations suites) want per column. Exact NDV here
+    because the profile is itself the correctness oracle; the engine's
+    cardinality-at-scale twin is HLL (`approx_distinct_users`).
+
+    ONE scan: all five columns' aggregates run in a single groupBy-less
+    agg (Spark plans the multi-distinct via Expand — one pass over the
+    table, |cols| internal row replications, same shape as ROLLUP), then
+    the 1×N stat row melts into N rows map-side. The UNION ALL oracle
+    states the same stats column-at-a-time."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("bigint")).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+        ]
+    wide = o.agg(*aggs)
+    stats = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__ndv").alias("ndv"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(stats).alias("s")).select("s.*")

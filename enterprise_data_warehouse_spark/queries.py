@@ -171,6 +171,7 @@ PRIORITY_ORDER = [
     "ngram_novelty_scores",
     "vocab_growth_buckets",
     "pca_power_iteration",
+    "orders_column_profile",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
