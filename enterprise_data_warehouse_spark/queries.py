@@ -51,6 +51,7 @@ _OPERATOR_MODULES = [
     "enterprise_data_warehouse_spark.operators.facts",
     "enterprise_data_warehouse_spark.operators.mlboundary",
     "enterprise_data_warehouse_spark.operators.multimodal",
+    "enterprise_data_warehouse_spark.operators.batching",
     "enterprise_data_warehouse_spark.operators.quality",
     "enterprise_data_warehouse_spark.operators.layout",
     "enterprise_data_warehouse_spark.streaming.queries",
@@ -172,6 +173,8 @@ PRIORITY_ORDER = [
     "vocab_growth_buckets",
     "pca_power_iteration",
     "orders_column_profile",
+    "token_budget_mix",
+    "length_bucket_stats",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",

@@ -94,3 +94,27 @@ def test_band_pairs_caps_oversized_buckets(spark):
     out = _band_pairs(bands, ["band_key"], max_bucket=10).collect()
     got = {(r["doc_a"], r["doc_b"]) for r in out}
     assert got == {(100, 101), (100, 102), (101, 102)}, got
+
+
+def test_token_budget_mix_respects_budget_and_allocations(spark):
+    """Water-fill invariants: total selected tokens never exceed the global
+    budget (half the corpus), no source exceeds its own token mass, and the
+    per-source selection is a prefix (cum_tokens strictly increasing along
+    the deterministic hash order)."""
+    from enterprise_data_warehouse_spark.sources.tables import load_table
+
+    sel = REG["token_budget_mix"].fn(spark, SF).toPandas()
+    docs = load_table(spark, SF, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    totals = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    budget = sum(totals.values()) // 2
+    assert sel["n_tokens"].sum() <= budget
+    per_src = sel.groupby("source")["n_tokens"].sum()
+    for src, got in per_src.items():
+        assert got <= totals[src], f"{src} over-selected"
+    for _, grp in sel.sort_values("cum_tokens").groupby("source"):
+        assert (grp["cum_tokens"].diff().dropna() > 0).all()

@@ -339,3 +339,17 @@ def test_record_linkage_no_self_join_single_block_exchange(spark):
     assert plan.count("customer.parquet") == 1, plan
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_token_budget_prefix_cut_is_distributed(spark):
+    """The per-source token cumsum must be the bucket-partitioned window
+    (+ tiny bucket-offset rollup broadcast back), never a source-only
+    window over document rows — one giant source would otherwise sort
+    through a single task. The only source-only window allowed is the
+    |sources|x16 bucket-offset rollup."""
+    plan = plan_of(REG["token_budget_mix"].fn(spark, SF))
+    assert re.search(r"windowspecdefinition\(source#\d+, bucket", plan), plan
+    doc_windows = re.findall(
+        r"windowspecdefinition\(source#\d+, u#", plan
+    )
+    assert not doc_windows, plan
