@@ -954,3 +954,116 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# --- line-level dedup with text reconstruction -------------------------------
+
+LINE_W = 8  # words per line segment (parametric; synthetic docs are
+#             single-line, so segmentation is fixed-width word windows)
+LINE_IDX_CAP = 1000  # line_idx < this, so doc_id*CAP+line_idx is injective
+
+LINE_DEDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 5 = 0
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         LEN(string_split(text, ' ')) AS n
+  FROM corpus
+), lines AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+    array_to_string(w[i*{LINE_W}+1 : LEAST(i*{LINE_W}+{LINE_W}, n)], ' ')
+      AS line
+  FROM toks, UNNEST(generate_series(0, (n - 1) // {LINE_W})) AS t(i)
+), keyed AS (
+  SELECT doc_id, line_idx, line, MD5(line) AS line_hash,
+         doc_id * {LINE_IDX_CAP} + line_idx AS composite
+  FROM lines
+), winners AS (
+  SELECT line_hash, MIN(composite) AS first_key
+  FROM keyed GROUP BY line_hash
+), kept AS (
+  SELECT k.doc_id, k.line_idx, k.line
+  FROM keyed k JOIN winners w
+    ON k.line_hash = w.line_hash AND k.composite = w.first_key
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_lines FROM keyed GROUP BY doc_id
+), recon AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         MD5(string_agg(line, ' ' ORDER BY line_idx)) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_lines, COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(r.kept_md5, MD5('')) AS kept_md5
+FROM totals t LEFT JOIN recon r ON t.doc_id = r.doc_id
+"""
+
+
+@query("line_dedup_reconstruct", oracle=LINE_DEDUP_ORACLE)
+def line_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style line-level corpus dedup WITH document reconstruction:
+    segment every document into fixed-width word lines, keep only each
+    line's FIRST occurrence corpus-wide (ordered by (doc_id, line_idx) via
+    an injective integer composite — min has a map-side partial, unlike a
+    per-line row_number window, which matters because boilerplate lines are
+    precisely the skewed keys), then rebuild each document from its
+    surviving lines in order. Output is (doc_id, n_lines, n_kept,
+    md5(reconstructed_text)) so the full rebuilt text is value-checked
+    without shipping it.
+
+    Scale shape: one explode (narrow), one groupBy on the 128-bit line
+    hash (shuffle ∝ line count, map-side combined), one hash join back on
+    (line_hash, composite), and a per-doc rebuild groupBy. The re-injected
+    every-5th-doc copies (same fixture as exact_dedup) guarantee real
+    cross-doc duplication: a dupe doc's every line dissolves into its
+    original, so n_kept = 0 exactly where exact dedup would drop the doc —
+    and partially-overlapping docs degrade gracefully instead of
+    binary-surviving (the advantage line dedup has over doc-level)."""
+    d = _with_synthetic_dupes(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    withtoks = d.select("doc_id", toks.alias("w"), F.size(toks).alias("n"))
+    lines = withtoks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("n") - 1) / LINE_W).cast("int"))
+        ).alias("line_idx"),
+        "w",
+    ).select(
+        "doc_id",
+        F.col("line_idx").cast("bigint").alias("line_idx"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("line_idx") * LINE_W + 1, LINE_W), " "
+        ).alias("line"),
+    )
+    keyed = lines.select(
+        "doc_id",
+        "line_idx",
+        "line",
+        F.md5("line").alias("line_hash"),
+        (F.col("doc_id") * LINE_IDX_CAP + F.col("line_idx")).alias("composite"),
+    )
+    winners = keyed.groupBy("line_hash").agg(F.min("composite").alias("first_key"))
+    kept = keyed.join(winners, "line_hash").where(
+        F.col("composite") == F.col("first_key")
+    )
+    totals = keyed.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    recon = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                    lambda s: s.line,
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    return totals.join(recon, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+    )

@@ -175,6 +175,7 @@ PRIORITY_ORDER = [
     "orders_column_profile",
     "token_budget_mix",
     "length_bucket_stats",
+    "line_dedup_reconstruct",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",

@@ -118,3 +118,24 @@ def test_token_budget_mix_respects_budget_and_allocations(spark):
         assert got <= totals[src], f"{src} over-selected"
     for _, grp in sel.sort_values("cum_tokens").groupby("source"):
         assert (grp["cum_tokens"].diff().dropna() > 0).all()
+
+
+def test_line_dedup_dissolves_planted_copies_and_reconstructs(spark):
+    """Planted exact copies (doc_id + 1_000_000) must lose EVERY line to
+    their original (n_kept = 0); any doc keeping all its lines must
+    reconstruct byte-identically to its source text."""
+    from enterprise_data_warehouse_spark.sources.tables import load_table
+
+    out = REG["line_dedup_reconstruct"].fn(spark, SF)
+    dupes = out.where(F.col("doc_id") >= 1000000)
+    assert dupes.count() == 500 // 5
+    assert dupes.where(F.col("n_kept") > 0).count() == 0
+    full = out.where(F.col("n_kept") == F.col("n_lines"))
+    orig = load_table(spark, SF, "documents").select(
+        "doc_id", F.md5("text").alias("text_md5")
+    )
+    mismatches = full.join(orig, "doc_id").where(
+        F.col("kept_md5") != F.col("text_md5")
+    )
+    assert full.count() > 0
+    assert mismatches.count() == 0
