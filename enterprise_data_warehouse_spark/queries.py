@@ -189,6 +189,7 @@ PRIORITY_ORDER = [
     "streaming_segment_counts",
     "streaming_view_click_join",
     "stateful_user_ewma",
+    "ttl_feature_cache",
 ]
 
 

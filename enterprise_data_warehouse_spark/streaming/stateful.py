@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -103,6 +103,217 @@ def stateful_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row per user (final state after the drain)
     from pyspark.sql import Window
 
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_obs"))
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --- transformWithState TTL'd per-user feature cache -------------------------
+
+TTL_MS = 60 * 60 * 1000  # state TTL: the reference's 3600 s feature-cache
+#   TTL (ml_pipeline_framework.py:675-679 / feature_store_manager.py:71),
+#   expressed natively as state-store TTL instead of a Redis EXPIRE. One
+#   availableNow drain finishes far inside the window, so TTL never fires
+#   in tests — its semantics (idle keys evicted, re-computed on next touch)
+#   are the production behavior, not the test path.
+
+CACHE_OUTPUT_SCHEMA = (
+    "user_id bigint, n_obs bigint, mean_value double, last_value double, "
+    "n_event_types bigint"
+)
+
+
+class UserFeatureCache:
+    """StatefulProcessor (Spark 4.x `transformWithStateInPandas`): per-user
+    running feature row — count, exact mean (integer-cent sum, so the value
+    is bit-identical to a batch aggregate), value at max event-time, and
+    distinct event-type count held in a MapState.
+
+    vs applyInPandasWithState (stateful_ewma above): typed named state
+    variables instead of one packed tuple, per-state TTL, and MapState for
+    the per-event-type sub-key — the modern surface for the reference's R7
+    Redis feature cache."""
+
+    def init(self, handle) -> None:
+        self._agg = handle.getValueState(
+            "agg",
+            "cnt bigint, cents bigint, max_ts_us bigint, last_value double",
+            ttlDurationMs=TTL_MS,
+        )
+        self._etypes = handle.getMapState(
+            "etype_counts", "event_type string", "cnt bigint", ttlDurationMs=TTL_MS
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        cnt, cents, max_ts_us, last_value = (
+            self._agg.get() if self._agg.exists() else (0, 0, -1, 0.0)
+        )
+        for pdf in rows:
+            cnt += len(pdf)
+            cents += int(round(pdf["value"].astype("float64").mul(100).round().sum()))
+            batch_max = int(pdf["ts_us"].max())
+            if batch_max > max_ts_us:
+                max_ts_us = batch_max
+                at_max = pdf[pdf["ts_us"] == batch_max]
+                last_value = float(at_max["value"].iloc[0])
+            for etype, n in pdf["event_type"].value_counts().items():
+                prev = self._etypes.getValue((etype,))
+                self._etypes.updateValue(
+                    (etype,), (int(n) + (prev[0] if prev else 0),)
+                )
+        self._agg.update((cnt, cents, max_ts_us, last_value))
+        n_types = sum(1 for _ in self._etypes.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_obs": [cnt],
+                "mean_value": [cents / (100.0 * cnt)],
+                "last_value": [last_value],
+                "n_event_types": [n_types],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithState's Python workers speak protobuf to the JVM state
+    server; this container ships pyspark without the protobuf package, so
+    the modern path is import-gated exactly like the PIL-less image decode
+    (operators/multimodal.py) — plumbing real, engine picks the path."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_feature_cache(events: DataFrame) -> DataFrame:
+    """Apply the TTL'd feature cache over a STREAMING events frame (requires
+    the RocksDB state store — transformWithState's backing engine)."""
+    pre = events.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return pre.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserFeatureCache(),
+        outputStructType=CACHE_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+
+
+FALLBACK_STATE_SCHEMA = (
+    "cnt bigint, cents bigint, max_ts_us bigint, last_value double, "
+    "etypes array<string>"
+)
+
+
+def _update_cache_fallback(key, pdfs, state: GroupState):
+    """applyInPandasWithState twin of UserFeatureCache — one packed state
+    tuple instead of named state variables, same arithmetic, same output."""
+    import pandas as pd
+
+    cnt, cents, max_ts_us, last_value, etypes = (
+        state.get if state.exists else (0, 0, -1, 0.0, [])
+    )
+    etypes = set(etypes or [])
+    for pdf in pdfs:
+        cnt += len(pdf)
+        cents += int(round(pdf["value"].astype("float64").mul(100).round().sum()))
+        batch_max = int(pdf["ts_us"].max())
+        if batch_max > max_ts_us:
+            max_ts_us = batch_max
+            last_value = float(pdf[pdf["ts_us"] == batch_max]["value"].iloc[0])
+        etypes.update(pdf["event_type"].tolist())
+    state.update((cnt, cents, max_ts_us, last_value, sorted(etypes)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_obs": [cnt],
+            "mean_value": [cents / (100.0 * cnt)],
+            "last_value": [last_value],
+            "n_event_types": [len(etypes)],
+        }
+    )
+
+
+def user_feature_cache_fallback(events: DataFrame) -> DataFrame:
+    pre = events.select(
+        "user_id", "event_type", "value", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return pre.groupBy("user_id").applyInPandasWithState(
+        _update_cache_fallback,
+        outputStructType=CACHE_OUTPUT_SCHEMA,
+        stateStructType=FALLBACK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query("ttl_feature_cache")
+def ttl_feature_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7/S11 restated as a stateful streaming feature cache: REAL
+    readStream over events → per-user running feature row (count, exact
+    integer-cent mean, value at max event-time, distinct event types) →
+    memory sink, availableNow drain. Rows-only driver check; tests assert
+    exact parity with the batch aggregate.
+
+    Two engines, one semantics: transformWithStateInPandas (ValueState +
+    MapState, native 1 h state TTL, RocksDB store) when protobuf is
+    importable; otherwise the applyInPandasWithState twin (this
+    container — see tws_available). The operator's contract is identical
+    either way; only the state-store surface differs."""
+    import uuid
+
+    from .queries import event_stream
+
+    stream = event_stream(spark, sf_dir)
+    name = "ttlcache_" + uuid.uuid4().hex[:8]
+    if tws_available():
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            out = user_feature_cache(stream)
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+    else:
+        out = user_feature_cache_fallback(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     w = Window.partitionBy("user_id").orderBy(F.desc("n_obs"))
     return (
         spark.table(name)

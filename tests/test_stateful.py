@@ -51,3 +51,42 @@ def test_stateful_ewma_matches_batch_fold(spark):
         assert abs(gewma - ewma) < 1e-9, uid
         assert abs(gstd - std) < 1e-9, uid
         assert ganom == anom, uid
+
+
+def test_ttl_feature_cache_matches_batch_aggregate(spark):
+    """The streamed per-user feature row must equal the batch aggregate
+    EXACTLY: mean from an integer-cent sum (no float-order drift), last
+    value at max event-time, distinct event-type count. Whichever state
+    engine ran (transformWithState or the applyInPandasWithState twin —
+    see tws_available), the contract is the same."""
+    from pyspark.sql import functions as F
+
+    reg = load_registry()
+    got = {
+        r["user_id"]: (
+            r["n_obs"],
+            r["mean_value"],
+            r["last_value"],
+            r["n_event_types"],
+        )
+        for r in reg["ttl_feature_cache"].fn(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    cents = F.sum(F.round(F.col("value") * 100).cast("bigint"))
+    want = {
+        r["user_id"]: (
+            r["n_obs"],
+            r["cents"] / (100.0 * r["n_obs"]),
+            r["last_value"],
+            r["n_event_types"],
+        )
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_obs"),
+            cents.alias("cents"),
+            F.max_by("value", "ts").alias("last_value"),
+            F.countDistinct("event_type").alias("n_event_types"),
+        )
+        .collect()
+    }
+    assert got == want
