@@ -1,0 +1,173 @@
+"""Graph analytics over warehouse relations: bipartite PageRank on the
+part↔supplier supply graph derived from lineitem.
+
+The reference has no graph operators (SURVEY.md §1.1 "no graphs"); this is
+a driver-mandated-extension family member alongside dedup's connected
+components (operators/dedup.py near_dup_clusters): where hash-min label
+propagation answers "which nodes form one group", PageRank answers "which
+nodes are structurally central" — the supply-chain criticality question
+(which suppliers/parts would disrupt the most flow) asked of the same
+edges the RI checks walk.
+
+Spark-first shape: each PageRank round is one hash join (rank → edges) +
+one groupBy(dst) sum — both shuffles keyed on node id, map-side combined;
+a fixed iteration count unrolls into a single lazy plan (no driver
+round-trips, no checkpoint needed at 2 rounds). At 100 TB the edge list
+partitioning is reused across rounds by Catalyst (same key), and the rank
+frame is ~|nodes| ≪ |edges|.
+
+Cross-engine exactness: ranks live in BIGINT micro-units (10^12 total
+mass) — every transfer is integer floor-division (`div`), every combine an
+integer sum, so the result is bit-identical in any engine and immune to
+float summation order under AQE re-planning (the same trick as
+functions/deterministic.py, taken all the way to integers). The floored
+remainder mass (< outdeg per node per round) is deliberately dropped,
+NOT redistributed — documented contract, mirrored in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import query
+from ..sources.tables import cpu_parallelism, load_table
+
+PR_ITERS = 2  # fixed unrolled rounds (exactness over convergence in tests;
+#               production raises this — the plan shape is identical)
+PR_MASS = 10**12  # total rank mass in integer micro-units
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an integer ratio
+
+# node ids: parts keep their key, suppliers are offset into a disjoint range
+SUPP_OFFSET = 10**9
+
+_EDGES_SQL = f"""
+  SELECT DISTINCT l_partkey AS src, l_suppkey + {SUPP_OFFSET} AS dst
+  FROM lineitem
+"""
+
+PAGERANK_ORACLE = f"""
+WITH pairs AS ({_EDGES_SQL}),
+edges AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), deg AS (
+  SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src
+), n AS (
+  SELECT COUNT(*) AS n_nodes FROM nodes
+), r0 AS (
+  SELECT node, {PR_MASS} // (SELECT n_nodes FROM n) AS rank FROM nodes
+), t1 AS (
+  SELECT e.dst AS node, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS got
+  FROM edges e
+  JOIN r0 r ON e.src = r.node
+  JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+), r1 AS (
+  SELECT nodes.node,
+    (({PR_D_DEN} - {PR_D_NUM}) * ({PR_MASS} // (SELECT n_nodes FROM n)))
+      // {PR_D_DEN}
+    + ({PR_D_NUM} * COALESCE(t1.got, 0)) // {PR_D_DEN} AS rank
+  FROM nodes LEFT JOIN t1 ON nodes.node = t1.node
+), t2 AS (
+  SELECT e.dst AS node, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS got
+  FROM edges e
+  JOIN r1 r ON e.src = r.node
+  JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+), r2 AS (
+  SELECT nodes.node,
+    (({PR_D_DEN} - {PR_D_NUM}) * ({PR_MASS} // (SELECT n_nodes FROM n)))
+      // {PR_D_DEN}
+    + ({PR_D_NUM} * COALESCE(t2.got, 0)) // {PR_D_DEN} AS rank
+  FROM nodes LEFT JOIN t2 ON nodes.node = t2.node
+)
+SELECT CASE WHEN node >= {SUPP_OFFSET} THEN 'supplier' ELSE 'part' END
+         AS node_kind,
+       CASE WHEN node >= {SUPP_OFFSET} THEN node - {SUPP_OFFSET} ELSE node END
+         AS node_key,
+       rank AS rank_micro
+FROM r2
+ORDER BY rank DESC, node_kind, node_key
+LIMIT 50
+"""
+
+
+def _pagerank_round(
+    ranks: DataFrame, edges_d: DataFrame, nodes_n: DataFrame
+) -> DataFrame:
+    """One unrolled round: transfer rank//outdeg along every edge, sum at
+    the destination (map-side combinable), damp with integer arithmetic.
+    `edges_d` already carries outdeg on the src side (computed once,
+    reused every round) so the round is ONE join + ONE aggregate;
+    `nodes_n` carries the broadcast node count for the base share."""
+    got = (
+        edges_d.join(ranks, "src")
+        .select("dst", F.expr("rank div outdeg").alias("share"))
+        .groupBy("dst")
+        .agg(F.sum("share").alias("got"))
+        .withColumnRenamed("dst", "node")
+    )
+    return nodes_n.join(got, "node", "left").select(
+        "node",
+        "n_nodes",
+        (
+            F.expr(
+                f"(({PR_D_DEN} - {PR_D_NUM}) * ({PR_MASS} div n_nodes))"
+                f" div {PR_D_DEN}"
+            )
+            + F.expr(f"({PR_D_NUM} * coalesce(got, 0L)) div {PR_D_DEN}")
+        ).alias("rank"),
+    )
+
+
+@query("bipartite_pagerank", oracle=PAGERANK_ORACLE)
+def bipartite_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, PR_ITERS unrolled rounds) over the
+    undirected part↔supplier graph: distinct lineitem (partkey, suppkey)
+    pairs, suppliers offset into a disjoint id range. Returns the top-50
+    most central nodes — the supply-chain criticality ranking.
+
+    The whole computation is one lazy DataFrame plan: edge build (distinct
+    — the only corpus-sized shuffle), degree join folded INTO the edge
+    frame once (reused by every round), then PR_ITERS join+agg rounds
+    and a TakeOrderedAndProject top-k. Integer micro-unit arithmetic makes
+    the ranking bit-stable cross-engine and under AQE."""
+    li = load_table(spark, sf_dir, "lineitem", min_partitions=cpu_parallelism(spark))
+    pairs = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + SUPP_OFFSET).alias("dst"),
+    ).distinct()
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_d = edges.join(deg, "src")  # outdeg rides along; computed once
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
+    nodes_n = nodes.crossJoin(F.broadcast(n_nodes))
+
+    ranks = nodes_n.select(
+        "node", F.expr(f"{PR_MASS} div n_nodes").alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        ranks = _pagerank_round(
+            ranks.select(F.col("node").alias("src"), "rank"), edges_d, nodes_n
+        )
+    out = ranks.select(
+        F.when(F.col("node") >= SUPP_OFFSET, F.lit("supplier"))
+        .otherwise(F.lit("part"))
+        .alias("node_kind"),
+        F.when(
+            F.col("node") >= SUPP_OFFSET, F.col("node") - SUPP_OFFSET
+        )
+        .otherwise(F.col("node"))
+        .alias("node_key"),
+        F.col("rank").alias("rank_micro"),
+    )
+    return out.orderBy(
+        F.desc("rank_micro"), "node_kind", "node_key"
+    ).limit(50)

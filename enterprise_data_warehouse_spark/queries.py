@@ -52,6 +52,7 @@ _OPERATOR_MODULES = [
     "enterprise_data_warehouse_spark.operators.mlboundary",
     "enterprise_data_warehouse_spark.operators.multimodal",
     "enterprise_data_warehouse_spark.operators.batching",
+    "enterprise_data_warehouse_spark.operators.graph",
     "enterprise_data_warehouse_spark.operators.quality",
     "enterprise_data_warehouse_spark.operators.layout",
     "enterprise_data_warehouse_spark.streaming.queries",
@@ -176,6 +177,7 @@ PRIORITY_ORDER = [
     "token_budget_mix",
     "length_bucket_stats",
     "line_dedup_reconstruct",
+    "bipartite_pagerank",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",

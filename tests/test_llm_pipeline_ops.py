@@ -139,3 +139,27 @@ def test_line_dedup_dissolves_planted_copies_and_reconstructs(spark):
     )
     assert full.count() > 0
     assert mismatches.count() == 0
+
+
+def test_pagerank_mass_and_structure(spark):
+    """Integer PageRank invariants: floor-division only LOSES mass (total
+    final rank <= initial mass), every rank is positive, and on the
+    part<->supplier bipartite graph the hubs (the ~100 suppliers, each
+    touching hundreds of parts) must out-rank every leaf part."""
+    from enterprise_data_warehouse_spark.operators.graph import PR_MASS
+
+    top = REG["bipartite_pagerank"].fn(spark, SF).toPandas()
+    assert len(top) == 50
+    assert (top["rank_micro"] > 0).all()
+    assert top["rank_micro"].sum() <= PR_MASS
+    # suppliers are the high-degree side (each touches hundreds of parts):
+    # every supplier in the list must out-rank every part
+    sup = top[top["node_kind"] == "supplier"]["rank_micro"]
+    part = top[top["node_kind"] == "part"]["rank_micro"]
+    assert top.iloc[0]["node_kind"] == "supplier"
+    assert len(sup) > 0
+    if len(part) > 0:
+        assert sup.min() >= part.max(), (
+            "a part out-ranked a supplier — transfer direction or degree "
+            "join broke"
+        )
