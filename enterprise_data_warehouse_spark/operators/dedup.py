@@ -1001,7 +1001,7 @@ FROM totals t LEFT JOIN recon r ON t.doc_id = r.doc_id
 """
 
 
-@query("line_dedup_reconstruct", oracle=LINE_DEDUP_ORACLE)
+@query("line_dedup_reconstruct", oracle=LINE_DEDUP_ORACLE, bench=True)
 def line_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/C4-style line-level corpus dedup WITH document reconstruction:
     segment every document into fixed-width word lines, keep only each

@@ -124,7 +124,7 @@ def _pagerank_round(
     )
 
 
-@query("bipartite_pagerank", oracle=PAGERANK_ORACLE)
+@query("bipartite_pagerank", oracle=PAGERANK_ORACLE, bench=True)
 def bipartite_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, PR_ITERS unrolled rounds) over the
     undirected part↔supplier graph: distinct lineitem (partkey, suppkey)

@@ -50,18 +50,30 @@ def merge_upsert(
     path: str,
     src: DataFrame,
     keys: Sequence[str],
+    evolve_schema: bool = False,
 ) -> None:
     """S9: MERGE semantics on parquet — source rows win on key collision.
 
     anti-join(target, src-keys) ∪ src → staged rewrite → swap. This is the
     OSS fallback for `MERGE INTO`; on Delta the body becomes one statement.
-    """
+
+    ``evolve_schema=True`` is dbt's ``on_schema_change: append_new_columns``
+    (reference dbt_project.yml incremental config): a source with NEW
+    columns widens the table (old rows null-fill), a source MISSING columns
+    still merges (its rows null-fill the gap) — via
+    ``unionByName(allowMissingColumns=True)`` plus a mergeSchema target
+    read, so tables whose parquet footers span schema versions keep
+    reading. Default off: an unexpected schema drift should fail loudly
+    unless the caller opted into evolution."""
     if not _target_exists(spark, path):
         write_table(src, path)
         return
-    target = spark.read.parquet(path)
+    reader = spark.read
+    if evolve_schema:
+        reader = reader.option("mergeSchema", "true")
+    target = reader.parquet(path)
     survivors = target.join(src.select(*keys).distinct(), list(keys), "left_anti")
-    merged = src.unionByName(survivors)
+    merged = src.unionByName(survivors, allowMissingColumns=evolve_schema)
     staged = path.rstrip("/") + "__staged"
     write_table(merged, staged)
     _fs_swap(spark, staged, path)

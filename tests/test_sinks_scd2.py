@@ -168,3 +168,36 @@ def test_write_with_audit_single_pass(spark, tmp_path):
     # audit row landed with PASS
     arow = spark.read.parquet(audit).first()
     assert arow["run_name"] == "orders_build" and arow["status"] == "PASS"
+
+
+def test_merge_upsert_schema_evolution(spark, tmp_path):
+    """on_schema_change=append_new_columns semantics: a widened source
+    grows the table (old rows null-fill the new column), a later narrowed
+    source still merges (null-filling its gap), and the default strict
+    mode keeps failing loudly on drift."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    path = str(tmp_path / "evolve")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, val string")
+    merge_upsert(spark, path, v1, ["id"])
+
+    v2 = spark.createDataFrame(
+        [(2, "b2", 20.0), (3, "c", 30.0)], "id int, val string, score double"
+    )
+    with pytest.raises(AnalysisException):
+        merge_upsert(spark, path, v2, ["id"])  # strict default: loud fail
+    merge_upsert(spark, path, v2, ["id"], evolve_schema=True)
+    got = {
+        r["id"]: (r["val"], r["score"])
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b2", 20.0), 3: ("c", 30.0)}
+
+    v3 = spark.createDataFrame([(4, "d")], "id int, val string")  # narrowed
+    merge_upsert(spark, path, v3, ["id"], evolve_schema=True)
+    got = {
+        r["id"]: (r["val"], r["score"])
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got[4] == ("d", None) and got[2] == ("b2", 20.0) and len(got) == 4
