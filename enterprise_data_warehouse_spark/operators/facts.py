@@ -13,10 +13,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import sql_davg, sql_dsum
+from ..functions.deterministic import DEC, dec2dbl, sql_davg, sql_dsum
 from ..plans.catalog import Catalog, ModelRegistry, build_fact, build_scd1_dimension
 from ..queries import query
-from ..sources.tables import load_table
+from ..sources.tables import cpu_parallelism, load_table
 
 CATALOG_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "catalog", "warehouse.yml")
 
@@ -831,4 +831,73 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.coalesce("o.o_orderkey", "n.o_orderkey").alias("o_orderkey"),
         change.alias("change_type"),
+    )
+
+
+# --- incremental materialized-view maintenance --------------------------------
+
+MV_CUTOFF = "2001-01-01"  # rows shipped on/after this are "the new batch"
+
+MV_MAINT_ORACLE = """
+SELECT
+  DATE_TRUNC('month', l_shipdate) AS ship_month,
+  l_returnflag,
+  COUNT(*) AS n_rows,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE)
+    AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+    AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_revenue
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+@query("mv_incremental_maintenance", oracle=MV_MAINT_ORACLE)
+def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a monthly revenue rollup
+    is kept current by aggregating ONLY the new batch and merging partial
+    states — count-sum and exact decimal sums are associative, so
+    merge(mv, agg(delta)) == agg(base ∪ delta), which is precisely what
+    the oracle (a full recompute) checks.
+
+    The split here bootstraps both halves from one table (base =
+    pre-cutoff, delta = post-cutoff) so the query is self-contained; in
+    production the base aggregate IS the stored MV, and the maintenance
+    cost is |delta| + |touched groups| — the base fact table is never
+    re-read (the reason this beats re-running catalog_fact_sales_daily on
+    every load). Partial state stays UNROUNDED decimal(38,10) through the
+    merge; rounding happens once in the final projection, so maintained
+    and recomputed values are bit-identical. Reference parity: dbt
+    incremental facts (dbt_project.yml:79-82) merge ROWS; this extends the
+    same watermark-delta shape to merging AGGREGATE state."""
+    li = load_table(spark, sf_dir, "lineitem", min_partitions=cpu_parallelism(spark))
+    cutoff = F.lit(MV_CUTOFF).cast("timestamp")
+    keys = [
+        F.date_trunc("month", "l_shipdate").alias("ship_month"),
+        F.col("l_returnflag"),
+    ]
+    partials = lambda d: d.groupBy(*keys).agg(  # noqa: E731
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("qty_dec"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+        ).alias("rev_dec"),
+    )
+    mv = partials(li.where(F.col("l_shipdate") < cutoff))  # the stored MV
+    delta_agg = partials(li.where(F.col("l_shipdate") >= cutoff))
+    merged = (
+        mv.unionByName(delta_agg)
+        .groupBy("ship_month", "l_returnflag")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("qty_dec").alias("qty_dec"),
+            F.sum("rev_dec").alias("rev_dec"),
+        )
+    )
+    return merged.select(
+        "ship_month",
+        "l_returnflag",
+        "n_rows",
+        dec2dbl(F.col("qty_dec")).alias("sum_qty"),
+        dec2dbl(F.col("rev_dec")).alias("sum_revenue"),
     )

@@ -178,6 +178,7 @@ PRIORITY_ORDER = [
     "length_bucket_stats",
     "line_dedup_reconstruct",
     "bipartite_pagerank",
+    "mv_incremental_maintenance",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
