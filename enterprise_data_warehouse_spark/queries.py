@@ -53,6 +53,7 @@ _OPERATOR_MODULES = [
     "enterprise_data_warehouse_spark.operators.multimodal",
     "enterprise_data_warehouse_spark.operators.batching",
     "enterprise_data_warehouse_spark.operators.graph",
+    "enterprise_data_warehouse_spark.operators.sketches",
     "enterprise_data_warehouse_spark.operators.quality",
     "enterprise_data_warehouse_spark.operators.layout",
     "enterprise_data_warehouse_spark.streaming.queries",
@@ -179,6 +180,8 @@ PRIORITY_ORDER = [
     "line_dedup_reconstruct",
     "bipartite_pagerank",
     "mv_incremental_maintenance",
+    "countmin_heavy_hitters",
+    "hll_distinct_users",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",

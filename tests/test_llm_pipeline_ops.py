@@ -163,3 +163,36 @@ def test_pagerank_mass_and_structure(spark):
             "a part out-ranked a supplier — transfer direction or degree "
             "join broke"
         )
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS error is one-sided by construction: every estimate >= the exact
+    count, and equals it when no bucket collision occurred in some row."""
+    out = REG["countmin_heavy_hitters"].fn(spark, SF).toPandas()
+    assert len(out) > 0
+    assert (out["cms_est"] >= out["exact_cnt"]).all()
+
+
+def test_hll_tracks_exact_distinct(spark):
+    """Portable-HLL estimates stay within sketch-theory error of the exact
+    per-event_type distinct user counts (m=64 → ~13% standard error; the
+    linear-counting branch is tighter at low occupancy)."""
+    from pyspark.sql import functions as F
+
+    from enterprise_data_warehouse_spark.sources.tables import load_table
+
+    est = {
+        r["event_type"]: r["hll_estimate"]
+        for r in REG["hll_distinct_users"].fn(spark, SF).collect()
+    }
+    exact = {
+        r["event_type"]: r["x"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for etype, e in est.items():
+        rel = abs(e - exact[etype]) / max(exact[etype], 1)
+        assert rel < 0.35, f"{etype}: est={e} exact={exact[etype]}"
