@@ -100,6 +100,21 @@ SHOWCASE = [
      "Blocked entity resolution: block-size-cap window and grouped i<j "
      "pair emission share ONE block-key exchange; Levenshtein scoring "
      "runs JVM-side on the exploded pairs — no customer self-join."),
+    ("token_budget_mix",
+     "Exact token-budget mixing: water-fill allocation runs over "
+     "|sources|-sized frames (broadcast crossJoins of 1-row globals); the "
+     "per-source prefix cut is the bucket-partitioned distributed prefix "
+     "sum — no source-wide ORDER BY window ever touches document rows."),
+    ("bipartite_pagerank",
+     "Unrolled PageRank: per round ONE src-keyed join (rank → edges, "
+     "degree pre-folded into the edge frame) + ONE dst-keyed partial-agg "
+     "exchange; integer micro-unit ranks keep every round associative; "
+     "final top-k is TakeOrderedAndProject, not a global sort."),
+    ("line_dedup_reconstruct",
+     "Line-level dedup: one explode inside the scan stage, first-owner "
+     "selection as a map-side-combinable MIN on the 128-bit line hash "
+     "(not a per-line row_number window — boilerplate lines are the "
+     "skewed keys), join-back and per-doc rebuild on the same hash key."),
 ]
 
 
