@@ -752,3 +752,65 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", 0.90).alias("p90"),
         F.percentile("o_totalprice", 0.99).alias("p99"),
     )
+
+
+# --- sequential EWMA fold (the stateful stream's oracle-paired twin) ----------
+
+# Alpha and the update expression MUST mirror streaming/stateful.py's
+# per-value fold (`ewma += 0.1 * (v - ewma)`) OPERATION FOR OPERATION:
+# identical IEEE op sequence over the identical ts-order ⇒ bit-identical
+# result across the SQL fold, the DuckDB oracle, and the streamed state —
+# tests pin all three to each other.
+EWMA_FOLD_ALPHA = "CAST(0.1 AS DOUBLE)"
+
+EWMA_FOLD_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(LEN(vals) AS BIGINT) AS n_obs,
+       list_reduce(vals, (acc, x) -> acc + {EWMA_FOLD_ALPHA} * (x - acc))
+         AS ewma
+FROM ordered
+"""
+
+
+@query("ewma_fold_sql", oracle=EWMA_FOLD_ORACLE)
+def ewma_fold_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA as a JVM-native sequential fold: events sort into a
+    per-user array (ts, event_id tie-break) and one `aggregate` lambda
+    walks it — the BATCH twin of the stateful streaming EWMA
+    (streaming/stateful.py), here fully DuckDB-oracle-verified because the
+    fold order is total and both engines execute the identical IEEE
+    sequence (seed = first value, then acc + α·(x − acc)).
+
+    Scale shape: one user_id exchange, arrays bounded by per-user event
+    counts (monitoring entities, not the corpus); the fold itself is
+    codegen'd — no Python. The chain
+    oracle ⇒ this fold ⇒ streamed state (test-pinned equal) is what makes
+    the streaming operator debuggable: any divergence bisects to either
+    the state plumbing or the arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.col("value").cast("double").alias("value"),
+            )
+        )
+    )
+    grouped = e.groupBy("user_id").agg(arr.alias("arr"))
+    vals = F.expr("transform(arr, a -> a.value)")
+    fold = F.expr(
+        f"""aggregate(slice(vals, 2, size(vals) - 1),
+                      element_at(vals, 1),
+                      (acc, x) -> acc + {EWMA_FOLD_ALPHA} * (x - acc))"""
+    )
+    return grouped.withColumn("vals", vals).select(
+        "user_id",
+        F.size("arr").cast("bigint").alias("n_obs"),
+        fold.alias("ewma"),
+    )

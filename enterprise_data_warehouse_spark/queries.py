@@ -141,8 +141,10 @@ PRIORITY_ORDER = [
     "sliding_hourly_counts",
     "segment_hourly_counts",
     "view_click_within_30m",
-    # -- oracle-paired additions landed later in r03 (slots 57-69): ahead
-    #    of every rows-only entry so the round-4 window fronts them -------
+    # -- oracle-paired additions landed later in r03 (slots 57+): ahead
+    #    of every rows-only entry so the round-4 window fronts them; the
+    #    batching/graph/sketches/MV queries at the end of this block are
+    #    the newest ---------------------------------------------------------
     "semantic_dedup",
     "pq_encode",
     "pq_adc_topk",
@@ -182,6 +184,7 @@ PRIORITY_ORDER = [
     "mv_incremental_maintenance",
     "countmin_heavy_hitters",
     "hll_distinct_users",
+    "ewma_fold_sql",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",

@@ -90,3 +90,20 @@ def test_ttl_feature_cache_matches_batch_aggregate(spark):
         .collect()
     }
     assert got == want
+
+
+def test_ewma_fold_sql_bit_matches_streamed_state(spark):
+    """The JVM fold (oracle-verified) and the streamed state (python fold)
+    execute the identical IEEE sequence over the identical ts-order, so
+    their EWMAs must be BIT-identical — any future divergence bisects to
+    state plumbing vs arithmetic."""
+    reg = load_registry()
+    fold = {
+        r["user_id"]: (r["n_obs"], r["ewma"])
+        for r in reg["ewma_fold_sql"].fn(spark, SF).collect()
+    }
+    streamed = {
+        r["user_id"]: (r["n_obs"], r["ewma"])
+        for r in reg["stateful_user_ewma"].fn(spark, SF).collect()
+    }
+    assert fold == streamed
