@@ -840,7 +840,7 @@ MV_CUTOFF = "2001-01-01"  # rows shipped on/after this are "the new batch"
 
 MV_MAINT_ORACLE = """
 SELECT
-  DATE_TRUNC('month', l_shipdate) AS ship_month,
+  CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS ship_month,
   l_returnflag,
   COUNT(*) AS n_rows,
   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE)
@@ -873,7 +873,7 @@ def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem", min_partitions=cpu_parallelism(spark))
     cutoff = F.lit(MV_CUTOFF).cast("timestamp")
     keys = [
-        F.date_trunc("month", "l_shipdate").alias("ship_month"),
+        F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"),
         F.col("l_returnflag"),
     ]
     partials = lambda d: d.groupBy(*keys).agg(  # noqa: E731
