@@ -693,3 +693,69 @@ def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_descendants", F.lit(0)) + 1).alias("subtree_size"),
         )
     )
+
+
+# --- per-group top-k via salted two-phase selection ---------------------------
+
+GROUP_TOPK_K = 20
+GROUP_TOPK_SALTS = 32
+
+GROUP_TOPK_ORACLE = f"""
+WITH keyed AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    CAST(('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR) || '#gtk'), 1, 15))
+      AS BIGINT) AS u
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY o_orderpriority ORDER BY u, o_orderkey
+       ) AS BIGINT) AS rk
+FROM keyed
+QUALIFY rk <= {GROUP_TOPK_K}
+"""
+
+
+@query("stratum_topk_sample", oracle=GROUP_TOPK_ORACLE)
+def stratum_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform sample PER STRATUM (k smallest portable-hash draws
+    per order priority) — the per-group counterpart of
+    `weighted_doc_sample`'s global Efraimidis–Spirakis, and the general
+    per-group top-k pattern.
+
+    The naive form is one window `PARTITION BY stratum` — with 5 strata
+    that funnels the whole table through 5 tasks, the classic low-
+    cardinality-key skew killer. This runs the algebraically identical
+    two-phase selection instead: phase 1 ranks within (stratum, salt) —
+    a BALANCED exchange across stratum×{GROUP_TOPK_SALTS} keys — keeping
+    k per salted cell; phase 2 re-ranks the ≤ k×{GROUP_TOPK_SALTS}
+    survivors per stratum (tiny). Top-k of a union of per-cell top-ks IS
+    the global per-stratum top-k, so the result is exactly the naive
+    window's — which is what the oracle states and checks."""
+    o = load_table(spark, sf_dir, "orders")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("#gtk"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u")
+    )
+    keyed = o.select("o_orderpriority", "o_orderkey", "o_totalprice", u).withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(GROUP_TOPK_SALTS))
+    )
+    local_w = Window.partitionBy("o_orderpriority", "salt").orderBy("u", "o_orderkey")
+    survivors = keyed.withColumn("lrk", F.row_number().over(local_w)).where(
+        F.col("lrk") <= GROUP_TOPK_K
+    )
+    final_w = Window.partitionBy("o_orderpriority").orderBy("u", "o_orderkey")
+    return (
+        survivors.withColumn("rk", F.row_number().over(final_w).cast("bigint"))
+        .where(F.col("rk") <= GROUP_TOPK_K)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )

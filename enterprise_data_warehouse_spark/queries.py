@@ -185,6 +185,7 @@ PRIORITY_ORDER = [
     "countmin_heavy_hitters",
     "hll_distinct_users",
     "ewma_fold_sql",
+    "stratum_topk_sample",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",

@@ -229,6 +229,8 @@ BNLJ_ALLOWED = {
     "kmeans_embeddings",  # broadcast centroids (k rows per iteration)
     "kmeans_pp_embeddings",  # broadcast sketch-seeded centroids (k rows)
     "key_skew_profile",  # broadcast global count rollup (1 row)
+    "token_budget_mix",  # broadcast water-fill globals (1 row × 2 rounds)
+    "bipartite_pagerank",  # broadcast node-count scalar (1 row)
     "ks_drift_pvalue",  # broadcast scalar KS statistic (1 row)
     "important_suppliers",  # broadcast global revenue threshold (1 row)
     "zorder_keys",  # broadcast min/max normalization rollup (1 row)
@@ -353,3 +355,12 @@ def test_token_budget_prefix_cut_is_distributed(spark):
         r"windowspecdefinition\(source#\d+, u#", plan
     )
     assert not doc_windows, plan
+
+
+def test_stratum_topk_first_phase_is_salted(spark):
+    """Per-stratum top-k must rank within (stratum, salt) first — a lone
+    PARTITION BY stratum window over the full table would funnel it
+    through |strata| tasks. The stratum-only window may appear only above
+    the salted one (over the k×salts survivors)."""
+    plan = plan_of(REG["stratum_topk_sample"].fn(spark, SF))
+    assert re.search(r"windowspecdefinition\(o_orderpriority#\d+, salt", plan), plan
