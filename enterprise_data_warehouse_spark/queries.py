@@ -186,6 +186,7 @@ PRIORITY_ORDER = [
     "hll_distinct_users",
     "ewma_fold_sql",
     "stratum_topk_sample",
+    "hll_sliding_distinct",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",

@@ -196,3 +196,41 @@ def test_hll_tracks_exact_distinct(spark):
     for etype, e in est.items():
         rel = abs(e - exact[etype]) / max(exact[etype], 1)
         assert rel < 0.35, f"{etype}: est={e} exact={exact[etype]}"
+
+
+def test_hll_sliding_merge_equals_window_recompute(spark):
+    """Sketch-merge soundness: merging per-hour registers over a 3-hour
+    window must give EXACTLY the estimate a from-scratch HLL over that
+    window's raw events gives (max-merge is lossless for HLL), and it must
+    track the exact windowed distinct count within sketch error."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from enterprise_data_warehouse_spark.sources.tables import load_table
+
+    out = {
+        r["window_end"]: (r["n_filled"], r["denom"], r["hll_estimate"])
+        for r in REG["hll_sliding_distinct"].fn(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events").select(
+        F.date_trunc("hour", "ts").alias("hr"), "user_id"
+    )
+    exact = {
+        r["window_end"]: r["x"]
+        for r in ev.withColumn(
+            "o", F.explode(F.sequence(F.lit(0), F.lit(2)))
+        )
+        .select(F.expr("timestampadd(HOUR, o, hr)").alias("window_end"), "user_id")
+        .join(ev.select(F.col("hr").alias("window_end")).distinct(), "window_end")
+        .groupBy("window_end")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for w, (_, _, est) in out.items():
+        err = abs(est - exact[w])
+        rel = err / max(exact[w], 1)
+        # tiny windows (a handful of users) carry large RELATIVE noise by
+        # sketch theory — accept a small absolute slack there
+        assert rel < 0.4 or err <= 3, f"{w}: est={est} exact={exact[w]}"
