@@ -153,3 +153,54 @@ def test_stream_stream_join_equals_batch(spark):
     streamed = REG["streaming_view_click_join"].fn(spark, SF)
     assert _norm(batch) == _norm(streamed)
     assert batch.count() > 0  # non-vacuous
+
+
+def test_stateful_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState state must RECOVER from the checkpoint across
+    separate query starts: after a restart the per-user EWMA continues the
+    fold (n_obs accumulates, ewma equals the full-sequence fold) instead of
+    re-seeding — the R3/R7 operator's fault-tolerance contract."""
+    import datetime as dt
+
+    from enterprise_data_warehouse_spark.streaming.stateful import stateful_ewma
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id bigint, ts timestamp, value double"
+
+    def arrive(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            stateful_ewma(read_file_stream(spark, src, schema))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    vals1 = [10.0, 20.0]
+    vals2 = [30.0, 40.0]
+    arrive([(1, t + dt.timedelta(minutes=i), v) for i, v in enumerate(vals1)])
+    drain()
+    arrive(
+        [(1, t + dt.timedelta(minutes=10 + i), v) for i, v in enumerate(vals2)]
+    )
+    drain()  # NEW query object, same checkpoint → state must be recovered
+
+    rows = spark.read.parquet(out).orderBy("n_obs").collect()
+    assert [r["n_obs"] for r in rows] == [2, 4]
+    # full-sequence fold: seed 10, then ewma += 0.1*(v-ewma)
+    ewma = vals1[0]
+    for v in vals1[1:] + vals2:
+        ewma += 0.1 * (v - ewma)
+    assert abs(rows[-1]["ewma"] - ewma) < 1e-12, (
+        "restart re-seeded the state instead of recovering it"
+    )
