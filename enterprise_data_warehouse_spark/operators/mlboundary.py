@@ -14,7 +14,7 @@ import math
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.deterministic import sql_dsum
@@ -421,4 +421,82 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
         )
+    )
+
+
+# --- point-in-time-correct feature snapshots ----------------------------------
+
+PIT_STALENESS_HOURS = 24  # features older than this at label time are void
+
+PIT_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    COUNT(*) OVER w AS n_prior,
+    COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS n_prior_clicks,
+    MAX(ts) OVER w AS last_feature_ts
+  FROM events
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT user_id, event_id AS label_event_id, ts AS label_ts,
+  n_prior, n_prior_clicks,
+  last_feature_ts IS NOT NULL
+    AND ts - last_feature_ts <= INTERVAL {PIT_STALENESS_HOURS} HOUR
+    AS features_fresh
+FROM ordered
+WHERE event_type = 'purchase'
+"""
+
+
+@query("pit_feature_snapshot", oracle=PIT_ORACLE)
+def pit_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature snapshot — the feature-store join that
+    prevents label leakage: for every label event (purchase) the features
+    are computed from STRICTLY-PRIOR events only (frame ends at -1
+    PRECEDING), with a staleness bound voiding features older than
+    PIT_STALENESS_HOURS at label time (the training-serving skew guard —
+    online serving would likewise miss an expired cache, reference
+    feature-cache TTL ml_pipeline_framework.py:675-679).
+
+    Spark-first shape: no per-label as-of join against a feature table —
+    label and feature rows share the entity timeline, so ONE user_id
+    exchange and ONE ordered frame produce every label's snapshot; tie
+    order (ts, event_id) is total, so the cut is deterministic. At 100 TB
+    the frame state is O(1) per row (count/max accumulators), and the
+    per-user ordering matches the feature-table clustering a real store
+    maintains. Ref parity: training query at
+    automated_training_pipeline.py:142-160 joins features with NO time
+    guard — this operator is that join done right."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    snap = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.count("*").over(w).alias("n_prior"),
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias(
+            "n_prior_clicks"
+        ),
+        F.max("ts").over(w).alias("last_feature_ts"),
+    )
+    # µs-exact staleness test (a cast-to-seconds diff truncates and can
+    # flip the verdict within 1 s of the boundary vs the oracle's interval)
+    fresh = F.col("last_feature_ts").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("last_feature_ts")
+        <= PIT_STALENESS_HOURS * 3600 * 1_000_000
+    )
+    return snap.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("label_event_id"),
+        F.col("ts").alias("label_ts"),
+        "n_prior",
+        "n_prior_clicks",
+        fresh.alias("features_fresh"),
     )

@@ -187,6 +187,7 @@ PRIORITY_ORDER = [
     "ewma_fold_sql",
     "stratum_topk_sample",
     "hll_sliding_distinct",
+    "pit_feature_snapshot",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
