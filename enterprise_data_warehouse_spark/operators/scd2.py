@@ -389,3 +389,68 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         live.alias("is_live"),
         F.when(live, F.col("value")).alias("current_value"),
     ).withColumnRenamed("op", "last_op")
+
+
+# ---------------------------------------------------------------------------
+# Temporal (point-in-time) dimension join: facts ⋈ the SCD2 version valid
+# at fact time.
+# ---------------------------------------------------------------------------
+
+SCD2_PIT_ORACLE = f"""
+WITH dim AS ({SCD2_ORACLE}),
+facts AS (
+  SELECT o_custkey, o_orderdate + INTERVAL 22 YEAR AS fact_ts FROM orders
+)
+SELECT COALESCE(d.c_mktsegment, '(pre-history)') AS segment_at_fact_time,
+       COUNT(*) AS n_facts,
+       COUNT(DISTINCT f.o_custkey) AS n_customers
+FROM facts f LEFT JOIN dim d
+  ON f.o_custkey = d.c_custkey
+ AND f.fact_ts >= d.effective_from
+ AND (d.effective_to IS NULL OR f.fact_ts < d.effective_to)
+GROUP BY 1
+"""
+
+
+@query("scd2_temporal_join", oracle=SCD2_PIT_ORACLE)
+def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kimball point-in-time dimension join: each fact row picks the
+    SCD2 dimension VERSION valid at fact time (effective_from ≤ t <
+    effective_to, open-ended current), not the current row — the query
+    "what segment was this customer in WHEN they ordered", which is the
+    entire reason versioned dimensions exist. Facts are the orders table
+    staged onto the dim's timeline (+22 years, straddling both the 2020
+    initial load and the 2021-06 segment-move boundary, so version
+    selection has real work: the %13 segment-movers' facts split across
+    versions, and pre-2020 facts fall off the front as '(pre-history)').
+
+    Spark-first shape: the validity predicate rides as a residual
+    condition on the c_custkey equi hash join — NO range-join blowup; the
+    SCD2 invariant (disjoint version intervals per key) guarantees ≤ 1
+    match per fact so the left join never fans out. At 100 TB both sides
+    hash on the dim key the fact table is already bucketed by. Reference
+    parity: macros/scd_type2_macro.sql builds the versions but the
+    reference never joins them temporally — its marts only filter
+    is_current (dim_customer.sql:16)."""
+    dim = scd2_customer_dim(spark, sf_dir)
+    facts = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("timestampadd(YEAR, 22, o_orderdate)").alias("fact_ts"),
+    )
+    cond = (
+        (facts["o_custkey"] == dim["c_custkey"])
+        & (facts["fact_ts"] >= dim["effective_from"])
+        & (dim["effective_to"].isNull() | (facts["fact_ts"] < dim["effective_to"]))
+    )
+    return (
+        facts.join(dim, cond, "left")
+        .groupBy(
+            F.coalesce("c_mktsegment", F.lit("(pre-history)")).alias(
+                "segment_at_fact_time"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_facts"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )

@@ -188,6 +188,7 @@ PRIORITY_ORDER = [
     "stratum_topk_sample",
     "hll_sliding_distinct",
     "pit_feature_snapshot",
+    "scd2_temporal_join",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",

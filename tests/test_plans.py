@@ -364,3 +364,15 @@ def test_stratum_topk_first_phase_is_salted(spark):
     the salted one (over the k×salts survivors)."""
     plan = plan_of(REG["stratum_topk_sample"].fn(spark, SF))
     assert re.search(r"windowspecdefinition\(o_orderpriority#\d+, salt", plan), plan
+
+
+def test_scd2_temporal_join_is_equi_with_residual(spark):
+    """The point-in-time dim join must hash/merge on the dim KEY with the
+    validity interval as a residual condition — a range-join formulation
+    (BNLJ/cartesian over intervals) would explode at scale."""
+    plan = plan_of(REG["scd2_temporal_join"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(
+        r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[o_custkey", plan
+    ), plan
