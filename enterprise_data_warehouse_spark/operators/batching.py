@@ -87,20 +87,10 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in any engine; the only shuffles over document rows are
     one hash exchange on (source, bucket) for the distributed prefix sum.
     """
+    from .dedup import portable_hash64
+
     d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#budget"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("u")
-    )
+    u = portable_hash64(F.col("doc_id").cast("string"), "budget").alias("u")
     counted = d.select(
         "doc_id",
         "source",

@@ -384,10 +384,13 @@ def portable_hash64(c: Column, seed: int | Column) -> Column:
     """SQL mirror:
     ``CAST(('0x' || SUBSTR(MD5(x || '#' || seed), 1, 15)) AS BIGINT)``.
 
-    ``seed`` may be a literal int or a Column (e.g. a lambda variable inside
-    a higher-order transform) — one definition for both call sites, so the
-    two formulations cannot drift apart."""
-    seed_col = F.lit(str(seed)) if isinstance(seed, int) else seed.cast("string")
+    ``seed`` may be a literal int/str or a Column (e.g. a lambda variable
+    inside a higher-order transform) — one definition for every call site
+    (dedup bands, batching prefix cut, sketches, per-group sampling), so
+    the formulations cannot drift apart."""
+    seed_col = (
+        F.lit(str(seed)) if isinstance(seed, (int, str)) else seed.cast("string")
+    )
     return (
         F.conv(F.substring(F.md5(F.concat_ws("#", c, seed_col)), 1, 15), 16, 10)
         .cast("bigint")

@@ -732,20 +732,10 @@ def stratum_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors per stratum (tiny). Top-k of a union of per-cell top-ks IS
     the global per-stratum top-k, so the result is exactly the naive
     window's — which is what the oracle states and checks."""
+    from .dedup import portable_hash64
+
     o = load_table(spark, sf_dir, "orders")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("#gtk"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("u")
-    )
+    u = portable_hash64(F.col("o_orderkey").cast("string"), "gtk").alias("u")
     keyed = o.select("o_orderpriority", "o_orderkey", "o_totalprice", u).withColumn(
         "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(GROUP_TOPK_SALTS))
     )

@@ -38,8 +38,10 @@ PR_ITERS = 2  # fixed unrolled rounds (exactness over convergence in tests;
 PR_MASS = 10**12  # total rank mass in integer micro-units
 PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an integer ratio
 
-# node ids: parts keep their key, suppliers are offset into a disjoint range
-SUPP_OFFSET = 10**9
+# node ids: parts keep their key, suppliers are offset into a disjoint range.
+# 10^12 clears TPC-H partkeys (200_000×SF) up to SF ~5e6 — a 10^9 offset
+# would alias parts onto suppliers from SF 5000, silently merging vertices
+SUPP_OFFSET = 10**12
 
 _EDGES_SQL = f"""
   SELECT DISTINCT l_partkey AS src, l_suppkey + {SUPP_OFFSET} AS dst

@@ -28,8 +28,7 @@ from pyspark.sql import functions as F
 
 from ..queries import query
 from ..sources.tables import cpu_parallelism, load_table
-
-_U60 = 1 << 60
+from .dedup import portable_hash64
 
 # --- Count-Min sketch ---------------------------------------------------------
 
@@ -70,15 +69,7 @@ LIMIT {CM_TOPK}
 
 
 def _cm_bucket(i: int) -> F.Column:
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(f"#cm{i}"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    u = portable_hash64(F.col("user_id").cast("string"), f"cm{i}")
     return (u % CM_WIDTH).alias("bucket")
 
 
@@ -91,10 +82,16 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the input size; at 100 TB the groupBy(row, bucket) partials ARE the
     sketch merge."""
     e = load_table(spark, sf_dir, "events", min_partitions=cpu_parallelism(spark))
-    hashed = None
-    for i in range(CM_DEPTH):
-        h = e.select("user_id", F.lit(i).alias("row_i"), _cm_bucket(i))
-        hashed = h if hashed is None else hashed.unionByName(h)
+    # ONE scan: all CM_DEPTH buckets computed as an array in one projection
+    # and exploded — the union-of-scans formulation reads events per row
+    # per consumer (CM_DEPTH× the I/O, and this module exists to SHRINK
+    # big-input I/O)
+    hashed = e.select(
+        "user_id",
+        F.posexplode(F.array(*[_cm_bucket(i) for i in range(CM_DEPTH)])).alias(
+            "row_i", "bucket"
+        ),
+    )
     cms = hashed.groupBy("row_i", "bucket").agg(F.count("*").alias("cnt"))
     exact = e.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
     probes = hashed.distinct()
@@ -182,13 +179,7 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     same branch, same formula, both engines; estimate rounded to 4
     decimals, far above transcendental-ULP territory."""
     e = load_table(spark, sf_dir, "events", min_partitions=cpu_parallelism(spark))
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#hll"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    u = portable_hash64(F.col("user_id").cast("string"), "hll")
     # integer div/mod only — u has 60 bits, a double round-trip drops 7
     ranked = e.select("event_type", u.alias("u")).select(
         "event_type",
@@ -293,13 +284,7 @@ def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily/weekly rollups or streaming state. Estimates are bit-identical
     to the DuckDB oracle (integer denominators, one rounded transcendental)."""
     e = load_table(spark, sf_dir, "events", min_partitions=cpu_parallelism(spark))
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#hll"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    u = portable_hash64(F.col("user_id").cast("string"), "hll")
     ranked = e.select(F.date_trunc("hour", "ts").alias("hr"), u.alias("u")).select(
         "hr",
         F.expr(f"u div {1 << RANK_BITS}").alias("register"),

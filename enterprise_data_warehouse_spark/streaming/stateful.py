@@ -87,29 +87,14 @@ def stateful_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests assert parity with a batch recomputation."""
     import uuid
 
+    from .incremental import run_stream_to_memory
     from .queries import event_stream
 
-    out = stateful_ewma(event_stream(spark, sf_dir))
     name = "ewma_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    table = run_stream_to_memory(
+        spark, stateful_ewma(event_stream(spark, sf_dir)), name, output_mode="update"
     )
-    q.awaitTermination()
-    # update-mode memory sink appends each batch's emissions; keep the last
-    # row per user (final state after the drain)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_obs"))
-    return (
-        spark.table(name)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return _latest_update_per_user(table)
 
 
 # --- transformWithState TTL'd per-user feature cache -------------------------
@@ -125,6 +110,17 @@ CACHE_OUTPUT_SCHEMA = (
     "user_id bigint, n_obs bigint, mean_value double, last_value double, "
     "n_event_types bigint"
 )
+
+
+def _cents_half_up(values) -> int:
+    """Σ round(v·100) with HALF-UP (away-from-zero) ties, matching Spark's
+    F.round — pandas/numpy ``round`` is banker's (half-to-even), which
+    diverges on exact .5 cent products (e.g. 1.125·100 = 112.5 → numpy
+    112, Spark 113) and would break the exact batch-parity contract."""
+    import numpy as np
+
+    x = values.astype("float64").mul(100.0).to_numpy()
+    return int(np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).sum())
 
 
 class UserFeatureCache:
@@ -156,7 +152,7 @@ class UserFeatureCache:
         )
         for pdf in rows:
             cnt += len(pdf)
-            cents += int(round(pdf["value"].astype("float64").mul(100).round().sum()))
+            cents += _cents_half_up(pdf["value"])
             batch_max = int(pdf["ts_us"].max())
             if batch_max > max_ts_us:
                 max_ts_us = batch_max
@@ -230,7 +226,7 @@ def _update_cache_fallback(key, pdfs, state: GroupState):
     etypes = set(etypes or [])
     for pdf in pdfs:
         cnt += len(pdf)
-        cents += int(round(pdf["value"].astype("float64").mul(100).round().sum()))
+        cents += _cents_half_up(pdf["value"])
         batch_max = int(pdf["ts_us"].max())
         if batch_max > max_ts_us:
             max_ts_us = batch_max
@@ -261,6 +257,17 @@ def user_feature_cache_fallback(events: DataFrame) -> DataFrame:
     )
 
 
+def _latest_update_per_user(table: DataFrame) -> DataFrame:
+    """update-mode memory sinks append every batch's emissions; keep the
+    last row per user (the final state after the drain)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_obs"))
+    return (
+        table.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 @query("ttl_feature_cache")
 def ttl_feature_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R7/S11 restated as a stateful streaming feature cache: REAL
@@ -269,13 +276,17 @@ def ttl_feature_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink, availableNow drain. Rows-only driver check; tests assert
     exact parity with the batch aggregate.
 
-    Two engines, one semantics: transformWithStateInPandas (ValueState +
-    MapState, native 1 h state TTL, RocksDB store) when protobuf is
-    importable; otherwise the applyInPandasWithState twin (this
-    container — see tws_available). The operator's contract is identical
-    either way; only the state-store surface differs."""
+    Two engines: transformWithStateInPandas (ValueState + MapState, native
+    1 h state TTL, RocksDB store) when protobuf is importable; otherwise
+    the applyInPandasWithState twin (this container — see tws_available).
+    Identical in any drain that finishes inside the TTL window (tests/CI).
+    Under production TTL they age differently BY DESIGN: TWS expires each
+    idle event-type map entry individually (per-sub-key cache aging — the
+    behavior a feature cache wants), while the fallback's single packed
+    tuple refreshes whole-row on any activity; choose accordingly."""
     import uuid
 
+    from .incremental import run_stream_to_memory
     from .queries import event_stream
 
     stream = event_stream(spark, sf_dir)
@@ -288,15 +299,9 @@ def ttl_feature_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
             "RocksDBStateStoreProvider",
         )
         try:
-            out = user_feature_cache(stream)
-            q = (
-                out.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("update")
-                .trigger(availableNow=True)
-                .start()
+            table = run_stream_to_memory(
+                spark, user_feature_cache(stream), name, output_mode="update"
             )
-            q.awaitTermination()
         finally:
             if prev is None:
                 spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -305,19 +310,7 @@ def ttl_feature_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "spark.sql.streaming.stateStore.providerClass", prev
                 )
     else:
-        out = user_feature_cache_fallback(stream)
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
+        table = run_stream_to_memory(
+            spark, user_feature_cache_fallback(stream), name, output_mode="update"
         )
-        q.awaitTermination()
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_obs"))
-    return (
-        spark.table(name)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return _latest_update_per_user(table)

@@ -376,3 +376,12 @@ def test_scd2_temporal_join_is_equi_with_residual(spark):
     assert re.search(
         r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[o_custkey", plan
     ), plan
+
+
+def test_countmin_single_scan_per_consumer(spark):
+    """The CM sketch must compute all depth-rows in ONE projection
+    (posexplode over a bucket array) — the union-of-scans formulation
+    reads events CM_DEPTH times per consumer."""
+    plan = plan_of(REG["countmin_heavy_hitters"].fn(spark, SF))
+    assert "Union" not in plan, plan
+    assert plan.count("events.parquet") <= 3, plan
