@@ -52,6 +52,7 @@ _OPERATOR_MODULES = [
     "enterprise_data_warehouse_spark.operators.mlboundary",
     "enterprise_data_warehouse_spark.operators.multimodal",
     "enterprise_data_warehouse_spark.operators.batching",
+    "enterprise_data_warehouse_spark.operators.importance",
     "enterprise_data_warehouse_spark.operators.graph",
     "enterprise_data_warehouse_spark.operators.sketches",
     "enterprise_data_warehouse_spark.operators.quality",
@@ -189,6 +190,9 @@ PRIORITY_ORDER = [
     "hll_sliding_distinct",
     "pit_feature_snapshot",
     "scd2_temporal_join",
+    "dsir_importance_weights",
+    "perplexity_buckets",
+    "training_order_shards",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
