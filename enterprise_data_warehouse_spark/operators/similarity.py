@@ -1234,3 +1234,79 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.select(F.posexplode("v").alias("pos", "loading"))
         .select("pos", F.round("loading", 4).alias("loading_r4"))
     )
+
+
+# --- hard-negative mining (contrastive-training data prep) -------------------
+
+HARDNEG_K = 5
+HARDNEG_QUERIES = 8
+
+HARDNEG_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+  FROM embeddings WHERE vec_id < {HARDNEG_QUERIES}
+), scored AS (
+  SELECT query_id, query_label, vec_id AS negative_id, label AS negative_label,
+         {_sql_cosine('qv', 'embedding')} AS cosine_sim
+  FROM q CROSS JOIN embeddings
+  WHERE label != query_label
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, negative_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, query_label, negative_id, negative_label, cosine_sim,
+       CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {HARDNEG_K}
+"""
+
+
+@query("hard_negative_mining", oracle=HARDNEG_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training (ANCE /
+    DPR-style): for each anchor, the top-k most-similar vectors with a
+    DIFFERENT label — the negatives that actually move the loss, vs the
+    uninformative random negatives in-batch sampling yields.
+
+    Same execution shape as cosine_topk (broadcast anchor set ×
+    embarrassingly-parallel scan, per-anchor windowed top-k) with the
+    label-mismatch predicate applied BEFORE scoring, so disqualified rows
+    never pay the dot product. At 100 TB the scan side is replaced by the
+    ANN candidate stream (ann_multiprobe_topk / ivf_topk) and this ranking
+    runs unchanged over candidates — mining cost then scales with the
+    candidate budget, not the corpus."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < HARDNEG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .where(F.col("label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            cosine(as_double("qv"), as_double("embedding")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= HARDNEG_K)
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            "negative_label",
+            "cosine_sim",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -193,6 +193,7 @@ PRIORITY_ORDER = [
     "dsir_importance_weights",
     "perplexity_buckets",
     "training_order_shards",
+    "hard_negative_mining",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
