@@ -1070,3 +1070,119 @@ def line_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
     )
+
+
+# --- prefix-filtered set-similarity join (AllPairs/PPJoin family) ------------
+
+PREFIX_TAU = 0.5  # Jaccard threshold; prefix length = s - ceil(tau*s) + 1
+
+PREFIX_JACCARD_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+), sets AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - {NGRAM_N - 2}),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+), ex AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sets
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(COUNT(*) AS BIGINT) AS n_common,
+  CAST(COUNT(*) AS DOUBLE) / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) AS jaccard
+FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING CAST(COUNT(*) AS DOUBLE) / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*))
+  >= {PREFIX_TAU}
+"""
+
+
+@query("prefix_filter_jaccard_pairs", oracle=PREFIX_JACCARD_ORACLE)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard-join at τ=0.5 via PREFIX FILTERING (AllPairs/PPJoin,
+    Bayardo et al. 2007 / Xiao et al. 2008) — the LOSSLESS alternative to
+    MinHash: if J(x,y) ≥ τ, the first |x|−⌈τ|x|⌉+1 elements of x under any
+    global element order must intersect y's prefix, so only prefix tokens
+    generate candidates and the result provably equals the brute-force
+    join (the oracle IS that brute force — no cap, no approximation).
+
+    Why rarest-first matters at 100 TB: ordering each set by ascending
+    document frequency puts its most selective shingles in the prefix, so
+    candidate buckets are df-bounded by construction — the hot boilerplate
+    shingles that force MAX_SHINGLE_DF caps elsewhere land OUTSIDE every
+    prefix and never emit a candidate.
+
+    Shuffle shape: one exchange on sh64 serves both the df aggregate and
+    the df join-back (co-partitioned child reuse), one doc_id exchange
+    builds ordered sets, candidate emission reuses the grouped i<j pattern
+    (no self-join), and verification is two co-partitioned joins against
+    the compact (doc_id, hashed-set) table. Verification intersects int64
+    hash arrays — same birthday-bound trade as exploded_shingles."""
+    d = _with_synthetic_dupes(
+        load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+    )
+    sets = shingle_sets(d).select(
+        "doc_id",
+        "n_shingles",
+        F.transform("shingles", lambda x: F.xxhash64(x)).alias("sh"),
+    )
+    ex = sets.select("doc_id", "n_shingles", F.explode("sh").alias("sh64"))
+    df_tbl = ex.groupBy("sh64").agg(F.count("*").alias("df"))
+    ordered = (
+        ex.join(df_tbl, "sh64")
+        .groupBy("doc_id")
+        .agg(
+            F.min("n_shingles").alias("s"),
+            F.array_sort(F.collect_list(F.struct("df", "sh64"))).alias("ord"),
+        )
+    )
+    # prefix length p = s - ceil(tau*s) + 1; tau=0.5 -> ceil = (s+1) div 2,
+    # kept in integer arithmetic so both engines can't disagree on rounding
+    p = F.col("s") - F.floor((F.col("s") + 1) / 2).cast("int") + 1
+    prefix = ordered.select(
+        "doc_id",
+        F.explode(
+            F.slice(F.transform("ord", lambda x: x["sh64"]), 1, p)
+        ).alias("sh64"),
+    )
+    docs_sorted = F.array_sort(F.collect_list("doc_id"))
+    grouped = prefix.groupBy("sh64").agg(docs_sorted.alias("docs"))
+    docs = F.col("docs")
+    n = F.size(docs)
+    pair_arrays = F.transform(
+        docs,
+        lambda x, i: F.transform(
+            F.slice(docs, i + F.lit(2), n - i - F.lit(1)),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        ),
+    )
+    cand = (
+        grouped.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.*")
+        .distinct()
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_shingles").alias("na"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_shingles").alias("nb"),
+    )
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= PREFIX_TAU)
+    )
+    return verified.select("doc_a", "doc_b", "n_common", "jaccard")

@@ -194,6 +194,7 @@ PRIORITY_ORDER = [
     "perplexity_buckets",
     "training_order_shards",
     "hard_negative_mining",
+    "prefix_filter_jaccard_pairs",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
