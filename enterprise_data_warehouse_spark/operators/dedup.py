@@ -1113,12 +1113,17 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles that force MAX_SHINGLE_DF caps elsewhere land OUTSIDE every
     prefix and never emit a candidate.
 
-    Shuffle shape: one exchange on sh64 serves both the df aggregate and
-    the df join-back (co-partitioned child reuse), one doc_id exchange
-    builds ordered sets, candidate emission reuses the grouped i<j pattern
-    (no self-join), and verification is two co-partitioned joins against
-    the compact (doc_id, hashed-set) table. Verification intersects int64
-    hash arrays — same birthday-bound trade as exploded_shingles."""
+    Scan/shuffle shape: the hashed-set table (doc_id, sh[], n) is
+    materialized ONCE via localCheckpoint — prefixes, df counts, and both
+    verification sides all read that stage output instead of re-scanning
+    and re-shingling the corpus (the naive DataFrame reuse re-shingles it
+    4×; production pipelines persist the shingle table for the same
+    reason). Per-shingle df is a count WINDOW on the exploded stream (one
+    sh64 exchange, same shape as the ngram path's DF cap), one doc_id
+    exchange builds ordered sets, candidate emission reuses the grouped
+    i<j pattern (no self-join), and verification is two joins against the
+    compact checkpointed table. Verification intersects int64 hash arrays
+    — same birthday-bound trade as exploded_shingles."""
     d = _with_synthetic_dupes(
         load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
     )
@@ -1126,11 +1131,11 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_shingles",
         F.transform("shingles", lambda x: F.xxhash64(x)).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     ex = sets.select("doc_id", "n_shingles", F.explode("sh").alias("sh64"))
-    df_tbl = ex.groupBy("sh64").agg(F.count("*").alias("df"))
+    w_sh = Window.partitionBy("sh64")
     ordered = (
-        ex.join(df_tbl, "sh64")
+        ex.withColumn("df", F.count("*").over(w_sh))
         .groupBy("doc_id")
         .agg(
             F.min("n_shingles").alias("s"),

@@ -236,6 +236,8 @@ BNLJ_ALLOWED = {
     "zorder_keys",  # broadcast min/max normalization rollup (1 row)
     "dormant_customers",  # broadcast global average balance (1 row)
     "pca_power_iteration",  # broadcast direction vector + norm (1 row each)
+    "perplexity_buckets",  # broadcast token-total + tertile cuts (1 row each)
+    "hard_negative_mining",  # broadcast anchor query set (constant count)
 }
 
 

@@ -110,6 +110,22 @@ SHOWCASE = [
      "degree pre-folded into the edge frame) + ONE dst-keyed partial-agg "
      "exchange; integer micro-unit ranks keep every round associative; "
      "final top-k is TakeOrderedAndProject, not a global sort."),
+    ("dsir_importance_weights",
+     "DSIR scoring: the 256-row bucket-weight table BROADCASTS at any "
+     "corpus size, so per-gram scoring is map-side; one bucket aggregate "
+     "(map-side combined) + one doc_id exchange; ln is folded to integer "
+     "micro-nats per bucket so document sums stay associative."),
+    ("prefix_filter_jaccard_pairs",
+     "Lossless exact-Jaccard join (AllPairs/PPJoin): the hashed-set table "
+     "is checkpointed once — prefixes, df counts, and both verification "
+     "sides read that stage output instead of re-shingling the corpus 4×; "
+     "df is a count window on the sh64 exchange, candidates come from "
+     "grouped i<j emission, no self-join anywhere."),
+    ("perplexity_buckets",
+     "CCNet perplexity gate: vocab NLL aggregate (map-side combined) "
+     "joined back on the token key; the tertile cut runs on the per-DOC "
+     "frame and broadcasts back as a 1-row crossJoin — the corpus-sized "
+     "token stream never passes through a global window."),
     ("line_dedup_reconstruct",
      "Line-level dedup: one explode inside the scan stage, first-owner "
      "selection as a map-side-combinable MIN on the 128-bit line hash "
