@@ -790,7 +790,15 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen, zero shuffle, linear in corpus bytes. Ratios are
     per-row IEEE divisions of exact integers (engine-identical); no
     cross-row float aggregation anywhere."""
-    d = load_table(spark, sf_dir, "documents").withColumn("_toks", tokens())
+    return gopher_features(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_features(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Gopher rule features/verdict as a pure STATELESS projection — works
+    identically on a batch frame and a readStream (the streaming corpus
+    ingest gate applies this exact expression tree); ``carry`` lists extra
+    input columns to keep alongside the feature columns."""
+    d = d.withColumn("_toks", tokens())
     toks = F.col("_toks")
     n_words = F.size(toks)
     mwl = (
@@ -808,6 +816,7 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok_stop = n_stop >= GOPHER_MIN_STOPWORDS
     ok_distinct = distinct_ratio >= GOPHER_MIN_DISTINCT_RATIO
     return d.select(
+        *carry,
         "doc_id",
         n_words.alias("n_words"),
         mwl.alias("mean_word_len"),

@@ -195,6 +195,7 @@ PRIORITY_ORDER = [
     "training_order_shards",
     "hard_negative_mining",
     "prefix_filter_jaccard_pairs",
+    "corpus_ingest_stats",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
@@ -209,6 +210,7 @@ PRIORITY_ORDER = [
     "streaming_view_click_join",
     "stateful_user_ewma",
     "ttl_feature_cache",
+    "streaming_corpus_ingest",
 ]
 
 

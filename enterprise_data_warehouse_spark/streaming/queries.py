@@ -345,3 +345,88 @@ def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _view_click_join(views, clicks)
     name = "stream_vc_join_" + uuid.uuid4().hex[:8]
     return run_stream_to_memory(spark, out, name, output_mode="append")
+
+
+# --- corpus ingest: the documents-side streaming rail ------------------------
+
+
+def document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (schema-pinned; required
+    by readStream). The LLM-pipeline analogue of event_stream: a crawler /
+    ingestion bus delivering raw documents."""
+    load_table(spark, sf_dir, "documents")  # provision session confs
+    return (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _ingest_stats(docs: DataFrame) -> DataFrame:
+    """Per-source ingest acceptance rollup over the Gopher quality gate —
+    a pure stateless projection + one grouped integer aggregate, so the
+    SAME builder runs on the batch frame and the readStream."""
+    from ..operators.text import gopher_features
+
+    feat = gopher_features(docs, carry=("source",))
+    keep = F.col("keep").cast("int")
+    return feat.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(keep).alias("n_kept"),
+        F.sum(1 - keep).alias("n_rejected"),
+        F.sum(F.when(F.col("keep"), F.col("n_words")).otherwise(0)).alias(
+            "kept_words"
+        ),
+    )
+
+
+_GOPHER_KEEP_SQL = """
+  (LEN(w) BETWEEN 20 AND 100000)
+  AND (CAST(list_sum(list_transform(w, x -> LEN(x))) AS DOUBLE) / LEN(w)
+       BETWEEN 3.0 AND 10.0)
+  AND (CAST(LEN(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+       / LEN(w) >= 0.8)
+  AND (LEN(list_filter(w, x -> x IN
+       ('the','a','of','and','to','in','is'))) >= 2)
+  AND (CAST(LEN(list_distinct(w)) AS DOUBLE) / LEN(w) >= 0.3)
+"""
+
+INGEST_ORACLE = f"""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+), feat AS (
+  SELECT source, LEN(w) AS n_words, ({_GOPHER_KEEP_SQL}) AS keep FROM toks
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected,
+  CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT) AS kept_words
+FROM feat GROUP BY source
+"""
+
+
+@query("corpus_ingest_stats", oracle=INGEST_ORACLE)
+def corpus_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch path of the ingest-time quality gate: per-source document
+    counts, Gopher-rule accept/reject split, and kept-token volume — the
+    acceptance dashboard a crawl operator watches. Constants mirror
+    operators/text.py's GOPHER_* (oracle inlines them). All aggregates are
+    integers; the rule ratios are per-row IEEE divisions — engine-exact."""
+    return _ingest_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query("streaming_corpus_ingest")
+def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL streaming rail of corpus_ingest_stats: readStream over the
+    documents parquet → the identical stateless Gopher projection → grouped
+    integer aggregate in complete mode (no event-time column exists on a
+    crawl feed, and none is needed — the rollup keys are low-cardinality
+    sources, so state is O(|sources|), bounded without a watermark) →
+    availableNow drain. Rows-only driver check; tests assert exact equality
+    with the batch twin."""
+    out = _ingest_stats(document_stream(spark, sf_dir))
+    name = "stream_ingest_" + uuid.uuid4().hex[:8]
+    return run_stream_to_memory(spark, out, name)

@@ -204,3 +204,9 @@ def test_stateful_state_survives_restart(spark, tmp_path):
     assert abs(rows[-1]["ewma"] - ewma) < 1e-12, (
         "restart re-seeded the state instead of recovering it"
     )
+
+
+def test_stream_corpus_ingest_equals_batch(spark):
+    batch = REG["corpus_ingest_stats"].fn(spark, SF)
+    streamed = REG["streaming_corpus_ingest"].fn(spark, SF)
+    assert _norm(batch) == _norm(streamed)
