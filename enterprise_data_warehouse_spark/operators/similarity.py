@@ -1310,3 +1310,99 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# --- incremental IVF maintenance --------------------------------------------
+
+IVF_REBALANCE_GROWTH = 0.25  # re-cluster a cell once it grows by >25%
+
+INCR_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+  WHERE vec_id < {IVF_CELLS}
+), corpus_assign AS (
+  SELECT e.vec_id, c.cell_id,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC, c.cell_id ASC) AS rk
+  FROM embeddings e CROSS JOIN cents c
+), corpus_cells AS (
+  SELECT cell_id, COUNT(*) AS n_corpus FROM corpus_assign
+  WHERE rk = 1 GROUP BY cell_id
+), batch AS (
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 7 = 0
+), batch_assign AS (
+  SELECT b.vec_id, c.cell_id,
+    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      ORDER BY {_sql_cosine('b.embedding', 'c.cv')} DESC, c.cell_id ASC) AS rk
+  FROM batch b CROSS JOIN cents c
+), batch_cells AS (
+  SELECT cell_id, COUNT(*) AS n_new FROM batch_assign
+  WHERE rk = 1 GROUP BY cell_id
+)
+SELECT
+  COALESCE(cc.cell_id, bc.cell_id) AS cell_id,
+  CAST(COALESCE(cc.n_corpus, 0) AS BIGINT) AS n_corpus,
+  CAST(COALESCE(bc.n_new, 0) AS BIGINT) AS n_new,
+  CASE WHEN COALESCE(cc.n_corpus, 0) > 0
+       THEN CAST(COALESCE(bc.n_new, 0) AS DOUBLE) / cc.n_corpus END
+    AS growth_ratio,
+  CASE WHEN COALESCE(cc.n_corpus, 0) > 0
+       THEN CAST(COALESCE(bc.n_new, 0) AS DOUBLE) / cc.n_corpus
+            > {IVF_REBALANCE_GROWTH}
+       ELSE TRUE END AS needs_recluster
+FROM corpus_cells cc FULL OUTER JOIN batch_cells bc USING (cell_id)
+"""
+
+
+@query("incremental_ivf_assign", oracle=INCR_IVF_ORACLE)
+def incremental_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — the embeddings-side sibling of
+    incremental_dedup: a new ingest batch is assigned to the EXISTING IVF
+    cells (broadcast centroids, map-side cross-score — the corpus index is
+    never rebuilt), then per-cell growth is rolled up and cells whose
+    population grew past IVF_REBALANCE_GROWTH (or that had no corpus
+    vectors at all) are flagged for re-clustering. This is the daily loop
+    of a production vector store: cheap assignment every batch, targeted
+    re-clustering only where drift concentrates.
+
+    Scale shape: both assignments are broadcast cross-scores over their own
+    scan (zero shuffle before the cell rollup); the rollups meet in a
+    cell-keyed full-outer join over |cells| rows. Integer counts; the only
+    float output is one guarded division."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cents = e.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    corpus_cells = (
+        _assign_cells(e, cents, 1, "vec_id").groupBy("cell_id").agg(
+            F.count("*").alias("n_corpus")
+        )
+    )
+    batch = e.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "v"
+    )
+    batch_cells = (
+        _assign_cells(batch, cents, 1, "vec_id").groupBy("cell_id").agg(
+            F.count("*").alias("n_new")
+        )
+    )
+    joined = corpus_cells.join(batch_cells, "cell_id", "full_outer").select(
+        "cell_id",
+        F.coalesce("n_corpus", F.lit(0)).alias("n_corpus"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    growth = F.when(
+        F.col("n_corpus") > 0, F.col("n_new").cast("double") / F.col("n_corpus")
+    )
+    return joined.select(
+        "cell_id",
+        "n_corpus",
+        "n_new",
+        growth.alias("growth_ratio"),
+        F.when(F.col("n_corpus") > 0, growth > IVF_REBALANCE_GROWTH)
+        .otherwise(F.lit(True))
+        .alias("needs_recluster"),
+    )

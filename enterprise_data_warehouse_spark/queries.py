@@ -196,6 +196,7 @@ PRIORITY_ORDER = [
     "hard_negative_mining",
     "prefix_filter_jaccard_pairs",
     "corpus_ingest_stats",
+    "incremental_ivf_assign",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
