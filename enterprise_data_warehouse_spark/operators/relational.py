@@ -508,6 +508,45 @@ def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- skew handling: salted shuffle join ----------------------------------------
+
+SALTED_JOIN_ORACLE = """
+WITH dim AS (
+  SELECT event_type, COUNT(*) AS type_count FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, d.type_count
+FROM events e JOIN dim d USING (event_type)
+"""
+
+
+@query("salted_skew_join", oracle=SALTED_JOIN_ORACLE)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe SHUFFLE join by salting — the join-side sibling of
+    salted_event_rollup. event_type has ~5 values, so a plain shuffle join
+    funnels the whole fact through 5 reducers; when the enrichment side is
+    too big to broadcast (assume it here: the hint pins a shuffled hash
+    join), the classic fix is to SALT the hot key: the big side gets
+    salt = pmod(xxhash64(row_key), S); the small side is replicated S times
+    via a sequence-explode; the join key becomes (event_type, salt), giving
+    S-way fan-out per hot key. Join semantics are unchanged — every big-side
+    row meets exactly one replica — which is what the (unsalted) oracle
+    states. AQE's skew-join split is the automatic cousin for sort-merge
+    plans; explicit salting is the form that works for EVERY join strategy
+    and is plan-asserted here (keys include the salt, no broadcast)."""
+    e = load_table(spark, sf_dir, "events")
+    dim = e.groupBy("event_type").agg(F.count("*").alias("type_count"))
+    rep = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    )
+    big = e.select("event_id", "event_type").withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS))
+    )
+    return (
+        big.join(rep.hint("shuffle_hash"), ["event_type", "_salt"])
+        .select("event_id", "event_type", "type_count")
+    )
+
+
 # --- U-ext: INTERSECT / EXCEPT (SURVEY §2.7 absent-in-reference note) ----------
 
 INTERSECT_ORACLE = """

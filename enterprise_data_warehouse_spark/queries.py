@@ -197,6 +197,7 @@ PRIORITY_ORDER = [
     "prefix_filter_jaccard_pairs",
     "corpus_ingest_stats",
     "incremental_ivf_assign",
+    "salted_skew_join",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",

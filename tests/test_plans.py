@@ -182,6 +182,7 @@ STREAM_RUNNERS = {
     "streaming_session_metrics",
     "streaming_segment_counts",
     "streaming_view_click_join",
+    "streaming_corpus_ingest",
 }
 
 
@@ -387,3 +388,14 @@ def test_countmin_single_scan_per_consumer(spark):
     plan = plan_of(REG["countmin_heavy_hitters"].fn(spark, SF))
     assert "Union" not in plan, plan
     assert plan.count("events.parquet") <= 3, plan
+
+
+def test_salted_join_keys_include_salt_no_broadcast(spark):
+    """The skew-join demo must actually join on (event_type, _salt) through
+    a shuffled hash join — if AQE or a size misestimate rewrote it to a
+    broadcast, the query would silently stop demonstrating the pattern."""
+    plan = plan_of(REG["salted_skew_join"].fn(spark, SF))
+    assert "ShuffledHashJoin" in plan, plan
+    m = re.search(r"ShuffledHashJoin \[([^\]]*)\]", plan)
+    assert m and "_salt" in m.group(1) and "event_type" in m.group(1), m
+    assert "BroadcastHashJoin" not in plan
