@@ -239,6 +239,7 @@ BNLJ_ALLOWED = {
     "pca_power_iteration",  # broadcast direction vector + norm (1 row each)
     "perplexity_buckets",  # broadcast token-total + tertile cuts (1 row each)
     "hard_negative_mining",  # broadcast anchor query set (constant count)
+    "incremental_ivf_assign",  # broadcast coarse centroids (k rows × 2 scores)
 }
 
 
