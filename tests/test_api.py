@@ -1,0 +1,44 @@
+"""Warehouse façade: one surface over tables / SQL / registry queries /
+catalog models / result cache."""
+
+from __future__ import annotations
+
+from enterprise_data_warehouse_spark.api import Warehouse
+
+SF = "/root/testdata/sf0.001"
+
+
+def _wh(spark, **kw) -> Warehouse:
+    return Warehouse(spark=spark, sf_dir=SF, **kw)
+
+
+def test_sql_and_table_agree(spark):
+    wh = _wh(spark)
+    assert wh.sql("SELECT COUNT(*) AS n FROM orders").collect()[0]["n"] == (
+        wh.table("orders").count()
+    )
+
+
+def test_registry_query_runs_and_oracle_exposed(spark):
+    wh = _wh(spark)
+    assert "pricing_summary" in wh.query_names()
+    rows = wh.query("pricing_summary").collect()
+    assert len(rows) > 0
+    assert "l_returnflag" in (wh.oracle_sql("pricing_summary") or "")
+    assert wh.oracle_sql("streaming_hourly_counts") is None
+
+
+def test_build_models_compiles_all(spark):
+    wh = _wh(spark)
+    built = wh.build_models(threads=4)
+    assert set(built) == set(wh.models().builders)
+    for df in built.values():
+        assert df.columns  # compiled plans with real schemas
+
+
+def test_cached_query_round_trip(spark, tmp_path):
+    wh = _wh(spark, cache_root=str(tmp_path / "rc"))
+    out1, hit1 = wh.cached_query("order_priority_counts", {"orders": 1})
+    out2, hit2 = wh.cached_query("order_priority_counts", {"orders": 1})
+    assert (hit1, hit2) == (False, True)
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
