@@ -500,3 +500,148 @@ def pit_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_prior_clicks",
         fresh.alias("features_fresh"),
     )
+
+
+# --- target encoding (smoothed + leave-one-out) ------------------------------
+
+TE_SMOOTHING = 10.0  # pseudo-observations pulled toward the global mean
+
+TARGET_ENC_ORACLE = f"""
+WITH base AS (
+  SELECT o.o_orderkey, c.c_mktsegment AS segment, o.o_totalprice AS target
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), seg AS (
+  SELECT segment,
+    SUM(CAST(target AS DECIMAL(38,10))) AS seg_sum_dec,
+    COUNT(*) AS n_seg
+  FROM base GROUP BY segment
+), seg2 AS (
+  SELECT segment, seg_sum_dec, n_seg,
+    CAST(ROUND(SUM(seg_sum_dec) OVER (), 4) AS DOUBLE)
+      / SUM(n_seg) OVER () AS global_mean
+  FROM seg
+)
+SELECT b.o_orderkey, b.segment, b.target,
+  (CAST(ROUND(s.seg_sum_dec, 4) AS DOUBLE) + {TE_SMOOTHING} * s.global_mean)
+    / (s.n_seg + {TE_SMOOTHING}) AS smooth_enc,
+  CAST(ROUND(s.seg_sum_dec - CAST(b.target AS DECIMAL(38,10)), 4) AS DOUBLE)
+    / (s.n_seg - 1) AS loo_enc
+FROM base b JOIN seg2 s USING (segment)
+"""
+
+
+@query("target_encoding", oracle=TARGET_ENC_ORACLE)
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target (mean) encoding of a categorical against a continuous target,
+    in the two forms that matter for training data:
+
+    - ``smooth_enc``: additive smoothing toward the global mean
+      ((Σ_cat + m·ḡ)/(n_cat + m), m=TE_SMOOTHING=10) — rare categories
+      shrink to the prior instead of memorizing noise;
+    - ``loo_enc``: leave-one-out ((Σ_cat − own)/(n_cat − 1)) — the
+      LEAK-PROOF per-row form (a row never sees its own label; plain mean
+      encoding leaks the target into its own feature).
+
+    Float discipline: category sums are exact DECIMAL(38,10) (associative
+    → partition-order-free), the LOO subtraction happens in decimal, and
+    each output is one fixed chain of IEEE double ops — bit-identical to
+    the oracle. Scale shape: one fact-side join exchange; the category
+    stats table is tiny and BROADCASTS; the global mean comes from a
+    window over that tiny frame, so no 1-row crossJoin and no second fact
+    scan."""
+    from ..functions.deterministic import DEC, dec2dbl
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("target"),
+    )
+    seg = base.groupBy("segment").agg(
+        F.sum(F.col("target").cast(DEC)).alias("seg_sum_dec"),
+        F.count("*").alias("n_seg"),
+    )
+    w = Window.partitionBy()  # |segments| rows: global stats without rescan
+    seg2 = seg.withColumn(
+        "global_mean",
+        dec2dbl(F.sum("seg_sum_dec").over(w)) / F.sum("n_seg").over(w),
+    )
+    joined = base.join(F.broadcast(seg2), "segment")
+    return joined.select(
+        "o_orderkey",
+        "segment",
+        "target",
+        (
+            (dec2dbl(F.col("seg_sum_dec")) + TE_SMOOTHING * F.col("global_mean"))
+            / (F.col("n_seg") + TE_SMOOTHING)
+        ).alias("smooth_enc"),
+        (
+            dec2dbl(F.col("seg_sum_dec") - F.col("target").cast(DEC))
+            / (F.col("n_seg") - 1)
+        ).alias("loo_enc"),
+    )
+
+
+# --- feature hashing (the hashing trick) -------------------------------------
+
+FH_BUCKETS = 32
+
+FEATURE_HASH_ORACLE = f"""
+WITH feats AS (
+  SELECT c_custkey, 'mkt=' || c_mktsegment AS feat FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nation=' || CAST(c_nationkey AS VARCHAR) AS feat
+  FROM customer
+), hashed AS (
+  SELECT c_custkey,
+    CAST(('0x' || SUBSTR(MD5(feat || '#fh'), 1, 15)) AS BIGINT)
+      % {FH_BUCKETS} AS bucket,
+    CASE WHEN CAST(('0x' || SUBSTR(MD5(feat || '#fhsign'), 1, 15)) AS BIGINT)
+      % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM feats
+)
+SELECT c_custkey, bucket, CAST(SUM(sign) AS BIGINT) AS feat_weight
+FROM hashed GROUP BY c_custkey, bucket
+"""
+
+
+@query("feature_hashing", oracle=FEATURE_HASH_ORACLE)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): categorical features
+    fold into a FIXED FH_BUCKETS(=32)-dim space via the portable hash, with a
+    second hash bit supplying the ±1 sign that keeps collisions unbiased
+    in expectation. No vocabulary table, no fit step, new category values
+    at inference hash to a stable bucket — the property that makes this
+    the default encoder for unbounded-cardinality features at 100 TB.
+
+    Map-side only until the final (entity, bucket) integer rollup; output
+    is the sparse long form (entity, bucket, weight) that feeds
+    feature_vector_conform."""
+    from ..operators.dedup import portable_hash64
+
+    c = load_table(spark, sf_dir, "customer")
+    feats = c.select(
+        "c_custkey", F.concat(F.lit("mkt="), F.col("c_mktsegment")).alias("feat")
+    ).unionByName(
+        c.select(
+            "c_custkey",
+            F.concat(F.lit("nation="), F.col("c_nationkey").cast("string")).alias(
+                "feat"
+            ),
+        )
+    )
+    hashed = feats.select(
+        "c_custkey",
+        F.pmod(portable_hash64(F.col("feat"), "fh"), F.lit(FH_BUCKETS)).alias(
+            "bucket"
+        ),
+        F.when(
+            F.pmod(portable_hash64(F.col("feat"), "fhsign"), F.lit(2)) == 0, 1
+        )
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    return hashed.groupBy("c_custkey", "bucket").agg(
+        F.sum("sign").alias("feat_weight")
+    )

@@ -198,6 +198,8 @@ PRIORITY_ORDER = [
     "corpus_ingest_stats",
     "incremental_ivf_assign",
     "salted_skew_join",
+    "target_encoding",
+    "feature_hashing",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
