@@ -1098,7 +1098,7 @@ HAVING CAST(COUNT(*) AS DOUBLE) / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*))
 """
 
 
-@query("prefix_filter_jaccard_pairs", oracle=PREFIX_JACCARD_ORACLE)
+@query("prefix_filter_jaccard_pairs", oracle=PREFIX_JACCARD_ORACLE, bench=True)
 def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard-join at τ=0.5 via PREFIX FILTERING (AllPairs/PPJoin,
     Bayardo et al. 2007 / Xiao et al. 2008) — the LOSSLESS alternative to

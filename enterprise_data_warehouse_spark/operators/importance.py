@@ -96,7 +96,7 @@ GROUP BY b.doc_id
 """
 
 
-@query("dsir_importance_weights", oracle=DSIR_ORACLE)
+@query("dsir_importance_weights", oracle=DSIR_ORACLE, bench=True)
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights: per-document log-likelihood ratio of a
     target vs raw hashed-ngram distribution (Xie et al. 2023 §3;
