@@ -749,3 +749,97 @@ def stratum_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= GROUP_TOPK_K)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
     )
+
+
+# --- market-basket association rules ------------------------------------------
+
+MB_MIN_SUPPORT = 3  # minimum co-occurrence count for a rule
+
+BASKET_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), item_counts AS (
+  SELECT l_partkey, COUNT(*) AS item_n FROM baskets GROUP BY l_partkey
+), n_orders AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets
+), pairs AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS pair_n
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {MB_MIN_SUPPORT}
+)
+SELECT p.item_a, p.item_b, p.pair_n,
+  ia.item_n AS n_a, ib.item_n AS n_b,
+  CAST(p.pair_n AS DOUBLE) / (SELECT n FROM n_orders) AS support,
+  CAST(p.pair_n AS DOUBLE) / ia.item_n AS confidence_a_to_b,
+  (CAST(p.pair_n AS DOUBLE) / ia.item_n)
+    / (CAST(ib.item_n AS DOUBLE) / (SELECT n FROM n_orders)) AS lift
+FROM pairs p
+JOIN item_counts ia ON ia.l_partkey = p.item_a
+JOIN item_counts ib ON ib.l_partkey = p.item_b
+"""
+
+
+@query("association_rules", oracle=BASKET_ORACLE)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (the classic co-purchase analytic):
+    support / confidence / lift for item pairs co-occurring in ≥
+    MB_MIN_SUPPORT orders.
+
+    Scale shape: co-occurrence pairs come from GROUPED PER-BASKET i<j
+    emission over each order's sorted distinct item list — fan-out is
+    |basket|², bounded by the largest basket (TPC-H ≤ 7 lines; retail
+    baskets ~10¹-10²), never |catalog|². A basket-id self-join states the
+    same semantics (the oracle's form) but shuffles the basket table
+    twice; the grouped form is one l_orderkey exchange + one pair
+    aggregate. Item counts broadcast back; the basket total folds in as a
+    driver scalar (one tiny count job — the sink-watermark pattern), so no
+    1-row crossJoin. Ratios are single IEEE division chains over exact
+    integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    items = F.array_sort(F.collect_set("l_partkey"))
+    grouped = baskets.groupBy("l_orderkey").agg(items.alias("items"))
+    arr = F.col("items")
+    n = F.size(arr)
+    pair_arrays = F.transform(
+        arr,
+        lambda x, i: F.transform(
+            F.slice(arr, i + F.lit(2), n - i - F.lit(1)),
+            lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+        ),
+    )
+    pairs = (
+        grouped.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.*")
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("pair_n"))
+        .where(F.col("pair_n") >= MB_MIN_SUPPORT)
+    )
+    item_counts = baskets.groupBy("l_partkey").agg(F.count("*").alias("item_n"))
+    # the basket total is ONE scalar (same contract as the sink watermark
+    # collect): folding it in as a literal keeps the rule projection free
+    # of a 1-row crossJoin
+    total = grouped.count()
+    ia = item_counts.select(
+        F.col("l_partkey").alias("item_a"), F.col("item_n").alias("n_a")
+    )
+    ib = item_counts.select(
+        F.col("l_partkey").alias("item_b"), F.col("item_n").alias("n_b")
+    )
+    conf = F.col("pair_n").cast("double") / F.col("n_a")
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_n",
+            "n_a",
+            "n_b",
+            (F.col("pair_n").cast("double") / total).alias("support"),
+            conf.alias("confidence_a_to_b"),
+            (conf / (F.col("n_b").cast("double") / total)).alias("lift"),
+        )
+    )

@@ -200,6 +200,7 @@ PRIORITY_ORDER = [
     "salted_skew_join",
     "target_encoding",
     "feature_hashing",
+    "association_rules",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
