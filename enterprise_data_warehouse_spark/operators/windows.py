@@ -451,3 +451,74 @@ def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.alias("raw_value"),
         F.last(raw, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# --- forecast baselines over the day-grain series -----------------------------
+
+FORECAST_BASELINE_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))) * 100, 0) AS BIGINT)
+      AS rev_cents
+  FROM orders GROUP BY o_orderdate
+), framed AS (
+  SELECT d, rev_cents,
+    CAST(SUM(rev_cents) OVER (ORDER BY d
+      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum7_cents,
+    CAST(COUNT(*) OVER (ORDER BY d
+      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7,
+    LAG(rev_cents, 7) OVER (ORDER BY d) AS naive7_cents
+  FROM daily
+)
+SELECT d, rev_cents,
+  CAST(sum7_cents AS DOUBLE) / n7 / 100.0 AS ma7,
+  naive7_cents,
+  CASE WHEN naive7_cents IS NOT NULL
+       THEN ABS(rev_cents - naive7_cents) END AS naive_abs_err_cents
+FROM framed
+"""
+
+
+@query("forecast_baseline_daily", oracle=FORECAST_BASELINE_ORACLE)
+def forecast_baseline_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast baselines every revenue dashboard starts from: the 7-day
+    trailing moving average and the seasonal-naive (same-weekday-last-week)
+    forecast with its absolute error — the yardstick any real model must
+    beat.
+
+    Exactness: daily revenue is folded to INTEGER CENTS (decimal-exact sum,
+    half-up at the cent — this repo's standard money form), so the sliding
+    frame sums are integer and immune to the incremental-update float
+    drift sliding-window AVGs suffer across engines; ma7 divides once at
+    the end. Scale shape: one date-grain aggregate (map-side combined),
+    then windows over the DAY-grain frame — years of history is ~10³ rows,
+    so the unpartitioned ORDER BY d window is a deliberately tiny,
+    bounded frame (at event grain it would be the classic scale killer —
+    see rolling_1h_features for that form)."""
+    o = load_table(spark, sf_dir, "orders")
+    from ..functions.deterministic import DEC
+
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)) * 100, 0)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    frame = Window.orderBy("d").rowsBetween(-6, 0)
+    lagw = Window.orderBy("d")
+    framed = daily.select(
+        "d",
+        "rev_cents",
+        F.sum("rev_cents").over(frame).alias("sum7_cents"),
+        F.count("*").over(frame).alias("n7"),
+        F.lag("rev_cents", 7).over(lagw).alias("naive7_cents"),
+    )
+    return framed.select(
+        "d",
+        "rev_cents",
+        (F.col("sum7_cents").cast("double") / F.col("n7") / 100.0).alias("ma7"),
+        "naive7_cents",
+        F.when(
+            F.col("naive7_cents").isNotNull(),
+            F.abs(F.col("rev_cents") - F.col("naive7_cents")),
+        ).alias("naive_abs_err_cents"),
+    )

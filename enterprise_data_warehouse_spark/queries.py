@@ -201,6 +201,7 @@ PRIORITY_ORDER = [
     "target_encoding",
     "feature_hashing",
     "association_rules",
+    "forecast_baseline_daily",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
