@@ -126,6 +126,15 @@ SHOWCASE = [
      "joined back on the token key; the tertile cut runs on the per-DOC "
      "frame and broadcasts back as a 1-row crossJoin — the corpus-sized "
      "token stream never passes through a global window."),
+    ("salted_skew_join",
+     "Skew-safe shuffle join: the hot key is salted on the big side and "
+     "the small side replicated, so the join keys become (event_type, "
+     "_salt) through a ShuffledHashJoin — S-way fan-out per hot key, "
+     "plan-asserted not-broadcast."),
+    ("association_rules",
+     "Market-basket rules: co-occurrence pairs from per-basket grouped "
+     "i<j emission (fan-out bounded by basket size, never |catalog|²); "
+     "item stats broadcast back onto the pair aggregate."),
     ("line_dedup_reconstruct",
      "Line-level dedup: one explode inside the scan stage, first-owner "
      "selection as a map-side-combinable MIN on the 128-bit line hash "
