@@ -39,7 +39,6 @@ class Warehouse:
         self.spark = spark or get_spark("edw-warehouse")
         self.sf_dir = sf_dir
         self._registry = load_registry()
-        self._views_registered = False
         self._cache = None
         if cache_root:
             from .plans.result_cache import ResultCache
@@ -54,11 +53,14 @@ class Warehouse:
 
     def register_views(self) -> None:
         """Expose every table as a temp view so ``sql()`` sees the same
-        names the reference's warehouse (and the DuckDB oracle) uses."""
-        if not self._views_registered:
-            for t in TABLE_NAMES:
-                self.table(t).createOrReplaceTempView(t)
-            self._views_registered = True
+        names the reference's warehouse (and the DuckDB oracle) uses.
+
+        Registered UNCONDITIONALLY on every sql() call: temp views are
+        session-global, so a second Warehouse on the same SparkSession
+        would otherwise silently serve this one's sf_dir (or vice versa).
+        createOrReplaceTempView on a lazy scan is metadata-only — cheap."""
+        for t in TABLE_NAMES:
+            self.table(t).createOrReplaceTempView(t)
 
     def sql(self, text: str) -> DataFrame:
         """ANSI SQL over the warehouse tables (Catalyst plans it exactly

@@ -793,10 +793,10 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets ~10¹-10²), never |catalog|². A basket-id self-join states the
     same semantics (the oracle's form) but shuffles the basket table
     twice; the grouped form is one l_orderkey exchange + one pair
-    aggregate. Item counts broadcast back; the basket total folds in as a
-    driver scalar (one tiny count job — the sink-watermark pattern), so no
-    1-row crossJoin. Ratios are single IEEE division chains over exact
-    integers."""
+    aggregate. Item counts broadcast back; the basket total is a LAZY 1-row
+    broadcast crossJoin (never an eager driver count — query builders stay
+    plan-only until an action). Ratios are single IEEE division chains over
+    exact integers."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct()
     items = F.array_sort(F.collect_set("l_partkey"))
@@ -818,10 +818,11 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pair_n") >= MB_MIN_SUPPORT)
     )
     item_counts = baskets.groupBy("l_partkey").agg(F.count("*").alias("item_n"))
-    # the basket total is ONE scalar (same contract as the sink watermark
-    # collect): folding it in as a literal keeps the rule projection free
-    # of a 1-row crossJoin
-    total = grouped.count()
+    # the basket total joins in LAZILY as a broadcast 1-row frame (an eager
+    # .count() here would run a real job at plan-build time and recompute
+    # the basket shuffle twice); countDistinct over the scan keeps it off
+    # the grouped lineage
+    totals = li.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
     ia = item_counts.select(
         F.col("l_partkey").alias("item_a"), F.col("item_n").alias("n_a")
     )
@@ -829,9 +830,11 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("item_b"), F.col("item_n").alias("n_b")
     )
     conf = F.col("pair_n").cast("double") / F.col("n_a")
+    total = F.col("n_baskets")
     return (
         pairs.join(F.broadcast(ia), "item_a")
         .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(totals))
         .select(
             "item_a",
             "item_b",

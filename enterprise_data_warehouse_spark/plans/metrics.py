@@ -44,9 +44,16 @@ def run_with_metrics(spark: SparkSession, df: DataFrame) -> dict[str, float]:
     Keys: shuffle_records_written, shuffle_bytes_written, records_read,
     max_output_rows."""
     df.write.format("noop").mode("overwrite").save()
+    # the status store is fed by the ASYNC listener bus — drain it before
+    # reading, or executionsList() may not yet contain the save above (and
+    # we'd silently aggregate the previous query's counters)
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
     store = spark._jsparkSession.sharedState().statusStore()
     execs = store.executionsList()
-    last = execs.apply(execs.size() - 1)  # the save() above
+    last = max(
+        (execs.apply(i) for i in range(execs.size())),
+        key=lambda e: e.executionId(),
+    )
     values = store.executionMetrics(last.executionId())
     out = {
         "shuffle_records_written": 0.0,

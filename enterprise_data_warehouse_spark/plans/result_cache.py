@@ -71,47 +71,47 @@ class ResultCache:
         sources.sink) and returns a scan of the materialized result — so
         downstream consumers of a miss ALSO read the compact result
         instead of re-running the query's lineage."""
+        from ..sources.sink import fs_handles, staged_swap
+
         key = plan_fingerprint(df, versions)
         path = self._entry(name, key)
-        jvm = self.spark.sparkContext._jvm
-        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        _, fs, hpath = fs_handles(self.spark, path)
         if fs.exists(hpath):
             self.hits += 1
             return self.spark.read.parquet(path), True
         self.misses += 1
-        staged = path + ".staged-" + uuid.uuid4().hex[:8]
+        # stage under an underscore-prefixed sibling: Spark/Hadoop readers
+        # skip _-prefixed paths, so in-flight (or crash-orphaned) staged
+        # data is invisible to anything listing the cache directory
+        staged = os.path.join(
+            self.root, name, "_staged-" + key[:8] + "-" + uuid.uuid4().hex[:8]
+        )
         df.write.mode("overwrite").parquet(staged)
-        fs.mkdirs(hpath.getParent())
-        if not fs.rename(jvm.org.apache.hadoop.fs.Path(staged), hpath):
-            # concurrent builder won the rename — their result is ours too
-            fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
+        if not staged_swap(self.spark, staged, path, overwrite=False):
+            # concurrent builder won the race — their result is ours too
             if not fs.exists(hpath):
                 raise RuntimeError(f"result-cache rename failed for {path}")
         return self.spark.read.parquet(path), False
 
     def entries(self, name: str) -> list[str]:
-        jvm = self.spark.sparkContext._jvm
-        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
-        hdir = jvm.org.apache.hadoop.fs.Path(os.path.join(self.root, name))
+        from ..sources.sink import fs_handles
+
+        _, fs, hdir = fs_handles(self.spark, os.path.join(self.root, name))
         if not fs.exists(hdir):
             return []
         return sorted(
             st.getPath().getName()
             for st in fs.listStatus(hdir)
             if not st.getPath().getName().startswith("_")
-            and ".staged-" not in st.getPath().getName()
         )
 
     def evict(self, name: str, keep: set[str] | None = None) -> int:
         """Drop cached entries for ``name`` (all, or all except ``keep``
         fingerprints — e.g. the current input versions' keys). Returns the
         number of entries removed."""
-        jvm = self.spark.sparkContext._jvm
-        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+        from ..sources.sink import fs_handles
+
+        jvm, fs, _ = fs_handles(self.spark, self.root)
         removed = 0
         for key in self.entries(name):
             if keep and key in keep:

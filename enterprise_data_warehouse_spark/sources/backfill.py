@@ -27,11 +27,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 
-
-def _fs(spark: SparkSession):
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    return jvm, jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+from .sink import fs_handles, staged_swap
 
 
 def backfill_partitions(
@@ -47,7 +43,7 @@ def backfill_partitions(
 
     Returns {date: "built" | "skipped" | "failed: <err>"} — one failed
     partition never blocks or corrupts the others."""
-    jvm, fs = _fs(spark)
+    jvm, fs, _ = fs_handles(spark, target)
 
     def part_dir(date: str) -> str:
         return f"{target}/{partition_col}={date}"
@@ -56,14 +52,14 @@ def backfill_partitions(
         hpath = jvm.org.apache.hadoop.fs.Path(part_dir(date))
         if skip_existing and fs.exists(hpath):
             return date, "skipped"
-        staged = part_dir(date) + ".staged-" + uuid.uuid4().hex[:8]
+        # stage under an _-prefixed sibling: partition discovery skips
+        # _-paths, so neither an in-flight write nor a crash orphan is ever
+        # visible as a (bogus) partition value to readers of `target`
+        staged = f"{target}/_staged-{date}-{uuid.uuid4().hex[:8]}"
         try:
             df = build(date).drop(partition_col)
             df.write.mode("overwrite").parquet(staged)
-            fs.mkdirs(hpath.getParent())
-            if fs.exists(hpath):  # overwrite mode: replace atomically-ish
-                fs.delete(hpath, True)
-            if not fs.rename(jvm.org.apache.hadoop.fs.Path(staged), hpath):
+            if not staged_swap(spark, staged, part_dir(date)):
                 raise RuntimeError("rename failed")
             return date, "built"
         except Exception as e:  # noqa: BLE001 — per-partition isolation

@@ -29,24 +29,30 @@ def read_jsonl(
 
     Returns ``(good, bad)``: ``good`` has exactly the declared columns and
     only fully-parsed rows; ``bad`` carries the raw text of every
-    malformed or schema-violating line for quarantine/audit. Spark caveat
-    handled here: rows where ONLY the corrupt column is selected can't be
-    filtered reliably, so the split materializes from one cached parse of
-    the full row."""
+    malformed or schema-violating line for quarantine/audit.
+
+    Mechanics: a text scan + ``from_json``, NOT ``spark.read.json`` — the
+    native JSON scan refuses plans that reference only its corrupt column
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the documented cache()
+    workaround would pin every ingested feed in executor storage for the
+    session lifetime. from_json has neither problem, both split frames
+    stay fully lazy, and each is one text scan + parse when materialized."""
     full_schema = schema.rstrip() + f", {CORRUPT_COL} string"
-    raw = (
-        spark.read.schema(full_schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-        # Spark disallows referencing ONLY the corrupt column of a raw JSON
-        # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); caching the parsed rows
-        # is the documented workaround and also makes the two-way split a
-        # single parse instead of two.
-        .cache()
+    lines = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    parsed = lines.select(
+        "value",
+        F.from_json(
+            "value",
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("r"),
     )
-    good = raw.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = raw.where(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col(CORRUPT_COL).alias("raw_line")
+    good = (
+        parsed.where(F.col(f"r.{CORRUPT_COL}").isNull())
+        .select("r.*")
+        .drop(CORRUPT_COL)
+    )
+    bad = parsed.where(F.col(f"r.{CORRUPT_COL}").isNotNull()).select(
+        F.col("value").alias("raw_line")
     )
     return good, bad

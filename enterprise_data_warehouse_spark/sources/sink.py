@@ -33,16 +33,43 @@ def write_table(
     writer.parquet(path)
 
 
-def _fs_swap(spark: SparkSession, staged: str, path: str) -> None:
-    """Swap staged dir into place via Hadoop FS (atomic rename on HDFS)."""
+def fs_handles(spark: SparkSession, path: str):
+    """(jvm, fs, hadoop Path) for ``path`` — the one place the py4j Hadoop
+    boilerplate lives (result_cache, backfill, and the swaps below all
+    reuse it, so FS semantics can't drift between them)."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(conf), hpath
+
+
+def staged_swap(
+    spark: SparkSession, staged: str, path: str, overwrite: bool = True
+) -> bool:
+    """Move a staged directory into place via Hadoop FS rename (atomic on
+    HDFS; best-effort on object stores — sources/versioned.py is the
+    commit-manifest answer when that matters). Returns whether the rename
+    landed; on a lost race the staged dir is cleaned up and False returned
+    so callers can adopt the winner's output."""
+    jvm, fs, hpath = fs_handles(spark, path)
     hstaged = jvm.org.apache.hadoop.fs.Path(staged)
-    fs = hpath.getFileSystem(conf)
     if fs.exists(hpath):
+        if not overwrite:
+            fs.delete(hstaged, True)
+            return False
         fs.delete(hpath, True)
-    fs.rename(hstaged, hpath)
+    parent = hpath.getParent()
+    if parent is not None:
+        fs.mkdirs(parent)
+    if not fs.rename(hstaged, hpath):
+        fs.delete(hstaged, True)
+        return False
+    return True
+
+
+def _fs_swap(spark: SparkSession, staged: str, path: str) -> None:
+    """Swap staged dir into place (see staged_swap)."""
+    staged_swap(spark, staged, path)
 
 
 def merge_upsert(

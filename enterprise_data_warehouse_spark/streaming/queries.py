@@ -382,16 +382,34 @@ def _ingest_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-_GOPHER_KEEP_SQL = """
-  (LEN(w) BETWEEN 20 AND 100000)
+# built FROM the text.py constants (like GOPHER_ORACLE itself) so tuning a
+# threshold can never leave this oracle silently stale
+def _gopher_keep_sql() -> str:
+    from ..operators.text import (
+        GOPHER_MAX_MWL,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_DISTINCT_RATIO,
+        GOPHER_MIN_MWL,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        STOPWORDS,
+    )
+
+    sw = ",".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+  (LEN(w) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
   AND (CAST(list_sum(list_transform(w, x -> LEN(x))) AS DOUBLE) / LEN(w)
-       BETWEEN 3.0 AND 10.0)
+       BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
   AND (CAST(LEN(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-       / LEN(w) >= 0.8)
-  AND (LEN(list_filter(w, x -> x IN
-       ('the','a','of','and','to','in','is'))) >= 2)
-  AND (CAST(LEN(list_distinct(w)) AS DOUBLE) / LEN(w) >= 0.3)
+       / LEN(w) >= {GOPHER_MIN_ALPHA_FRAC})
+  AND (LEN(list_filter(w, x -> x IN ({sw}))) >= {GOPHER_MIN_STOPWORDS})
+  AND (CAST(LEN(list_distinct(w)) AS DOUBLE) / LEN(w)
+       >= {GOPHER_MIN_DISTINCT_RATIO})
 """
+
+
+_GOPHER_KEEP_SQL = _gopher_keep_sql()
 
 INGEST_ORACLE = f"""
 WITH toks AS (

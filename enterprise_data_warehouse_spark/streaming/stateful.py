@@ -116,11 +116,25 @@ def _cents_half_up(values) -> int:
     """Σ round(v·100) with HALF-UP (away-from-zero) ties, matching Spark's
     F.round — pandas/numpy ``round`` is banker's (half-to-even), which
     diverges on exact .5 cent products (e.g. 1.125·100 = 112.5 → numpy
-    112, Spark 113) and would break the exact batch-parity contract."""
-    import numpy as np
+    112, Spark 113) and would break the exact batch-parity contract.
 
-    x = values.astype("float64").mul(100.0).to_numpy()
-    return int(np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).sum())
+    Spark's F.round goes through BigDecimal of the double's shortest
+    decimal form, so the Python mirror must too: a floor(x+0.5) trick
+    re-rounds in binary (x = nextafter(0.5, 0) has x+0.5 == 1.0) and can
+    disagree within 1 ulp of a tie."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return sum(
+        int(
+            # the batch side is F.round(value * 100): the ×100 happens in
+            # DOUBLE, then BigDecimal sees the product's shortest repr —
+            # mirror both steps exactly
+            Decimal(repr(float(v) * 100.0)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        for v in values
+    )
 
 
 class UserFeatureCache:

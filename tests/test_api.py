@@ -42,3 +42,15 @@ def test_cached_query_round_trip(spark, tmp_path):
     out2, hit2 = wh.cached_query("order_priority_counts", {"orders": 1})
     assert (hit1, hit2) == (False, True)
     assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_two_warehouses_do_not_cross_serve(spark):
+    from enterprise_data_warehouse_spark.api import Warehouse
+
+    wh_small = Warehouse(spark=spark, sf_dir="/root/testdata/sf0.001")
+    wh_big = Warehouse(spark=spark, sf_dir="/root/testdata/sf0.01")
+    n_small = wh_small.sql("SELECT COUNT(*) AS n FROM orders").collect()[0]["n"]
+    n_big = wh_big.sql("SELECT COUNT(*) AS n FROM orders").collect()[0]["n"]
+    n_small_again = wh_small.sql("SELECT COUNT(*) AS n FROM orders").collect()[0]["n"]
+    assert n_small == n_small_again == 1500
+    assert n_big == 15000

@@ -65,7 +65,7 @@ def test_backfill_isolates_failures(spark, tmp_path):
 
     names = os.listdir(target)
     assert f"d={dates[1]}" not in names
-    assert all(".staged-" not in n for n in names), names
+    assert all(not n.startswith("_staged-") for n in names), names
     # the retry completes just the hole
     r2 = backfill_partitions(spark, target, "d", build, dates, threads=2)
     assert r2[dates[1]] == "built"

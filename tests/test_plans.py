@@ -240,6 +240,7 @@ BNLJ_ALLOWED = {
     "perplexity_buckets",  # broadcast token-total + tertile cuts (1 row each)
     "hard_negative_mining",  # broadcast anchor query set (constant count)
     "incremental_ivf_assign",  # broadcast coarse centroids (k rows × 2 scores)
+    "association_rules",  # broadcast basket-total scalar (1 row)
 }
 
 

@@ -69,4 +69,4 @@ def test_no_staged_leftovers_after_build(spark, tmp_path):
     import os
 
     names = os.listdir(str(tmp_path / "rc" / "rollup"))
-    assert all(".staged-" not in n for n in names), names
+    assert all(not n.startswith("_staged-") for n in names), names
