@@ -177,3 +177,110 @@ def bipartite_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.desc("rank_micro"), "node_kind", "node_key"
     ).limit(50)
+
+
+# --- triangle counting (degree-oriented wedge closure) ------------------------
+
+TRI_MIN_COPURCHASE = 2  # co-purchase edge threshold (orders sharing the pair)
+
+TRIANGLES_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {TRI_MIN_COPURCHASE}
+), degs AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY node
+), oriented AS (
+  -- orient each edge from lower (deg, id) to higher (deg, id)
+  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS t
+  FROM edges e
+  JOIN degs du ON du.node = e.u
+  JOIN degs dv ON dv.node = e.v
+), tris AS (
+  SELECT w1.s AS a, w1.t AS b, w2.t AS c
+  FROM oriented w1
+  JOIN oriented w2 ON w2.s = w1.t
+  JOIN oriented cl ON cl.s = w1.s AND cl.t = w2.t
+), member AS (
+  SELECT a AS node FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+)
+SELECT node AS part_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM member GROUP BY node
+"""
+
+
+@query("copurchase_triangles", oracle=TRIANGLES_ORACLE)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts in the part co-purchase graph — the
+    community-density primitive (clustering coefficient numerator,
+    spam/botnet structure detection, feature for graph ML).
+
+    The scalable algorithm, not the naive one: edges are ORIENTED from the
+    lower to the higher (degree, id) endpoint, so every wedge is generated
+    at its lowest-degree vertex — Suri & Vassilvitskii's MapReduce
+    orientation bound: wedge count Σ min-side² ≪ Σ deg², which tames the
+    celebrity-vertex blowup a naive neighbor self-join suffers (a hub of
+    degree 10⁶ generates ~10¹² wedges unoriented, near-zero oriented).
+    Each triangle is then counted EXACTLY once (its orientation is a DAG),
+    and membership explodes back to the three corners.
+
+    Shape: edge build reuses the per-basket grouped pair emission (no
+    basket self-join), then two equi-joins on the oriented edge table —
+    wedge (s→t, t→w) closed by (s→w). All integers; oracle states the
+    same construction relationally."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    items = F.array_sort(F.collect_set("l_partkey"))
+    grouped = baskets.groupBy("l_orderkey").agg(items.alias("items"))
+    arr = F.col("items")
+    n = F.size(arr)
+    pair_arrays = F.transform(
+        arr,
+        lambda x, i: F.transform(
+            F.slice(arr, i + F.lit(2), n - i - F.lit(1)),
+            lambda y: F.struct(x.alias("u"), y.alias("v")),
+        ),
+    )
+    edges = (
+        grouped.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.*")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= TRI_MIN_COPURCHASE)
+        .drop("w")
+    )
+    degs = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = degs.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = degs.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    e = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    w1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    w2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    cl = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tris = w1.join(w2, "b").join(cl, ["a", "c"])
+    member = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return member

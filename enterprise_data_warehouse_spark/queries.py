@@ -202,6 +202,7 @@ PRIORITY_ORDER = [
     "feature_hashing",
     "association_rules",
     "forecast_baseline_daily",
+    "copurchase_triangles",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
