@@ -846,3 +846,92 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             (conf / (F.col("n_b").cast("double") / total)).alias("lift"),
         )
     )
+
+
+# --- multi-touch attribution --------------------------------------------------
+
+ATTR_WINDOW_MIN = 240  # lookback window per purchase (4 h)
+
+MULTITOUCH_ORACLE = f"""
+WITH p AS (
+  SELECT user_id, event_id, ts,
+    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+), pairs AS (
+  SELECT p.event_id AS pid, v.event_id AS vid, p.cents,
+    COUNT(*) OVER (PARTITION BY p.event_id) AS n_views
+  FROM p JOIN v ON v.user_id = p.user_id
+    AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL {ATTR_WINDOW_MIN} MINUTE
+)
+SELECT vid AS view_event_id,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases_touched,
+  CAST(SUM((cents * 1000000) // n_views) AS BIGINT) AS credit_micro_cents
+FROM pairs GROUP BY vid
+"""
+
+
+@query("multitouch_attribution", oracle=MULTITOUCH_ORACLE)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — each purchase's value splits evenly
+    across the user's views in the preceding ATTR_WINDOW_MIN minutes (the multi-touch
+    counterpart of asof_click_attribution's last-touch join).
+
+    Exactness: purchase value folds to integer cents (F.round half-up, the
+    repo's money form), each view's share is integer floor-division in
+    MICRO-cents, and per-view totals are BIGINT sums — deterministic under
+    any aggregation order; the sub-micro-cent floored remainder is
+    deliberately dropped (same documented contract as PageRank's mass).
+
+    Scale shape: ONE user_id exchange builds each user's sorted event
+    array; per purchase, the qualifying views come from an array filter
+    (bounded by per-user event counts, the same envelope every session
+    operator here lives in) and credits explode straight into the final
+    integer rollup — no time-range join, no per-purchase window."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    ev = e.select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("etype"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ).alias("s"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("s")).alias("evs")
+    )
+    evs = F.col("evs")
+    win_us = ATTR_WINDOW_MIN * 60 * 1_000_000
+    purchases = F.filter(evs, lambda x: x["etype"] == F.lit("purchase"))
+    credit_arrays = F.transform(
+        purchases,
+        lambda p: F.transform(
+            F.filter(
+                evs,
+                lambda v: (v["etype"] == F.lit("view"))
+                & (v["ts_us"] < p["ts_us"])
+                & (v["ts_us"] >= p["ts_us"] - F.lit(win_us)),
+            ),
+            lambda v: F.struct(
+                v["event_id"].alias("view_event_id"),
+                p["cents"].alias("cents"),
+            ),
+        ),
+    )
+    touches = (
+        per_user.select(F.explode(credit_arrays).alias("per_p"))
+        .where(F.size("per_p") > 0)
+        .select(F.size("per_p").alias("n_views"), F.explode("per_p").alias("t"))
+        .select(
+            F.col("t.view_event_id").alias("view_event_id"),
+            F.expr("t.cents * 1000000 div n_views").alias("credit"),
+        )
+    )
+    return touches.groupBy("view_event_id").agg(
+        F.count("*").alias("n_purchases_touched"),
+        F.sum("credit").alias("credit_micro_cents"),
+    )

@@ -203,6 +203,7 @@ PRIORITY_ORDER = [
     "association_rules",
     "forecast_baseline_daily",
     "copurchase_triangles",
+    "multitouch_attribution",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
