@@ -901,3 +901,54 @@ def mv_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec2dbl(F.col("qty_dec")).alias("sum_qty"),
         dec2dbl(F.col("rev_dec")).alias("sum_revenue"),
     )
+
+
+# --- MV routing (aggregate navigator) ------------------------------------------
+
+MV_ROUTING_ORACLE = f"""
+SELECT DATE_TRUNC('month', o_orderdate) AS month_key,
+  o_orderstatus,
+  COUNT(*) AS n_orders,
+  {sql_dsum("o_totalprice")} AS revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@query("mv_rollup_routing", oracle=MV_ROUTING_ORACLE)
+def mv_rollup_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV routing / aggregate navigation: a MONTHLY question answered from
+    the DAILY materialized view instead of the base fact — the classic
+    warehouse optimization (Snowflake/BigQuery's MV rewrite; the reference
+    serves dashboards from fact_sales_daily the same way, reference
+    models/marts/facts/fact_sales_daily.sql grain note).
+
+    Routing is legal exactly when the requested keys are a SUBSET of the
+    MV's grain and every requested measure is derivable from the MV's
+    partial states: count = Σ counts, sum = Σ decimal partial sums (the
+    associativity mv_incremental_maintenance relies on). The oracle
+    computes straight from the base table — the value-hash match IS the
+    compatibility proof that routing returns identical answers.
+
+    Scale note: the MV is |days × statuses| rows, ~4 orders of magnitude
+    smaller than the fact; the routed query's cost is an MV scan + a tiny
+    re-aggregate, independent of fact-table size."""
+    from ..functions.deterministic import dec2dbl
+
+    o = load_table(spark, sf_dir, "orders")
+    # the stored daily MV: partial states, NOT finalized measures
+    daily_mv = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("date_key"),
+        "o_orderstatus",
+    ).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("_sum_dec"),
+    )
+    # routed monthly answer: re-aggregate the partial states only
+    return daily_mv.groupBy(
+        F.date_trunc("month", "date_key").alias("month_key"),
+        "o_orderstatus",
+    ).agg(
+        F.sum("_n").alias("n_orders"),
+        dec2dbl(F.sum("_sum_dec")).alias("revenue"),
+    )

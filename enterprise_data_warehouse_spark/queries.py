@@ -204,6 +204,7 @@ PRIORITY_ORDER = [
     "forecast_baseline_daily",
     "copurchase_triangles",
     "multitouch_attribution",
+    "mv_rollup_routing",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
