@@ -379,3 +379,82 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(stats).alias("s")).select("s.*")
+
+
+# --- row-level contract gate with quarantine sink ------------------------------
+
+
+def violation_flags(
+    df: DataFrame, checks: Sequence[Check], tables: dict[str, DataFrame] | None = None
+) -> DataFrame:
+    """Per-ROW violation labels for a check suite (the write-path complement
+    of run_suite's per-CHECK counts): adds ``_violations array<string>``,
+    empty = clean.
+
+    Row-expressible kinds (not_null / accepted_values / positive_values /
+    email_format) compile to predicates in one projection; ``unique`` is a
+    count window over the key (one exchange); ``relationships`` is a
+    left join against the parent's distinct keys (broadcastable dim-sized
+    side). Every flag is attached WITHOUT dropping rows — routing is the
+    caller's policy (write_with_quarantine)."""
+    flags: list = []
+    for c in checks:
+        name = f"{c.kind}:{c.column}"
+        col = F.col(c.column)
+        if c.kind == "not_null":
+            cond = col.isNull()
+        elif c.kind == "accepted_values":
+            cond = ~col.isin(list(c.values)) | col.isNull()
+        elif c.kind == "positive_values":
+            cond = col <= 0
+        elif c.kind == "email_format":
+            cond = ~col.rlike(EMAIL_RE) | col.isNull()
+        elif c.kind == "unique":
+            from pyspark.sql import Window
+
+            cond = F.count("*").over(Window.partitionBy(c.column)) > 1
+        elif c.kind == "relationships":
+            parent = (
+                tables[c.ref_table]
+                .select(F.col(c.ref_column).alias(c.column))
+                .distinct()
+                .withColumn("_parent_hit", F.lit(1))
+            )
+            df = df.join(F.broadcast(parent), c.column, "left")
+            cond = F.col("_parent_hit").isNull()
+        else:
+            raise ValueError(f"row-level gate cannot express: {c.kind}")
+        flags.append(F.when(cond, name))
+    out = df.withColumn(
+        "_violations",
+        F.filter(F.array(*flags), lambda x: x.isNotNull()),
+    )
+    return out.drop("_parent_hit") if "_parent_hit" in out.columns else out
+
+
+def write_with_quarantine(
+    df: DataFrame,
+    checks: Sequence[Check],
+    target: str,
+    quarantine: str,
+    tables: dict[str, DataFrame] | None = None,
+) -> dict[str, int]:
+    """Data-contract gate at the sink: rows passing every check land in
+    ``target`` (contract columns only — no flag residue), violating rows
+    land in ``quarantine`` WITH their ``_violations`` labels for triage —
+    the standard expectations-suite write pattern (rows are never silently
+    dropped, and the clean table never carries dirty rows).
+
+    Returns {"n_clean": ..., "n_quarantined": ...}. Two filtered writes of
+    one flagged frame; at scale the flag projection is map-side (plus one
+    key window / parent join where the suite demands it)."""
+    flagged = violation_flags(df, checks, tables)
+    clean = flagged.where(F.size("_violations") == 0).drop("_violations")
+    dirty = flagged.where(F.size("_violations") > 0)
+    clean.write.mode("overwrite").parquet(target)
+    dirty.write.mode("overwrite").parquet(quarantine)
+    spark = df.sparkSession
+    return {
+        "n_clean": spark.read.parquet(target).count(),
+        "n_quarantined": spark.read.parquet(quarantine).count(),
+    }
