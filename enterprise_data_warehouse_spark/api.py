@@ -78,6 +78,14 @@ class Warehouse:
         sf_dir."""
         return self._registry[name].fn(self.spark, self.sf_dir)
 
+    def explain(self, name: str, mode: str = "formatted") -> str:
+        """The physical plan of a registry query as a string (the
+        `.explain()` text) — for plan review without a shell."""
+        df = self.query(name)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+
     def oracle_sql(self, name: str) -> str | None:
         """The ANSI oracle statement for a registry query (None for the
         non-SQL-expressible surfaces)."""

@@ -54,3 +54,25 @@ def test_two_warehouses_do_not_cross_serve(spark):
     n_small_again = wh_small.sql("SELECT COUNT(*) AS n FROM orders").collect()[0]["n"]
     assert n_small == n_small_again == 1500
     assert n_big == 15000
+
+
+def test_explain_returns_formatted_plan(spark):
+    wh = _wh(spark)
+    plan = wh.explain("pricing_summary")
+    assert "HashAggregate" in plan and "Scan parquet" in plan
+
+
+def test_catalog_docgen_covers_every_model(spark):
+    from enterprise_data_warehouse_spark.plans.catalog import Catalog
+    from enterprise_data_warehouse_spark.plans.docgen import catalog_markdown
+
+    path = "catalog/warehouse.yml"
+    md = catalog_markdown(path)
+    cat = Catalog.load(path)
+    for f in cat.facts:
+        assert f"### {f['name']}" in md
+        for m in f.get("measures", []):
+            assert m["name"] in md
+    for d in cat.dimensions:
+        assert f"### {d['name']}" in md
+    assert "relationships test vs `customer.c_custkey`" in md
