@@ -946,7 +946,7 @@ def mv_rollup_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # routed monthly answer: re-aggregate the partial states only
     return daily_mv.groupBy(
-        F.date_trunc("month", "date_key").alias("month_key"),
+        F.date_trunc("month", "date_key").cast("date").alias("month_key"),
         "o_orderstatus",
     ).agg(
         F.sum("_n").alias("n_orders"),
