@@ -76,3 +76,15 @@ def test_catalog_docgen_covers_every_model(spark):
     for d in cat.dimensions:
         assert f"### {d['name']}" in md
     assert "relationships test vs `customer.c_custkey`" in md
+
+
+def test_cli_list_and_oracle(capsys):
+    from enterprise_data_warehouse_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "* pricing_summary" in out
+    assert main(["oracle", "pricing_summary"]) == 0
+    assert "l_returnflag" in capsys.readouterr().out
+    assert main(["docs"]) == 0
+    assert "fact_sales_daily" in capsys.readouterr().out
