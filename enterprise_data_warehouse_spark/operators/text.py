@@ -959,3 +959,68 @@ def vocab_growth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_tokens",
         F.sum("new_tokens").over(w).cast("bigint").alias("cum_vocab"),
     )
+
+
+# --- n-gram LM count table (the warehouse side of a KenLM build) ---------------
+
+LM_MIN_COUNT = 2  # prune singleton trigrams (standard LM count cutoff)
+
+TRIGRAM_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+), tri AS (
+  SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+), tri_counts AS (
+  SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY w1, w2, w3
+  HAVING COUNT(*) >= {LM_MIN_COUNT}
+), bi_counts AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM tri GROUP BY w1, w2
+)
+SELECT t.w1, t.w2, t.w3, t.c3, b.c2,
+  CAST(t.c3 + 1 AS DOUBLE) / (b.c2 + 100) AS p_addk
+FROM tri_counts t JOIN bi_counts b USING (w1, w2)
+"""
+
+
+@query("trigram_lm_counts", oracle=TRIGRAM_LM_ORACLE)
+def trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram language-model count table with add-k smoothed conditional
+    probabilities — the warehouse half of a KenLM-style build (count
+    collection IS the distributed part; the ARPA assembly is a driver-side
+    finishing step over the pruned table). Feeds perplexity_buckets with a
+    real conditional LM instead of unigrams.
+
+    Shape: one scan → trigram explode (narrow) → two count aggregates that
+    share the (w1, w2) exchange — the trigram groupBy's partial combine
+    happens map-side, and the bigram context counts are derived FROM the
+    same exploded stream. Count cutoff (≥ {LM_MIN_COUNT}) prunes the
+    singleton tail that dominates raw trigram tables (Zipf), exactly like
+    KenLM's default pruning. p_addk = (c3+1)/(c2+100): integers in, one
+    IEEE division out — engine-exact."""
+    d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+    w = F.split(F.col("text"), " ")
+    tri_arr = F.zip_with(
+        F.slice(w, 1, F.size(w) - 2),
+        F.zip_with(
+            F.slice(w, 2, F.size(w) - 2),
+            F.slice(w, 3, F.size(w) - 2),
+            lambda b, c: F.struct(b.alias("w2"), c.alias("w3")),
+        ),
+        lambda a, bc: F.struct(a.alias("w1"), bc["w2"].alias("w2"), bc["w3"].alias("w3")),
+    )
+    tri = d.select(F.explode(tri_arr).alias("t")).select("t.*")
+    tri_counts = (
+        tri.groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c3"))
+        .where(F.col("c3") >= LM_MIN_COUNT)
+    )
+    bi_counts = tri.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    return tri_counts.join(bi_counts, ["w1", "w2"]).select(
+        "w1",
+        "w2",
+        "w3",
+        "c3",
+        "c2",
+        ((F.col("c3") + 1).cast("double") / (F.col("c2") + 100)).alias("p_addk"),
+    )

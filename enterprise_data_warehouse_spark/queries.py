@@ -205,6 +205,7 @@ PRIORITY_ORDER = [
     "copurchase_triangles",
     "multitouch_attribution",
     "mv_rollup_routing",
+    "trigram_lm_counts",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
