@@ -12,7 +12,7 @@ functions.deterministic) — same shuffle shape as native double sums.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.deterministic import DEC, davg, dec2dbl, dsum, sql_davg, sql_dsum
@@ -337,4 +337,124 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# --- ratio-to-report + ABC (Pareto) classification ------------------------------
+
+SEGMENT_SHARE_ORACLE = """
+WITH seg AS (
+  SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+    CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) * 100, 0) AS BIGINT)
+      AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT segment, nation, rev_cents,
+  CAST(rev_cents AS DOUBLE)
+    / CAST(SUM(rev_cents) OVER (PARTITION BY segment) AS BIGINT)
+    AS share_of_segment,
+  CAST(rev_cents AS DOUBLE) / CAST(SUM(rev_cents) OVER () AS BIGINT)
+    AS share_of_total
+FROM seg
+"""
+
+
+@query("segment_revenue_share", oracle=SEGMENT_SHARE_ORACLE)
+def segment_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (segment, nation) cell's revenue as a share of
+    its segment and of the grand total — the OLAP percent-of-total that
+    needs window sums over the AGGREGATED frame, never a second fact scan.
+
+    Integer-cent revenue makes both window sums exact BIGINTs; each share
+    is one double division. The windows run over the |segments × nations|
+    rollup (tiny at any fact scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    seg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)) * 100, 0)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w_seg = Window.partitionBy("segment")
+    w_all = Window.partitionBy()
+    return seg.select(
+        "segment",
+        "nation",
+        "rev_cents",
+        (F.col("rev_cents").cast("double") / F.sum("rev_cents").over(w_seg)).alias(
+            "share_of_segment"
+        ),
+        (F.col("rev_cents").cast("double") / F.sum("rev_cents").over(w_all)).alias(
+            "share_of_total"
+        ),
+    )
+
+
+ABC_ORACLE = """
+WITH part_rev AS (
+  SELECT l_partkey,
+    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) * 100, 0) AS BIGINT)
+      AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, rev_cents,
+    CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+    CAST(SUM(rev_cents) OVER () AS BIGINT) AS total_cents
+  FROM part_rev
+)
+SELECT l_partkey, rev_cents,
+  CAST(cum_cents AS DOUBLE) / total_cents AS cum_share,
+  CASE WHEN CAST(cum_cents AS DOUBLE) / total_cents <= 0.8 THEN 'A'
+       WHEN CAST(cum_cents AS DOUBLE) / total_cents <= 0.95 THEN 'B'
+       ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@query("abc_part_classification", oracle=ABC_ORACLE)
+def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, cumulative
+    share cut at 80% (A) and 95% (B) — the inventory-prioritization
+    classic. The cumulative window runs over the PART-grain rollup
+    (|parts| rows, not lineitems); its global ordering is the one thing
+    ABC fundamentally requires, so the scale note is honest: at extreme
+    |parts| this becomes the two-phase distributed prefix sum
+    sequence_packing already implements — same recipe, bucket by revenue
+    range instead of hash. Integer-cent cumulative sums, tie-broken on
+    part key, shares as single divisions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC)) * 100, 0)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w_cum = (
+        Window.orderBy(F.desc("rev_cents"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    ranked = part_rev.select(
+        "l_partkey",
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
+        F.sum("rev_cents").over(w_all).alias("total_cents"),
+    )
+    share = F.col("cum_cents").cast("double") / F.col("total_cents")
+    return ranked.select(
+        "l_partkey",
+        "rev_cents",
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
     )

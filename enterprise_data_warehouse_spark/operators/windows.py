@@ -522,3 +522,59 @@ def forecast_baseline_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("rev_cents") - F.col("naive7_cents")),
         ).alias("naive_abs_err_cents"),
     )
+
+
+# --- date-spine densification (forecast prep) ----------------------------------
+
+DENSIFY_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))) * 100, 0) AS BIGINT)
+      AS rev_cents
+  FROM orders GROUP BY o_orderdate
+), bounds AS (
+  SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+)
+SELECT s.d,
+  COALESCE(dy.rev_cents, 0) AS rev_cents,
+  dy.rev_cents IS NULL AS is_gap
+FROM spine s LEFT JOIN daily dy USING (d)
+"""
+
+
+@query("densify_daily_revenue", oracle=DENSIFY_ORACLE)
+def densify_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine densification: the daily revenue series joined onto a
+    COMPLETE calendar between its min and max date, zero-filling the days
+    with no orders (and flagging them) — the step every forecasting /
+    moving-average consumer needs first, because a gapped series silently
+    shifts ROWS-frame windows (forecast_baseline_daily's 7-row frame means
+    "7 calendar days" only on a dense spine).
+
+    Shape: the spine is generated from a 1-row bounds aggregate via
+    sequence+explode (never a driver loop), sized |days| — it BROADCASTS
+    to the left join at any fact scale; the day-grain aggregate is the
+    usual map-side-combined exchange. Integer-cent revenue, engine-exact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)) * 100, 0)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("_d")
+    ).select(F.col("_d").cast("date").alias("d"))
+    return (
+        F.broadcast(spine)
+        .join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce("rev_cents", F.lit(0)).alias("rev_cents"),
+            F.col("rev_cents").isNull().alias("is_gap"),
+        )
+    )

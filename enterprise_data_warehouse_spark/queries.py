@@ -206,6 +206,9 @@ PRIORITY_ORDER = [
     "multitouch_attribution",
     "mv_rollup_routing",
     "trigram_lm_counts",
+    "densify_daily_revenue",
+    "segment_revenue_share",
+    "abc_part_classification",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
