@@ -458,3 +458,58 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class"
         ),
     )
+
+
+# --- fulfillment lead-time SLA ---------------------------------------------------
+
+SLA_DAYS = 30
+
+LEAD_TIME_ORACLE = f"""
+WITH lt AS (
+  SELECT o.o_orderpriority,
+    date_diff('day', o.o_orderdate, l.l_shipdate) AS lead_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+  COUNT(*) AS n_lines,
+  CAST(SUM(lead_days) AS BIGINT) AS total_lead_days,
+  CAST(SUM(lead_days) AS DOUBLE) / COUNT(*) AS avg_lead_days,
+  quantile_cont(lead_days, 0.5) AS p50_lead_days,
+  quantile_cont(lead_days, 0.95) AS p95_lead_days,
+  CAST(SUM(CASE WHEN lead_days <= {SLA_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_within_sla,
+  CAST(SUM(CASE WHEN lead_days <= {SLA_DAYS} THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS sla_hit_rate
+FROM lt GROUP BY o_orderpriority
+"""
+
+
+@query("fulfillment_lead_time", oracle=LEAD_TIME_ORACLE)
+def fulfillment_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment SLA analysis: order-date → ship-date lead time per
+    priority class — average, exact p50/p95 (the tail the SLA is written
+    against), and the ≤{SLA_DAYS}-day hit rate.
+
+    Exactness: lead times are integer DAY diffs (datediff — identical
+    calendar arithmetic in both engines), so every sum is a BIGINT and the
+    exact interpolated percentiles ride the established sort+lerp parity
+    (order_price_percentiles). One fact-side join (orders broadcastable at
+    test SF, shuffle-hash at scale) and one priority-grain aggregate —
+    percentile buffering is bounded because priority classes are a fixed
+    enum (the same caveat + approx_percentile twin noted there)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("lead_days"),
+    )
+    within = F.sum(F.when(F.col("lead_days") <= SLA_DAYS, 1).otherwise(0))
+    return lt.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("lead_days").alias("total_lead_days"),
+        (F.sum("lead_days").cast("double") / F.count("*")).alias("avg_lead_days"),
+        F.percentile("lead_days", 0.5).alias("p50_lead_days"),
+        F.percentile("lead_days", 0.95).alias("p95_lead_days"),
+        within.alias("n_within_sla"),
+        (within.cast("double") / F.count("*")).alias("sla_hit_rate"),
+    )

@@ -209,6 +209,7 @@ PRIORITY_ORDER = [
     "densify_daily_revenue",
     "segment_revenue_share",
     "abc_part_classification",
+    "fulfillment_lead_time",
     # -- never driver-recorded, rows-only (weaker record, still worth it) --
     "minhash_lsh_candidates",
     "simhash_signatures",
