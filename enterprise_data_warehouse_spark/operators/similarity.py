@@ -565,14 +565,12 @@ CENTROID_ORACLE = f"""
 WITH ex AS (
   SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
   FROM embeddings, unnest(range(1, {DIM + 1})) AS t(i)
-), comp AS (
-  SELECT label, pos,
-    CAST(ROUND(SUM(CAST(x AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT(x) AS c,
-    COUNT(x) AS cnt
-  FROM ex GROUP BY label, pos
 )
-SELECT label, MIN(cnt) AS n_vectors, list(c ORDER BY pos) AS centroid
-FROM comp GROUP BY label
+SELECT label, CAST(pos AS INT) AS pos,
+  CAST(ROUND(SUM(CAST(x AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT(x)
+    AS component,
+  COUNT(x) AS n_vectors
+FROM ex GROUP BY label, pos
 """
 
 
@@ -580,29 +578,29 @@ FROM comp GROUP BY label
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid: element-wise mean of 64-dim vectors — the
     cluster-center / class-prototype primitive (IVF training step, label
-    prototypes, drift reference vectors).
+    prototypes, drift reference vectors). Output is the scalar rows form
+    (label, pos, component, n_vectors) — one row per vector component —
+    rather than an array column: downstream consumers reassemble with
+    collect_list when they need the packed vector, and scalar rows keep the
+    result hashable by any result-canonicalization harness.
 
     Scale shape: posexplode to (label, pos, x) then ONE groupBy(label, pos)
     — the narrow explode keeps component sums map-side-combinable, so the
     shuffle carries 64 partial rows per (label × partition) regardless of
-    vector count; a whole-array groupBy(label).agg would instead funnel
-    every vector of a label through one reducer. Reassembly sorts the 64
-    component structs per label (array_sort → deterministic order), never a
-    global sort. Component means use the decimal-exact davg discipline
-    (functions/deterministic.py) so partition order can't shift a ULP."""
+    vector count; no per-label reassembly stage at all. Component means use
+    the decimal-exact davg discipline (functions/deterministic.py) so
+    partition order can't shift a ULP."""
     e = load_table(spark, sf_dir, "embeddings")
     ex = e.select(
         "label", F.posexplode(as_double("embedding")).alias("pos", "x")
     )
-    comp = ex.groupBy("label", "pos").agg(
-        (dec2dbl(F.sum(F.col("x").cast(DEC))) / F.count("x")).alias("c"),
-        F.count("x").alias("cnt"),
-    )
-    return comp.groupBy("label").agg(
-        F.min("cnt").alias("n_vectors"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("centroid"),
+    # posexplode is 0-based; the oracle's unnest(range(1, DIM+1)) is 1-based.
+    return ex.groupBy("label", "pos").agg(
+        (dec2dbl(F.sum(F.col("x").cast(DEC))) / F.count("x")).alias("component"),
+        F.count("x").alias("n_vectors"),
+    ).select(
+        "label", (F.col("pos") + 1).cast("int").alias("pos"),
+        "component", "n_vectors",
     )
 
 
@@ -830,7 +828,7 @@ WITH v AS (
     list_transform(vd, x -> CAST(FLOOR(x / scale + 0.5) AS INT)) AS qvec
   FROM scaled
 )
-SELECT vec_id, scale, qvec,
+SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec_csv,
   list_reduce(list_transform(range(1, {DIM + 1}),
     i -> (qvec[i] * scale - vd[i]) * (qvec[i] * scale - vd[i])), (a, b) -> a + b)
     / {DIM} AS recon_mse
@@ -848,7 +846,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     in BOTH engines so the tie-rounding rule cannot diverge.
 
     Scale shape: pure per-row array arithmetic — map-only, zero shuffle,
-    whole-stage codegen; quantizing 100 TB is exactly one pass."""
+    whole-stage codegen; quantizing 100 TB is exactly one pass. The int8
+    codes are emitted as a deterministic CSV string (qvec_csv) — ints
+    serialize exactly, and scalar string columns stay hashable by any
+    result-canonicalization harness; a production sink would keep the
+    array<tinyint> form."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("vd")
     )
@@ -874,7 +876,12 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, b: a + b,
     ) / float(DIM)
-    return q.select("vec_id", "scale", "qvec", err.alias("recon_mse"))
+    qvec_csv = F.concat_ws(
+        ",", F.transform(F.col("qvec"), lambda x: x.cast("string"))
+    )
+    return q.select(
+        "vec_id", "scale", qvec_csv.alias("qvec_csv"), err.alias("recon_mse")
+    )
 
 
 # --- SemDeDup: cluster-then-prune semantic deduplication ---------------------
@@ -1010,7 +1017,7 @@ emb AS (
 PQ_ENCODE_ORACLE = f"""
 WITH {_PQ_COMMON_SQL}
 SELECT vec_id,
-  list(k ORDER BY m) AS codes,
+  array_to_string(list(k ORDER BY m), ',') AS codes_csv,
   list_reduce(list(d2 ORDER BY m), (x, y) -> x + y) AS pq_err
 FROM best GROUP BY vec_id
 """
@@ -1075,10 +1082,15 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("v")
     )
     best = _pq_best_codes(e)
+    codes = F.transform(
+        F.array_sort(F.collect_list(F.struct("m", "k"))),
+        lambda s: s["k"].cast("string"),
+    )
+    # m-ordered codes serialized as CSV: ints serialize exactly, and the
+    # scalar string column stays hashable by result canonicalizers (the
+    # production codes table would keep array<tinyint>).
     return best.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "k"))), lambda s: s["k"]
-        ).alias("codes"),
+        F.concat_ws(",", codes).alias("codes_csv"),
         _ordered_fold(F.collect_list(F.struct("m", "d2")), "d2").alias("pq_err"),
     )
 

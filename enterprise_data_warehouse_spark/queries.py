@@ -64,90 +64,40 @@ _OPERATOR_MODULES = [
 
 # The verify driver evaluates registry entries in dict order with a budget
 # (exactly the first 50 each round), so this list pins a curated front.
-# Round-3 curation: the union of CORRECTNESS_r01+r02 covers 75 entries; the
-# 56 never-driver-recorded queries go FIRST — all 44 oracle-paired ones
-# (TPC-H pack, drift/text/similarity extensions, catalog codegen, streaming
-# batch twins), then rows-only entries filling the remaining budget. The six
-# rows-only streaming/Arrow surfaces that spill past slot 50 rotate forward
-# in round 4 along with queries newly added this round. Everything already
-# driver-green in r01/r02 sorts last — its status is on file.
+# Round-4 curation (VERDICT r03 items 1/2/8): slots 1-3 are the two
+# CORRECTNESS_r03-red array-output queries (rewritten canonicalizer-safe
+# this round) plus pq_encode (same rewrite, never recorded); slots 4-11 put
+# the eight streaming/stateful rows-only rails on the scoreboard for the
+# first time; slots 12-50 burn down the never-driver-recorded oracle-paired
+# backlog in the r03 curated order. The 31 oracle-paired + 5 rows-only
+# entries that spill past slot 50 are the ENTIRE remaining debt — they front
+# the round-5 window (driver-green r01-r03 history sorts last; its status
+# is on file).
 PRIORITY_ORDER = [
-    # -- never driver-recorded, oracle-paired: TPC-H pack -----------------
-    "volume_shipping",
-    "market_share",
-    "product_profit",
-    "important_suppliers",
-    "customer_distribution",
-    "promo_revenue",
-    "top_supplier",
-    "small_qty_revenue",
-    "large_orders",
-    "disjunctive_revenue",
-    "dormant_customers",
-    # -- TPC-H shapes new in r03 (Q2/Q6/Q12/Q16/Q20/Q21 adaptations) ------
-    "forecast_revenue",
-    "late_shipment_priority",
-    "min_cost_supplier",
-    "supplier_part_counts",
-    "excess_shipped_parts",
-    "waiting_suppliers",
-    # -- drift / stats extensions -----------------------------------------
-    "ks_binned_drift",
-    "feature_moments",
-    "ks_drift_pvalue",
-    "snapshot_diff",
-    "key_skew_profile",  # new in r03 (pre-join skew diagnostic)
-    # -- text / corpus extensions ------------------------------------------
-    "tfidf_top_terms",
-    "corpus_source_mix",
-    "pii_scrub",
-    "token_frequencies",
-    # -- dedup / similarity scale paths ------------------------------------
-    "near_dup_clusters",
-    "benchmark_decontamination",  # new in r03 (eval-set contamination)
-    "incremental_dedup",  # new in r03 (batch-vs-corpus ingest dedup)
-    "ivf_topk",
-    "ann_multiprobe_topk",  # new in r03 (multi-probe recall hardening)
+    # -- driver-red in r03 (canonicalizer err on array outputs) — rewritten
+    #    to scalar rows / CSV strings this round; must re-record green ------
     "embedding_centroids",
-    "kmeans_embeddings",
-    "kmeans_pp_embeddings",  # new in r03 (sketch-seeded init)
-    "embedding_quantize",  # new in r03 (int8 ANN storage path)
-    # -- relational / window extensions ------------------------------------
-    "range_bin_lookup",
-    "order_rollup_hierarchy",
-    "order_window_frames",
-    "stratified_order_sample",
-    "event_type_pivot",
-    "order_grouping_sets",
-    "order_rank_distributions",
-    # -- chunking / packing -------------------------------------------------
-    "doc_chunks_udtf",
-    "sequence_packing",
-    "image_feature_extract",  # oracle-paired in r03 (byte-stat fake
-    #   mirrored) — placed well inside the 50-slot budget: de-weaking the
-    #   r02 "weak" flag needs a DRIVER record
-    # -- catalog codegen / facts / dims ------------------------------------
-    "catalog_dim_part",
-    "catalog_fact_events_daily",
-    "referential_integrity",
-    "date_dimension",
-    "freshness_rollup",
-    # -- ML boundary --------------------------------------------------------
+    "embedding_quantize",
+    "pq_encode",  # same array-output rewrite; never driver-recorded
+    # -- streaming / stateful rails: rows-only by design (live streams),
+    #    pytest-parity-verified; first driver record ------------------------
+    "streaming_hourly_counts",
+    "streaming_dedup_events",
+    "streaming_session_metrics",
+    "streaming_segment_counts",
+    "streaming_view_click_join",
+    "stateful_user_ewma",
+    "ttl_feature_cache",
+    "streaming_corpus_ingest",
+    # -- never driver-recorded, oracle-paired (judge-local-green in r03) ----
     "feature_vector_conform",
     "train_test_split",
-    # -- multimodal ---------------------------------------------------------
     "video_frame_sample_plan",
     "audio_chunk_plan",
-    # -- streaming batch twins ----------------------------------------------
     "sliding_hourly_counts",
     "segment_hourly_counts",
     "view_click_within_30m",
-    # -- oracle-paired additions landed later in r03 (slots 57+): ahead
-    #    of every rows-only entry so the round-4 window fronts them; the
-    #    batching/graph/sketches/MV queries at the end of this block are
-    #    the newest ---------------------------------------------------------
     "semantic_dedup",
-    "pq_encode",
     "pq_adc_topk",
     "catalog_fact_customer_behavior",
     "catalog_fact_inventory_daily",
@@ -179,6 +129,8 @@ PRIORITY_ORDER = [
     "pca_power_iteration",
     "orders_column_profile",
     "token_budget_mix",
+    # ---------------- slot 50 boundary (driver budget) ---------------------
+    # -- remaining oracle-paired debt: fronts the round-5 window ------------
     "length_bucket_stats",
     "line_dedup_reconstruct",
     "bipartite_pagerank",
@@ -216,15 +168,55 @@ PRIORITY_ORDER = [
     "ann_lsh_buckets",
     "ts_features_pandas",
     "score_customers_pandas",
-    # -- spill past the 50-slot budget; rotate forward in round 4 ----------
-    "streaming_hourly_counts",
-    "streaming_dedup_events",
-    "streaming_session_metrics",
-    "streaming_segment_counts",
-    "streaming_view_click_join",
-    "stateful_user_ewma",
-    "ttl_feature_cache",
-    "streaming_corpus_ingest",
+    # -- driver-green in r01-r03: status on file, sorts last ----------------
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "important_suppliers",
+    "customer_distribution",
+    "promo_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_orders",
+    "disjunctive_revenue",
+    "dormant_customers",
+    "forecast_revenue",
+    "late_shipment_priority",
+    "min_cost_supplier",
+    "supplier_part_counts",
+    "excess_shipped_parts",
+    "waiting_suppliers",
+    "ks_binned_drift",
+    "feature_moments",
+    "ks_drift_pvalue",
+    "snapshot_diff",
+    "key_skew_profile",
+    "tfidf_top_terms",
+    "corpus_source_mix",
+    "pii_scrub",
+    "token_frequencies",
+    "near_dup_clusters",
+    "benchmark_decontamination",
+    "incremental_dedup",
+    "ivf_topk",
+    "ann_multiprobe_topk",
+    "kmeans_embeddings",
+    "kmeans_pp_embeddings",
+    "range_bin_lookup",
+    "order_rollup_hierarchy",
+    "order_window_frames",
+    "stratified_order_sample",
+    "event_type_pivot",
+    "order_grouping_sets",
+    "order_rank_distributions",
+    "doc_chunks_udtf",
+    "sequence_packing",
+    "image_feature_extract",
+    "catalog_dim_part",
+    "catalog_fact_events_daily",
+    "referential_integrity",
+    "date_dimension",
+    "freshness_rollup",
 ]
 
 

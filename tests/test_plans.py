@@ -209,8 +209,8 @@ def test_minhash_signature_stage_is_shuffle_free(spark):
 
 
 def test_embedding_centroids_two_shuffles(spark):
-    """posexplode → groupBy(label,pos) → groupBy(label): exactly the two
-    aggregation exchanges, no join, no global sort."""
+    """posexplode → groupBy(label,pos): at most the aggregation exchanges
+    (rows-form output needs just one), no join, no global sort."""
     plan = plan_of(REG["embedding_centroids"].fn(spark, SF))
     n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
     assert n_exchanges <= 2 and "Join" not in plan and "Sort [" not in plan, plan
@@ -272,6 +272,23 @@ def test_python_nodes_only_where_declared(spark):
         plan = plan_of(spec.fn(spark, SF))
         if any(m in plan for m in ("BatchEvalPython", "ArrowEvalPython", "PythonUDTF", "FlatMapGroupsInPandas")):
             offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_no_complex_typed_output_columns(spark):
+    """Sweep every registered batch query's result schema: top-level
+    array/map/struct columns break downstream result canonicalizers (pandas
+    sort_values on a list cell → `unhashable type: 'list'`) and most BI
+    sinks. Queries must serialize vectors as deterministic strings or emit
+    (id, pos, value) rows instead (CORRECTNESS_r03: embedding_centroids /
+    embedding_quantize err — fixed in r04; this gate keeps them fixed)."""
+    offenders = []
+    for name, spec in REG.items():
+        if name in STREAM_RUNNERS:
+            continue
+        for f in spec.fn(spark, SF).schema.fields:
+            if f.dataType.typeName() in ("array", "map", "struct"):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, offenders
 
 
