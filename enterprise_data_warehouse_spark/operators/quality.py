@@ -398,7 +398,8 @@ def violation_flags(
     side). Every flag is attached WITHOUT dropping rows — routing is the
     caller's policy (write_with_quarantine)."""
     flags: list = []
-    for c in checks:
+    markers: list[str] = []
+    for i, c in enumerate(checks):
         name = f"{c.kind}:{c.column}"
         col = F.col(c.column)
         if c.kind == "not_null":
@@ -414,14 +415,19 @@ def violation_flags(
 
             cond = F.count("*").over(Window.partitionBy(c.column)) > 1
         elif c.kind == "relationships":
+            # Marker column is unique per check — a second relationships
+            # check would otherwise duplicate `_parent_hit` and fail
+            # analysis with AMBIGUOUS_REFERENCE.
+            marker = f"_parent_hit_{i}"
             parent = (
                 tables[c.ref_table]
                 .select(F.col(c.ref_column).alias(c.column))
                 .distinct()
-                .withColumn("_parent_hit", F.lit(1))
+                .withColumn(marker, F.lit(1))
             )
             df = df.join(F.broadcast(parent), c.column, "left")
-            cond = F.col("_parent_hit").isNull()
+            markers.append(marker)
+            cond = F.col(marker).isNull()
         else:
             raise ValueError(f"row-level gate cannot express: {c.kind}")
         flags.append(F.when(cond, name))
@@ -429,7 +435,7 @@ def violation_flags(
         "_violations",
         F.filter(F.array(*flags), lambda x: x.isNotNull()),
     )
-    return out.drop("_parent_hit") if "_parent_hit" in out.columns else out
+    return out.drop(*markers)
 
 
 def write_with_quarantine(

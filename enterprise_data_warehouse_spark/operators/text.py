@@ -1000,11 +1000,14 @@ def trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division out — engine-exact."""
     d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
     w = F.split(F.col("text"), " ")
+    # Clamp at 0: a document with <3 tokens must contribute zero trigrams,
+    # not a negative slice length (INVALID_PARAMETER_VALUE.LENGTH at run).
+    tri_len = F.greatest(F.size(w) - 2, F.lit(0))
     tri_arr = F.zip_with(
-        F.slice(w, 1, F.size(w) - 2),
+        F.slice(w, 1, tri_len),
         F.zip_with(
-            F.slice(w, 2, F.size(w) - 2),
-            F.slice(w, 3, F.size(w) - 2),
+            F.slice(w, 2, tri_len),
+            F.slice(w, 3, tri_len),
             lambda b, c: F.struct(b.alias("w2"), c.alias("w3")),
         ),
         lambda a, bc: F.struct(a.alias("w1"), bc["w2"].alias("w2"), bc["w3"].alias("w3")),

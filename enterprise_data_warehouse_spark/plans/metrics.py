@@ -43,17 +43,33 @@ def run_with_metrics(spark: SparkSession, df: DataFrame) -> dict[str, float]:
 
     Keys: shuffle_records_written, shuffle_bytes_written, records_read,
     max_output_rows."""
-    df.write.format("noop").mode("overwrite").save()
+    import uuid
+
+    # Tag THIS save with a unique job description: on a shared session with
+    # concurrent queries (parallel warehouse builds, parallel tests) "highest
+    # executionId after the save" can be someone else's query — match the
+    # execution by tag instead.
+    tag = f"run_with_metrics-{uuid.uuid4().hex}"
+    sc = spark.sparkContext
+    prev = sc._jsc.sc().getLocalProperty("spark.job.description")
+    sc.setJobDescription(tag)
+    try:
+        df.write.format("noop").mode("overwrite").save()
+    finally:
+        sc.setJobDescription(prev)
     # the status store is fed by the ASYNC listener bus — drain it before
     # reading, or executionsList() may not yet contain the save above (and
     # we'd silently aggregate the previous query's counters)
-    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    sc._jsc.sc().listenerBus().waitUntilEmpty()
     store = spark._jsparkSession.sharedState().statusStore()
     execs = store.executionsList()
-    last = max(
-        (execs.apply(i) for i in range(execs.size())),
-        key=lambda e: e.executionId(),
-    )
+    tagged = [
+        e
+        for e in (execs.apply(i) for i in range(execs.size()))
+        if str(e.description()) == tag
+    ]
+    assert tagged, f"status store lost the tagged execution {tag}"
+    last = max(tagged, key=lambda e: e.executionId())
     values = store.executionMetrics(last.executionId())
     out = {
         "shuffle_records_written": 0.0,

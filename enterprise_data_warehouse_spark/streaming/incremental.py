@@ -172,11 +172,20 @@ def stream_mv_merge(
     multi-batch arrivals + restarts from the checkpoint). Cost per batch:
     |batch| + |touched groups| — the base stream is never replayed.
 
-    The MV stores (keys, n, sum_dec DECIMAL(38,10)); readers finalize
-    (e.g. dec2dbl) at query time, exactly like mv_rollup_routing."""
+    The MV stores (keys, n, sum_dec DECIMAL(38,10)) plus a constant
+    ``_last_batch_id`` column; readers drop the underscore column and
+    finalize (e.g. dec2dbl) at query time, exactly like mv_rollup_routing.
+
+    Failure semantics: "first batch" is decided by an explicit fs.exists
+    probe — a transient read error on the stored MV PROPAGATES and fails
+    the micro-batch (the checkpoint retries it) instead of being mistaken
+    for an empty MV and silently replacing history with one batch's
+    partials. ``_last_batch_id`` makes the merge idempotent per batch_id:
+    a crash between the staged swap and the checkpoint commit replays the
+    batch, sees its id already folded in, and skips — no double-merge."""
     import uuid as _uuid
 
-    from ..sources.sink import staged_swap
+    from ..sources.sink import fs_handles, staged_swap
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -186,15 +195,23 @@ def stream_mv_merge(
             F.count("*").alias("n"),
             F.sum(F.col(measure_col).cast("decimal(38,10)")).alias("sum_dec"),
         )
-        try:
+        _, fs, hpath = fs_handles(spark, target_path)
+        if fs.exists(hpath):
             existing = spark.read.parquet(target_path)
+            if "_last_batch_id" in existing.columns:
+                # Constant column → one row answers the replay probe.
+                row = existing.select("_last_batch_id").first()
+                if row is not None and row[0] is not None and batch_id <= row[0]:
+                    return  # replayed batch: already folded into the MV
+                existing = existing.drop("_last_batch_id")
             merged = (
                 existing.unionByName(partial)
                 .groupBy(*group_keys)
                 .agg(F.sum("n").alias("n"), F.sum("sum_dec").alias("sum_dec"))
             )
-        except Exception:  # noqa: BLE001 — first batch: no MV yet
+        else:
             merged = partial
+        merged = merged.withColumn("_last_batch_id", F.lit(batch_id))
         staged = target_path + "_staged-" + _uuid.uuid4().hex[:8]
         merged.write.mode("overwrite").parquet(staged)
         staged_swap(spark, staged, target_path)

@@ -234,3 +234,29 @@ def test_hll_sliding_merge_equals_window_recompute(spark):
         # tiny windows (a handful of users) carry large RELATIVE noise by
         # sketch theory — accept a small absolute slack there
         assert rel < 0.4 or err <= 3, f"{w}: est={est} exact={exact[w]}"
+
+
+def test_trigram_lm_tolerates_short_documents(spark, tmp_path):
+    """Documents with <3 tokens must contribute zero trigrams, not fail the
+    job with a negative slice length (regression: size(w)-2 unclamped)."""
+    import shutil
+    from pathlib import Path
+
+    sf = tmp_path / "sf_short"
+    sf.mkdir()
+    for t in Path(SF).glob("*.parquet"):
+        if t.stem != "documents":
+            (shutil.copytree if t.is_dir() else shutil.copy)(t, sf / t.name)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    short = spark.createDataFrame(
+        [(9000001, "one", "web"), (9000002, "two words", "web"), (9000003, "", "web")],
+        "doc_id bigint, text string, source string",
+    )
+    aligned = short.select(*[c for c in docs.columns if c in short.columns])
+    docs.select(*aligned.columns).unionByName(aligned).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    out = REG["trigram_lm_counts"].fn(spark, str(sf))
+    base = REG["trigram_lm_counts"].fn(spark, SF)
+    # short docs add no trigrams → identical count table, and no crash
+    assert out.count() == base.count()

@@ -87,3 +87,46 @@ def test_unique_and_relationship_flags(spark):
     counts = {r["v"]: r["count"] for r in by_label}
     assert counts["unique:o_orderkey"] == 2  # both copies of the dup key
     assert counts["relationships:o_custkey"] == 1
+
+
+def test_two_relationship_checks_do_not_collide(spark):
+    """Two relationships checks in one suite (the shape the catalog facts
+    declare) must not collide on the join marker column — regression for
+    the AMBIGUOUS_REFERENCE `_parent_hit` failure with ≥2 FK checks."""
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    dangling = spark.createDataFrame(
+        [(999999901, 999999902, 999999903)],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint",
+    )
+    df = li.unionByName(dangling)
+    checks = [
+        Check(
+            "relationships", "lineitem", "l_orderkey",
+            ref_table="orders", ref_column="o_orderkey",
+        ),
+        Check(
+            "relationships", "lineitem", "l_partkey",
+            ref_table="part", ref_column="p_partkey",
+        ),
+        Check(
+            "relationships", "lineitem", "l_suppkey",
+            ref_table="supplier", ref_column="s_suppkey",
+        ),
+    ]
+    tables = {
+        "orders": load_table(spark, SF, "orders"),
+        "part": load_table(spark, SF, "part"),
+        "supplier": load_table(spark, SF, "supplier"),
+    }
+    flagged = violation_flags(df, checks, tables)
+    assert not [c for c in flagged.columns if c.startswith("_parent_hit")]
+    bad = flagged.where(F.size("_violations") > 0).collect()
+    assert len(bad) == 1
+    assert sorted(bad[0]["_violations"]) == [
+        "relationships:l_orderkey",
+        "relationships:l_partkey",
+        "relationships:l_suppkey",
+    ]
+    assert flagged.where(F.size("_violations") == 0).count() == li.count()

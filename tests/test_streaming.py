@@ -257,3 +257,20 @@ def test_stream_mv_merge_equals_full_recompute(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+    # Replay guard: a fresh checkpoint re-delivers every file under the same
+    # batch ids (the crash-between-swap-and-commit shape). The _last_batch_id
+    # stored with the MV must make the re-merge a no-op, not a double count.
+    q = stream_mv_merge(
+        read_file_stream(spark, src_dir, schema),
+        mv,
+        ["o_orderstatus"],
+        "o_totalprice",
+        str(tmp_path / "ckpt_replay"),
+    )
+    q.awaitTermination()
+    got_after_replay = {
+        r["o_orderstatus"]: (r["n"], str(r["sum_dec"]))
+        for r in spark.read.parquet(mv).collect()
+    }
+    assert got_after_replay == expect, "replayed batch double-merged into the MV"
