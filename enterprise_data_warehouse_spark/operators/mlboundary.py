@@ -243,26 +243,106 @@ def ks_drift_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- D4/D5: pandas-UDF surface (no oracle — Python-side math) ----------------
 
 
-@query("ts_features_pandas")
+def _pdsum(vals) -> float:
+    """Python mirror of functions.deterministic.sql_dsum: quantize each
+    double to DECIMAL(38,10) (half-up, like both engines' double→decimal
+    cast), sum exactly, round to scale 4, convert back to double. Decimal
+    boundaries aren't binary-representable, so the result is bit-identical
+    to the SQL mirror regardless of engine or order."""
+    import decimal
+
+    q10 = decimal.Decimal("1E-10")
+    q4 = decimal.Decimal("1E-4")
+    with decimal.localcontext() as ctx:
+        ctx.prec = 50
+        s = decimal.Decimal(0)
+        for v in vals:
+            s += decimal.Decimal(float(v)).quantize(
+                q10, rounding=decimal.ROUND_HALF_UP
+            )
+        return float(s.quantize(q4, rounding=decimal.ROUND_HALF_UP))
+
+
+TS_FEATURES_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, value,
+    LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), agg AS (
+  SELECT user_id,
+    COUNT(value) AS n,
+    {sql_dsum('value')} AS s1,
+    {sql_dsum('(value)*(value)')} AS s2,
+    MIN(value) AS vmin, MAX(value) AS vmax
+  FROM s GROUP BY user_id
+), pairs AS (
+  SELECT user_id,
+    COUNT(*) AS np,
+    {sql_dsum('value')} AS sx,
+    {sql_dsum('nxt')} AS sy,
+    {sql_dsum('(value)*(nxt)')} AS sxy,
+    {sql_dsum('(value)*(value)')} AS sxx,
+    {sql_dsum('(nxt)*(nxt)')} AS syy
+  FROM s WHERE nxt IS NOT NULL GROUP BY user_id
+)
+SELECT a.user_id, CAST(a.n AS BIGINT) AS n_obs,
+  a.s1 / a.n AS value_mean,
+  CASE WHEN a.n > 1
+    THEN SQRT(GREATEST((a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1), 0.0))
+    ELSE 0.0 END AS value_std,
+  a.vmin AS value_min, a.vmax AS value_max,
+  CASE WHEN p.np >= 2
+        AND (p.np * p.sxx - p.sx * p.sx) * (p.np * p.syy - p.sy * p.sy) > 0
+    THEN (p.np * p.sxy - p.sx * p.sy)
+         / SQRT((p.np * p.sxx - p.sx * p.sx) * (p.np * p.syy - p.sy * p.sy))
+    ELSE 0.0 END AS lag1_autocorr,
+  a.s2 AS energy
+FROM agg a LEFT JOIN pairs p USING (user_id)
+"""
+
+
+@query("ts_features_pandas", oracle=TS_FEATURES_ORACLE)
 def ts_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4: tsfresh-style per-entity feature extraction (reference
     feature_store_manager.py:355-408) as applyInPandas — each user's ordered
     series becomes one feature row (mean/std/min/max/lag-1 autocorr/energy).
-    Arrow-batched; the groupBy key partitions work evenly at any scale."""
+    Arrow-batched; the groupBy key partitions work evenly at any scale.
+
+    Oracle-paired (de-weakened from rows-only): all sums route through the
+    Python mirror of the decimal-exact dsum discipline (_pdsum above), the
+    ordering tiebreak is pinned to (ts, event_id), and every remaining IEEE
+    expression (mean division, std, the Pearson lag-1 autocorr over
+    consecutive pairs) is association-mirrored in the SQL — so a value-hash
+    compare holds bit-for-bit despite the Arrow boundary."""
+    import math
+
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
 
     def extract(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        pdf = pdf.sort_values("ts")
-        v = pdf["value"].to_numpy()
+        pdf = pdf.sort_values(["ts", "event_id"])
+        v = [float(x) for x in pdf["value"]]
         n = len(v)
-        mean = float(np.mean(v))
-        std = float(np.std(v, ddof=1)) if n > 1 else 0.0
-        if n > 1 and std > 0:
-            autocorr = float(np.corrcoef(v[:-1], v[1:])[0, 1]) if n > 2 else 0.0
+        s1 = _pdsum(v)
+        s2 = _pdsum(x * x for x in v)
+        mean = s1 / n
+        if n > 1:
+            var = max((s2 - s1 * s1 / n) / (n - 1), 0.0)
+            std = math.sqrt(var)
+        else:
+            std = 0.0
+        x, y = v[:-1], v[1:]
+        npairs = len(x)
+        if npairs >= 2:
+            sx, sy = _pdsum(x), _pdsum(y)
+            sxy = _pdsum(a * b for a, b in zip(x, y))
+            sxx = _pdsum(a * a for a in x)
+            syy = _pdsum(b * b for b in y)
+            denom2 = (npairs * sxx - sx * sx) * (npairs * syy - sy * sy)
+            autocorr = (
+                (npairs * sxy - sx * sy) / math.sqrt(denom2) if denom2 > 0 else 0.0
+            )
         else:
             autocorr = 0.0
         return pd.DataFrame(
@@ -271,10 +351,10 @@ def ts_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_obs": [n],
                 "value_mean": [mean],
                 "value_std": [std],
-                "value_min": [float(np.min(v))],
-                "value_max": [float(np.max(v))],
+                "value_min": [min(v)],
+                "value_max": [max(v)],
                 "lag1_autocorr": [autocorr],
-                "energy": [float(np.sum(v * v))],
+                "energy": [s2],
             }
         )
 
@@ -289,8 +369,15 @@ def make_scorer(weights: dict[str, float], bias: float):
     """D5: broadcast-model scoring as mapInPandas (reference
     realtime_inference_service.py:226-280): logistic over named features,
     0.5 threshold — the ensemble-mean shape with a deterministic stub model.
-    """
-    import pandas as pd
+
+    Determinism notes (what makes the output oracle-comparable): z
+    accumulates in weights-dict insertion order with plain IEEE adds (the
+    SQL mirror uses the same association); the probability is rounded to 6
+    decimals because libm exp() may differ between engines in the last ULP;
+    the class label comes from ``z >= 0`` (exactly equivalent to
+    prob >= 0.5, but decided on the pre-exp value both engines agree on
+    bit-for-bit)."""
+    import pandas as pd  # noqa: F401 — signature documentation
 
     def score(batches):
         import numpy as np
@@ -299,18 +386,44 @@ def make_scorer(weights: dict[str, float], bias: float):
             z = np.full(len(pdf), bias)
             for feat, w in weights.items():
                 z = z + w * pdf[feat].to_numpy()
-            prob = 1.0 / (1.0 + np.exp(-z))
+            prob = np.round(1.0 / (1.0 + np.exp(-z)), 6)
             out = pdf[["customer_id"]].copy()
             out["churn_probability"] = prob
-            out["churn_prediction"] = (prob >= 0.5).astype("int32")
+            out["churn_prediction"] = (z >= 0).astype("int32")
             yield out
 
     return score
 
 
-@query("score_customers_pandas")
+SCORE_ORACLE = """
+WITH feats AS (
+  SELECT o_custkey AS customer_id,
+    COUNT(*) AS total_orders,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+         AS DOUBLE) / COUNT(*) AS urgent_ratio,
+    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+         AS DOUBLE) / COUNT(*) AS open_ratio
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT customer_id,
+    (((-0.5 + (-0.05 * total_orders)) + (2.0 * urgent_ratio))
+      + (1.0 * open_ratio)) AS z
+  FROM feats
+)
+SELECT customer_id,
+  ROUND(1.0 / (1.0 + EXP(-z)), 6) AS churn_probability,
+  CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS INT) AS churn_prediction
+FROM scored
+"""
+
+
+@query("score_customers_pandas", oracle=SCORE_ORACLE)
 def score_customers_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D5 end-to-end: feature build → conform → mapInPandas scoring."""
+    """D5 end-to-end: feature build → conform → mapInPandas scoring.
+    Oracle-paired (de-weakened from rows-only): the linear score z is
+    IEEE-deterministic (counts and exact ratios through one mirrored
+    expression), the logistic output is rounded to 6 dp on both sides, and
+    the label is decided on z's sign — see make_scorer notes."""
     feats = customer_features(spark, sf_dir)
     weights = {"total_orders": -0.05, "urgent_ratio": 2.0, "open_ratio": 1.0}
     scorer = make_scorer(weights, bias=-0.5)

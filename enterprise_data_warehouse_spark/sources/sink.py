@@ -3,11 +3,14 @@
 The reference's materializations (dbt view/table/incremental-merge,
 chunked pandas appends, audit INSERTs) re-expressed as DataFrame writes.
 
-MERGE on plain parquet has no atomic in-place story (SURVEY.md §7.4a): we
-stage the merged result to a sibling directory, then swap via the Hadoop
-FileSystem API (rename is atomic per-directory on HDFS; best-effort on
-object stores — production target is Delta `MERGE INTO`, same call shape).
-Partition-scoped variants only rewrite partitions the delta touches.
+MERGE on plain parquet has no atomic in-place story (SURVEY.md §7.4a), so
+``merge_upsert``/``merge_upsert_partitioned`` run on the commit-manifest
+protocol (sources/versioned.py) by DEFAULT: data lands in immutable
+version dirs and only becomes visible via atomic marker creation —
+kill-safe on HDFS AND object stores, with optimistic concurrency. Use
+``read_table`` to read merge targets. The staged-swap rename remains only
+for sinks where in-place layout matters (compaction, streaming MV store);
+production target is Delta `MERGE INTO`, same call shape.
 """
 
 from __future__ import annotations
@@ -72,6 +75,50 @@ def _fs_swap(spark: SparkSession, staged: str, path: str) -> None:
     staged_swap(spark, staged, path)
 
 
+def _versioned(spark: SparkSession, path: str):
+    from .versioned import VersionedTable
+
+    return VersionedTable(spark, path)
+
+
+def _adopt_plain(spark: SparkSession, path: str) -> None:
+    """One-time migration: a pre-existing PLAIN parquet table at ``path``
+    (flat or hive-partitioned — either way the read yields every column)
+    becomes v1 of the commit-manifest layout, then the plain files are
+    removed. The plain df's file listing is resolved eagerly at read
+    creation, so the v1 dir written into the same root is never picked up
+    by it. A crash after the v1 marker but before the plain-file cleanup
+    leaves stale-but-invisible files (read_table prefers the manifest).
+    A later merge_partitioned converts v1 to the partition-mapped layout
+    on its first run."""
+    t = _versioned(spark, path)
+    if t.exists() or not _target_exists(spark, path):
+        return
+    jvm, fs, hpath = fs_handles(spark, path)
+    old_entries = [st.getPath() for st in fs.listStatus(hpath)]
+    if not old_entries:
+        return
+    plain = spark.read.parquet(path)
+    t.commit(plain, op="adopt")
+    committed = {t._read_marker(t.current_version())["dir"], "_commits"}
+    for p in old_entries:
+        if p.getName() not in committed:
+            fs.delete(p, True)
+
+
+def read_table(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
+    """Read a sink-managed table: commit-manifest layout when present
+    (the default merge path), plain parquet otherwise (write_table
+    output)."""
+    t = _versioned(spark, path)
+    if t.exists():
+        return t.read(merge_schema=merge_schema)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -81,29 +128,22 @@ def merge_upsert(
 ) -> None:
     """S9: MERGE semantics on parquet — source rows win on key collision.
 
-    anti-join(target, src-keys) ∪ src → staged rewrite → swap. This is the
-    OSS fallback for `MERGE INTO`; on Delta the body becomes one statement.
+    Runs on the commit-manifest protocol (sources/versioned.py) by
+    DEFAULT: anti-join(target, src-keys) ∪ src lands as an immutable
+    version dir and becomes visible only when the atomic marker file is
+    created — kill-safe at every point and optimistically concurrent, the
+    same guarantees the reference inherits from Snowflake's ACID MERGE
+    (dbt_project.yml:79-82). A pre-existing plain-parquet target is
+    adopted as v1 first. Read results back with ``read_table``.
 
     ``evolve_schema=True`` is dbt's ``on_schema_change: append_new_columns``
     (reference dbt_project.yml incremental config): a source with NEW
     columns widens the table (old rows null-fill), a source MISSING columns
-    still merges (its rows null-fill the gap) — via
-    ``unionByName(allowMissingColumns=True)`` plus a mergeSchema target
-    read, so tables whose parquet footers span schema versions keep
-    reading. Default off: an unexpected schema drift should fail loudly
-    unless the caller opted into evolution."""
-    if not _target_exists(spark, path):
-        write_table(src, path)
-        return
-    reader = spark.read
-    if evolve_schema:
-        reader = reader.option("mergeSchema", "true")
-    target = reader.parquet(path)
-    survivors = target.join(src.select(*keys).distinct(), list(keys), "left_anti")
-    merged = src.unionByName(survivors, allowMissingColumns=evolve_schema)
-    staged = path.rstrip("/") + "__staged"
-    write_table(merged, staged)
-    _fs_swap(spark, staged, path)
+    still merges (its rows null-fill the gap). Default off: an unexpected
+    schema drift should fail loudly unless the caller opted into
+    evolution."""
+    _adopt_plain(spark, path)
+    _versioned(spark, path).merge(src, keys, evolve_schema=evolve_schema)
 
 
 def merge_upsert_partitioned(
@@ -113,29 +153,18 @@ def merge_upsert_partitioned(
     keys: Sequence[str],
     partition_col: str,
 ) -> None:
-    """S9 at scale: MERGE that only rewrites the partitions the delta
-    touches (SURVEY.md §7.4a mitigation). A day's delta against a years-deep
-    fact table reads and rewrites one day's files, not the table.
+    """S9 at scale: MERGE that only reads and rewrites the partitions the
+    delta touches (SURVEY.md §7.4a mitigation). A day's delta against a
+    years-deep fact table costs one day's I/O, not the table.
 
-    Mechanics: the touched-partition list is collected driver-side (small —
-    it's a set of date keys), survivors are read from ONLY those partitions
-    (partition pruning via isin), and the merged slice is written with
-    dynamic partitionOverwriteMode so untouched partitions' files are never
-    replaced. Delta Lake's MERGE does the same file-level pruning; this is
-    the plain-parquet equivalent."""
-    if not _target_exists(spark, path):
-        write_table(src, path, partition_by=[partition_col])
-        return
-    parts = [r[0] for r in src.select(partition_col).distinct().collect()]
-    target = spark.read.parquet(path).where(F.col(partition_col).isin(parts))
-    survivors = target.join(src.select(*keys).distinct(), list(keys), "left_anti")
-    merged = src.unionByName(survivors)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    Runs on the partition-mapped commit manifest
+    (VersionedTable.merge_partitioned): the marker's ``parts`` map points
+    untouched partitions at their existing immutable dirs — Delta's
+    add-file pruning with marker-last crash safety, replacing the old
+    in-place dynamic-partition overwrite (which had a non-atomic window
+    per partition directory). Read results back with ``read_table``."""
+    _adopt_plain(spark, path)
+    _versioned(spark, path).merge_partitioned(src, keys, partition_col)
 
 
 def _target_exists(spark: SparkSession, path: str) -> bool:
@@ -151,7 +180,7 @@ def read_watermark(spark: SparkSession, path: str, col: str, default: str) -> st
     source scan (SURVEY.md §4 note on scalar subqueries)."""
     if not _target_exists(spark, path):
         return default
-    row = spark.read.parquet(path).agg(F.max(col).alias("wm")).collect()[0]
+    row = read_table(spark, path).agg(F.max(col).alias("wm")).collect()[0]
     return str(row["wm"]) if row["wm"] is not None else default
 
 
@@ -310,8 +339,10 @@ def compact_parquet(
 
     Sizing uses the ACTUAL on-disk byte count (no data read), rewrites via
     a round-robin repartition (even output sizes, no skew by content), and
-    swaps the staged directory in with the same atomic-rename discipline as
-    merge_upsert. Returns before/after file counts for auditability.
+    swaps the staged directory in via the atomic-rename staged_swap (the
+    in-place layout is the point of compaction; merge targets get the
+    stronger commit-manifest protocol instead). Returns before/after file
+    counts for auditability.
 
     Partitioned layout: a round-robin repartition would hand EVERY task
     rows of every partition value, so the partitionBy writer would emit up

@@ -39,6 +39,7 @@ import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _DIR_RE = re.compile(r"^v(\d{8})-[0-9a-f]{8}$")
 _MARKER_RE = re.compile(r"^v(\d{8})\.json$")
@@ -114,10 +115,14 @@ class VersionedTable:
     def exists(self) -> bool:
         return self.current_version() is not None
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, merge_schema: bool = False
+    ) -> DataFrame:
         """Read the current version, or a specific still-retained one
         (time travel — every committed version is immutable until
-        vacuumed)."""
+        vacuumed). Partition-mapped versions (see merge_partitioned) read
+        the union of their mapped directories — untouched partitions still
+        live in older versions' immutable dirs."""
         if version is None:
             version = self.current_version()
             if version is None:
@@ -127,7 +132,28 @@ class VersionedTable:
                 f"version {version} not committed (or vacuumed) under {self.root}"
             )
         meta = self._read_marker(version)
-        return self.spark.read.parquet(f"{self.root}/{meta['dir']}")
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        if meta.get("parts"):
+            return reader.parquet(
+                *[f"{self.root}/{rel}" for rel in sorted(meta["parts"].values())]
+            )
+        return reader.parquet(f"{self.root}/{meta['dir']}")
+
+    def read_partitions(self, values: Sequence[str]) -> DataFrame | None:
+        """Read ONLY the named partitions of the current (partition-mapped)
+        version — driver-side partition pruning over the manifest, the same
+        file-skipping Delta's MERGE gets from its add-file stats. Returns
+        None when none of the values exist yet."""
+        version = self.current_version()
+        if version is None:
+            return None
+        parts = self._read_marker(version).get("parts") or {}
+        hit = [parts[v] for v in values if v in parts]
+        if not hit:
+            return None
+        return self.spark.read.parquet(*[f"{self.root}/{rel}" for rel in hit])
 
     # -- write side --------------------------------------------------------
     def _stage_data(self, df: DataFrame, version: int,
@@ -165,15 +191,88 @@ class VersionedTable:
         self._create_marker(version, {"version": version, "dir": dirname, "op": op})
         return version
 
-    def merge(self, src: DataFrame, keys: Sequence[str]) -> int:
+    def merge(
+        self, src: DataFrame, keys: Sequence[str], evolve_schema: bool = False
+    ) -> int:
         """MERGE with no unreadable window: anti-join survivors ∪ src into
-        v{n+1}, marker last. Source rows win on key collision (same
-        semantics as sink.merge_upsert). On Delta this is one MERGE INTO."""
+        v{n+1}, marker last. Source rows win on key collision. On Delta this
+        is one MERGE INTO. ``evolve_schema=True`` is dbt's
+        ``on_schema_change: append_new_columns``: a wider source widens the
+        table (old rows null-fill), a narrower one still merges."""
         if not self.exists():
             return self.commit(src, op="merge")
-        target = self.read()
+        target = self.read(merge_schema=evolve_schema)
         survivors = target.join(src.select(*keys).distinct(), list(keys), "left_anti")
-        return self.commit(src.unionByName(survivors), op="merge")
+        merged = src.unionByName(survivors, allowMissingColumns=evolve_schema)
+        return self.commit(merged, op="merge")
+
+    def merge_partitioned(
+        self, src: DataFrame, keys: Sequence[str], partition_col: str
+    ) -> int:
+        """Partition-scoped MERGE on the versioned layout: only the
+        partitions the delta touches are read and rewritten; untouched
+        partitions keep pointing at their EXISTING immutable dirs via the
+        commit marker's ``parts`` map ({partition_value: rel_dir}) — the
+        manifest plays the role of Delta's add-file list, so a day's delta
+        against a years-deep fact costs one day's I/O AND keeps the
+        crash-safe marker-last commit (the old in-place dynamic-partition
+        overwrite had a non-atomic window per partition directory).
+
+        The staged dir nests one subdir per touched partition
+        (``_pv=<value>``); the partition column itself stays in the data
+        files so a mapped subdir is self-contained."""
+        current = self.current_version()
+        version = (current or 0) + 1
+        prev = self._read_marker(current) if current else None
+        parts: dict[str, str] = dict((prev or {}).get("parts") or {})
+        touched = [
+            str(r[0])
+            for r in src.select(F.col(partition_col).cast("string")).distinct().collect()
+        ]
+        if prev and not parts:
+            # current version is NOT partition-mapped (plain commit/adopt/
+            # merge): one-time full conversion — every row must land in a
+            # mapped dir or the new marker would silently drop it
+            target = self.read()
+            survivors = target.join(
+                src.select(*keys).distinct(), list(keys), "left_anti"
+            )
+            merged = src.unionByName(survivors)
+        else:
+            existing_rel = [parts[p] for p in touched if p in parts]
+            if existing_rel:
+                target = self.spark.read.parquet(
+                    *[f"{self.root}/{rel}" for rel in existing_rel]
+                )
+                survivors = target.join(
+                    src.select(*keys).distinct(), list(keys), "left_anti"
+                )
+                merged = src.unionByName(survivors)
+            else:
+                merged = src
+        dirname = f"v{version:08d}-{uuid.uuid4().hex[:8]}"
+        # duplicate the partition key into _pv: hive layout on _pv gives one
+        # subdir per value while partition_col survives inside the files
+        merged.withColumn("_pv", F.col(partition_col).cast("string")).write.mode(
+            "error"
+        ).partitionBy("_pv").parquet(f"{self.root}/{dirname}")
+        # map values from the dirs actually written (hive-escaped names)
+        from urllib.parse import unquote
+
+        for st in self._hfs.listStatus(self._path(dirname)):
+            name = st.getPath().getName()
+            if name.startswith("_pv="):
+                parts[unquote(name[len("_pv="):])] = f"{dirname}/{name}"
+        self._create_marker(
+            version,
+            {
+                "version": version,
+                "dir": dirname,
+                "parts": parts,
+                "op": "merge_partitioned",
+            },
+        )
+        return version
 
     def incremental(self, source: DataFrame, watermark_col: str,
                     keys: Sequence[str],
@@ -230,14 +329,23 @@ class VersionedTable:
         data (readers also double-check the data dir exists)."""
         committed = self.committed_versions()
         live = set(committed[-keep:]) if committed else set()
-        live_dirs = {self._read_marker(v)["dir"] for v in live}
+        # every top-level dir a LIVE version references — including dirs an
+        # older version wrote that a partition-mapped newer version still
+        # points at for its untouched partitions
+        live_dirs: set[str] = set()
+        for v in live:
+            meta = self._read_marker(v)
+            live_dirs.add(meta["dir"])
+            for rel in (meta.get("parts") or {}).values():
+                live_dirs.add(rel.split("/", 1)[0])
         removed_versions: list[int] = []
         removed_orphans: list[str] = []
         for v in committed:
             if v not in live:
                 meta = self._read_marker(v)
                 self._hfs.delete(self._marker(v), False)
-                self._hfs.delete(self._path(meta["dir"]), True)
+                if meta["dir"] not in live_dirs:
+                    self._hfs.delete(self._path(meta["dir"]), True)
                 removed_versions.append(v)
         # after the loop above, every dir still listed that is not a live
         # version's dir is an orphan (crashed or race-losing writer)

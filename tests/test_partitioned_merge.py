@@ -1,21 +1,31 @@
-"""Partition-scoped MERGE: correctness AND the file-level guarantee — a
-delta touching one partition must leave every other partition's files
-physically untouched."""
+"""Partition-scoped MERGE on the commit-manifest layout: correctness AND
+the file-level guarantee — a delta touching one partition must leave every
+other partition's data files physically untouched (the marker's parts map
+keeps pointing at the older versions' immutable dirs)."""
 
 from __future__ import annotations
 
 import os
 
-from enterprise_data_warehouse_spark.sources.sink import merge_upsert_partitioned
+from enterprise_data_warehouse_spark.sources.sink import (
+    merge_upsert_partitioned,
+    read_table,
+)
+from enterprise_data_warehouse_spark.sources.versioned import VersionedTable
 
 
-def _files_with_mtimes(root: str, part: str) -> dict[str, float]:
-    d = os.path.join(root, part)
+def _files_with_mtimes(root: str, rel: str) -> dict[str, float]:
+    d = os.path.join(root, rel)
     return {
         f: os.path.getmtime(os.path.join(d, f))
         for f in os.listdir(d)
         if f.endswith(".parquet")
     }
+
+
+def _parts_map(spark, path: str) -> dict[str, str]:
+    t = VersionedTable(spark, path)
+    return t._read_marker(t.current_version())["parts"]
 
 
 def test_partition_scoped_merge(spark, tmp_path):
@@ -31,8 +41,10 @@ def test_partition_scoped_merge(spark, tmp_path):
     )
     merge_upsert_partitioned(spark, path, initial, ["id"], "date_key")
 
+    parts_v1 = _parts_map(spark, path)
+    assert set(parts_v1) == {"2024-01-01", "2024-01-02", "2024-01-03"}
     untouched_before = {
-        p: _files_with_mtimes(path, f"date_key={p}")
+        p: _files_with_mtimes(path, parts_v1[p])
         for p in ("2024-01-02", "2024-01-03")
     }
 
@@ -42,10 +54,9 @@ def test_partition_scoped_merge(spark, tmp_path):
     )
     merge_upsert_partitioned(spark, path, delta, ["id"], "date_key")
 
-    # partition values type-infer back as dates; compare as strings
     got = {
         (r["id"]): (str(r["date_key"]), r["amount"])
-        for r in spark.read.parquet(path).collect()
+        for r in read_table(spark, path).collect()
     }
     assert got == {
         1: ("2024-01-01", 10.0),
@@ -55,9 +66,14 @@ def test_partition_scoped_merge(spark, tmp_path):
         5: ("2024-01-01", 50.0),  # inserted
     }
 
-    # untouched partitions: identical files, byte-for-byte timestamps
+    # untouched partitions: v2's marker still maps them to v1's dirs, and
+    # those files are identical byte-for-byte timestamps
+    parts_v2 = _parts_map(spark, path)
+    assert parts_v2["2024-01-02"] == parts_v1["2024-01-02"]
+    assert parts_v2["2024-01-03"] == parts_v1["2024-01-03"]
+    assert parts_v2["2024-01-01"] != parts_v1["2024-01-01"]  # rewritten
     for p, before in untouched_before.items():
-        after = _files_with_mtimes(path, f"date_key={p}")
+        after = _files_with_mtimes(path, parts_v2[p])
         assert after == before, p
 
 
@@ -69,4 +85,63 @@ def test_partitioned_merge_idempotent(spark, tmp_path):
     )
     merge_upsert_partitioned(spark, path, batch, ["id"], "date_key")
     merge_upsert_partitioned(spark, path, batch, ["id"], "date_key")
-    assert spark.read.parquet(path).count() == 2
+    assert read_table(spark, path).count() == 2
+
+
+def test_partitioned_merge_kill_before_marker_keeps_table(spark, tmp_path):
+    """Crash window: v2's partition data fully staged but no marker —
+    readers still see v1 complete; a re-run commits cleanly."""
+    path = str(tmp_path / "fact")
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0)],
+        "id int, date_key string, amount double",
+    )
+    merge_upsert_partitioned(spark, path, batch, ["id"], "date_key")
+    t = VersionedTable(spark, path)
+
+    # simulate the dead writer: stage v2-like data with no marker
+    orphan = t._stage_data(
+        spark.createDataFrame([(9, "2024-01-09", 9.0)], batch.schema), version=2
+    )
+    assert os.path.isdir(tmp_path / "fact" / orphan)
+    assert read_table(spark, path).count() == 2  # v1 intact
+
+    delta = spark.createDataFrame([(2, "2024-01-02", 22.0)], batch.schema)
+    merge_upsert_partitioned(spark, path, delta, ["id"], "date_key")
+    got = {r["id"]: r["amount"] for r in read_table(spark, path).collect()}
+    assert got == {1: 1.0, 2: 22.0}
+    # vacuum reclaims the orphan but must KEEP v1's dir — v2's parts map
+    # still references it for the untouched partition
+    removed = t.vacuum(keep=1)
+    assert orphan in removed["orphans"]
+    got = {r["id"]: r["amount"] for r in read_table(spark, path).collect()}
+    assert got == {1: 1.0, 2: 22.0}
+
+
+def test_plain_parquet_target_is_adopted(spark, tmp_path):
+    """A pre-existing plain (hive-partitioned) parquet table is migrated
+    into the manifest layout on first merge; nothing is lost."""
+    path = str(tmp_path / "fact")
+    initial = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0)],
+        "id int, date_key string, amount double",
+    )
+    initial.write.partitionBy("date_key").parquet(path)  # legacy layout
+    delta = spark.createDataFrame(
+        [(2, "2024-01-02", 22.0), (3, "2024-01-03", 3.0)],
+        "id int, date_key string, amount double",
+    )
+    merge_upsert_partitioned(spark, path, delta, ["id"], "date_key")
+    got = {
+        r["id"]: (str(r["date_key"]), r["amount"])
+        for r in read_table(spark, path).collect()
+    }
+    assert got == {
+        1: ("2024-01-01", 1.0),
+        2: ("2024-01-02", 22.0),
+        3: ("2024-01-03", 3.0),
+    }
+    # legacy hive dirs are gone; manifest layout only
+    top = set(os.listdir(path))
+    assert "_commits" in top
+    assert not [d for d in top if d.startswith("date_key=")]

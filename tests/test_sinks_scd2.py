@@ -10,6 +10,7 @@ from enterprise_data_warehouse_spark.sources.sink import (
     incremental_build,
     merge_upsert,
     read_csv_seed,
+    read_table,
     read_watermark,
     write_table,
 )
@@ -44,7 +45,7 @@ def test_merge_upsert_delta_wins(spark, tmp_path):
     write_table(o, path)
     delta = o.limit(100).withColumn("o_totalprice", F.lit(-1.0))
     merge_upsert(spark, path, delta, ["o_orderkey"])
-    merged = spark.read.parquet(path)
+    merged = read_table(spark, path)
     assert merged.count() == o.count()
     assert merged.where(F.col("o_totalprice") == -1.0).count() == 100
 
@@ -57,10 +58,10 @@ def test_incremental_build_idempotent(spark, tmp_path):
     wm = read_watermark(spark, path, "o_orderdate", "1900-01-01")
     assert wm.startswith("1999")
     incremental_build(spark, path, o, "o_orderdate", ["o_orderkey"])
-    assert spark.read.parquet(path).count() == o.count()
+    assert read_table(spark, path).count() == o.count()
     # replay: nothing newer than watermark → no change
     incremental_build(spark, path, o, "o_orderdate", ["o_orderkey"])
-    assert spark.read.parquet(path).count() == o.count()
+    assert read_table(spark, path).count() == o.count()
 
 
 def test_scd2_invariants_two_batches(spark):
@@ -190,7 +191,7 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
     merge_upsert(spark, path, v2, ["id"], evolve_schema=True)
     got = {
         r["id"]: (r["val"], r["score"])
-        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+        for r in read_table(spark, path, merge_schema=True).collect()
     }
     assert got == {1: ("a", None), 2: ("b2", 20.0), 3: ("c", 30.0)}
 
@@ -198,7 +199,7 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
     merge_upsert(spark, path, v3, ["id"], evolve_schema=True)
     got = {
         r["id"]: (r["val"], r["score"])
-        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+        for r in read_table(spark, path, merge_schema=True).collect()
     }
     assert got[4] == ("d", None) and got[2] == ("b2", 20.0) and len(got) == 4
 

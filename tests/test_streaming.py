@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from enterprise_data_warehouse_spark.queries import load_registry
 from enterprise_data_warehouse_spark.sources.tables import load_table
+from enterprise_data_warehouse_spark.sources.sink import read_table
 from enterprise_data_warehouse_spark.streaming.incremental import (
     read_file_stream,
     stream_incremental_merge,
@@ -66,7 +67,7 @@ def test_stream_incremental_merge_two_batches(spark, tmp_path):
         read_file_stream(spark, src_dir, schema), target, ["o_orderkey"], ckpt
     )
     q.awaitTermination()
-    n1 = spark.read.parquet(target).count()
+    n1 = read_table(spark, target).count()
     assert n1 == o.where(F.col("o_orderdate") < "2000-01-01").count()
 
     # batch 2 arrives: late + restated rows (1999 re-sent with new price)
@@ -78,7 +79,7 @@ def test_stream_incremental_merge_two_batches(spark, tmp_path):
         read_file_stream(spark, src_dir, schema), target, ["o_orderkey"], ckpt
     )
     q2.awaitTermination()
-    merged = spark.read.parquet(target)
+    merged = read_table(spark, target)
     assert merged.count() == o.count()  # last-write-wins, no dupes
     # every 1999+ row must carry the restated price
     assert (

@@ -180,3 +180,53 @@ def test_erase_on_missing_subjects_is_noop_commit(spark, tmp_path):
     audit = t.erase(spark.createDataFrame([(99,)], "id int"), ["id"])
     assert audit["n_erased"] == 0
     assert _rows(t.read()) == {(1, "a"), (2, "b")}
+
+
+def test_merge_upsert_runs_on_manifest_protocol(spark, tmp_path):
+    """sink.merge_upsert (the default S9 MERGE path) now commits through
+    the manifest: every merge is a new immutable version, the kill window
+    between data write and marker leaves the previous version live, and
+    read_table resolves the committed state."""
+    from enterprise_data_warehouse_spark.sources.sink import (
+        merge_upsert,
+        read_table,
+    )
+
+    path = str(tmp_path / "t")
+    merge_upsert(spark, path, _mk(spark, [(1, "a"), (2, "b")]), ["id"])
+    t = VersionedTable(spark, path)
+    assert t.current_version() == 1
+    merge_upsert(spark, path, _mk(spark, [(2, "B"), (3, "c")]), ["id"])
+    assert t.current_version() == 2
+    assert _rows(read_table(spark, path)) == {(1, "a"), (2, "B"), (3, "c")}
+
+    # kill window: stage v3 data, die before the marker → readers see v2
+    t._stage_data(_mk(spark, [(9, "ghost")]), version=3)
+    assert _rows(read_table(spark, path)) == {(1, "a"), (2, "B"), (3, "c")}
+
+    # replayed merge (same delta) converges, no duplicates
+    merge_upsert(spark, path, _mk(spark, [(2, "B"), (3, "c")]), ["id"])
+    assert _rows(read_table(spark, path)) == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_merge_upsert_adopts_plain_table(spark, tmp_path):
+    """A pre-existing plain-parquet target (legacy write_table output)
+    migrates to the manifest on first merge with nothing lost."""
+    from enterprise_data_warehouse_spark.sources.sink import (
+        merge_upsert,
+        read_table,
+        write_table,
+    )
+
+    path = str(tmp_path / "t")
+    write_table(_mk(spark, [(1, "a"), (2, "b")]), path)
+    merge_upsert(spark, path, _mk(spark, [(2, "B")]), ["id"])
+    assert _rows(read_table(spark, path)) == {(1, "a"), (2, "B")}
+    t = VersionedTable(spark, path)
+    assert t.current_version() == 2  # v1 = adopted plain, v2 = merge
+    # no stray plain part-files left at the root
+    stray = [
+        f for f in os.listdir(tmp_path / "t")
+        if f.endswith(".parquet") or f.startswith("part-")
+    ]
+    assert not stray

@@ -1,19 +1,24 @@
-"""Scaling probe: measure headline-query wall time across sf0.001/0.01/0.1
-and report per-query throughput (input rows/sec) at each scale — the
-evidence that plans are linear in input size (flat-or-rising throughput as
-fixed JVM/planning overhead amortizes) rather than quadratic (collapsing
+"""Scaling probe: measure headline-query wall time across sf0.001 → sf1
+(four decades total, two decades of 10× steps at the top) and report
+per-query throughput (input rows/sec) at each scale — the evidence that
+plans are linear in input size (flat-or-rising throughput as fixed
+JVM/planning overhead amortizes) rather than quadratic (collapsing
 throughput).
 
 Usage: python tools/scaling_probe.py   (prints a table; paste into SCALING.md)
 
-Driver-table row counts scale 10× per step for the relational tables
-(lineitem/orders/events); the corpus tables step 500→500→5000 docs and
-500→500→2000 vectors, so corpus queries report only the sf0.01→sf0.1 step.
-Timing is best-of-3 in one warm session per SF (min damps host steal).
+sf0.001/0.01/0.1 are the driver's sets under /root/testdata; sf1 is the
+locally generated replica set (tools/make_sf1.py → /root/repo/testdata_sf1,
+6M lineitem rows, shingle-disjoint document copies). Driver-table rows
+scale 10× per step for the relational tables; the corpus tables step
+500→500→5000→50000 docs and 500→500→2000→20000 vectors, so corpus queries
+report their ratios from the sf0.01→0.1→1 steps. Timing is best-of-N in
+one warm session per SF (min damps host steal).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -23,26 +28,41 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from enterprise_data_warehouse_spark.queries import load_registry  # noqa: E402
 from enterprise_data_warehouse_spark.session import get_spark  # noqa: E402
 
-SFS = ["0.001", "0.01", "0.1"]
-
-# query -> (driving table, rows at sf0.001/0.01/0.1)
-PROBES = {
-    "pricing_summary": ("lineitem", [6000, 60000, 600000]),
-    "star_revenue_rollup": ("lineitem", [6000, 60000, 600000]),
-    "large_orders": ("lineitem", [6000, 60000, 600000]),
-    "session_metrics_batch": ("events", [1000, 10000, 100000]),
-    "sequence_packing": ("documents", [500, 500, 5000]),
-    "minhash_lsh_candidates": ("documents", [500, 500, 5000]),
-    "ngram_jaccard_pairs": ("documents", [500, 500, 5000]),
-    "text_quality_scores": ("documents", [500, 500, 5000]),
-    "cosine_topk": ("embeddings", [500, 500, 2000]),
+SF_DIRS = {
+    "0.001": "/root/testdata/sf0.001",
+    "0.01": "/root/testdata/sf0.01",
+    "0.1": "/root/testdata/sf0.1",
+    "1": "/root/repo/testdata_sf1",
 }
+SFS = [sf for sf in SF_DIRS if os.path.isdir(SF_DIRS[sf])]
 
-RUNS = 3
+# query -> (driving table, rows at each sf, runs)
+PROBES = {
+    "pricing_summary": ("lineitem", [6e3, 6e4, 6e5, 6e6], 3),
+    "star_revenue_rollup": ("lineitem", [6e3, 6e4, 6e5, 6e6], 3),
+    "large_orders": ("lineitem", [6e3, 6e4, 6e5, 6e6], 3),
+    "session_metrics_batch": ("events", [1e3, 1e4, 1e5, 1e6], 3),
+    "sequence_packing": ("documents", [500, 500, 5000, 50000], 3),
+    "minhash_lsh_candidates": ("documents", [500, 500, 5000, 50000], 3),
+    "ngram_jaccard_pairs": ("documents", [500, 500, 5000, 50000], 3),
+    "text_quality_scores": ("documents", [500, 500, 5000, 50000], 3),
+    "cosine_topk": ("embeddings", [500, 500, 2000, 20000], 3),
+    # heavy ops (VERDICT r03 #6): best-of-2 — each single run is already
+    # seconds-long, so steal averages out within the run
+    "prefix_filter_jaccard_pairs": ("documents", [500, 500, 5000, 50000], 2),
+    "bipartite_pagerank": ("events", [1e3, 1e4, 1e5, 1e6], 2),
+    "near_dup_clusters": ("documents", [500, 500, 5000, 50000], 2),
+}
 
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(builder, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    force(builder(spark, sf_dir))
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -50,33 +70,30 @@ def main() -> None:
     times: dict[str, list[float]] = {n: [] for n in PROBES}
     for sf in SFS:
         spark = get_spark(f"scaling-sf{sf}")
-        sf_dir = f"/root/testdata/sf{sf}"
+        sf_dir = SF_DIRS[sf]
         # warm JVM/classloading once per session
         force(reg["pricing_summary"].fn(spark, sf_dir))
-        for name in PROBES:
-            best = min(
-                _timed(force, reg[name].fn, spark, sf_dir) for _ in range(RUNS)
-            )
+        for name, (_, _, runs) in PROBES.items():
+            best = min(_timed(reg[name].fn, spark, sf_dir) for _ in range(runs))
             times[name].append(best)
         spark.stop()
 
-    hdr = f"{'query':28s} " + "".join(f"{'sf' + sf:>10s}" for sf in SFS)
-    print(hdr + f"{'rows/s@0.01':>14s}{'rows/s@0.1':>14s}{'ratio':>8s}")
-    for name, (table, rows) in PROBES.items():
+    hdr = f"{'query':28s} " + "".join(f"{'sf' + sf:>9s}" for sf in SFS)
+    print(
+        hdr
+        + f"{'r/s@0.1':>11s}{'r/s@1':>11s}{'ratio01':>9s}{'ratio1':>8s}"
+    )
+    for name, (table, rows, _) in PROBES.items():
         ts = times[name]
         tp = [r / t for r, t in zip(rows, ts)]
-        ratio = tp[2] / tp[1]
+        ratio01 = tp[2] / tp[1] if len(tp) > 2 else float("nan")
+        ratio1 = tp[3] / tp[2] if len(tp) > 3 else float("nan")
         print(
             f"{name:28s} "
-            + "".join(f"{t:9.2f}s" for t in ts)
-            + f"{tp[1]:14.0f}{tp[2]:14.0f}{ratio:8.2f}"
+            + "".join(f"{t:8.2f}s" for t in ts)
+            + f"{tp[2]:11.0f}{tp[3] if len(tp) > 3 else float('nan'):11.0f}"
+            + f"{ratio01:9.2f}{ratio1:8.2f}"
         )
-
-
-def _timed(force_fn, builder, spark, sf_dir) -> float:
-    t0 = time.perf_counter()
-    force_fn(builder(spark, sf_dir))
-    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":
