@@ -56,6 +56,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    import gc
+
     for name, spec in bench_queries.items():
         rs = []
         for _ in range(3 if name in REGRESSION_WATCH else 2):
@@ -64,6 +66,14 @@ def main() -> None:
             rs.append(round(time.perf_counter() - t0, 3))
         runs[name] = rs
         timings[name] = min(rs)
+        # Isolate queries from each other's session residue: iterative
+        # queries localCheckpoint intermediate RDDs which linger on the
+        # heap until the ContextCleaner notices the dropped references —
+        # measured to inflate LATER queries' timings by several× in a
+        # 29-query session. Dropping caches + forcing a driver GC cycle
+        # between queries makes each number measure that query alone.
+        spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(
