@@ -145,3 +145,19 @@ def test_plain_parquet_target_is_adopted(spark, tmp_path):
     top = set(os.listdir(path))
     assert "_commits" in top
     assert not [d for d in top if d.startswith("date_key=")]
+
+
+def test_read_partitions_prunes_via_manifest(spark, tmp_path):
+    """read_partitions returns only the named partitions' rows by path
+    selection over the marker's parts map — driver-side file pruning, no
+    scan of other partitions."""
+    path = str(tmp_path / "fact")
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0), (3, "2024-01-03", 3.0)],
+        "id int, date_key string, amount double",
+    )
+    merge_upsert_partitioned(spark, path, batch, ["id"], "date_key")
+    t = VersionedTable(spark, path)
+    one = t.read_partitions(["2024-01-02"])
+    assert {r["id"] for r in one.collect()} == {2}
+    assert t.read_partitions(["2099-01-01"]) is None
