@@ -141,9 +141,24 @@ def merge_upsert(
     columns widens the table (old rows null-fill), a source MISSING columns
     still merges (its rows null-fill the gap). Default off: an unexpected
     schema drift should fail loudly unless the caller opted into
-    evolution."""
+    evolution.
+
+    Lost commit races self-heal: a concurrent writer winning the version
+    marker raises ConcurrentWriteError inside the protocol; this wrapper
+    re-derives the merge against the NEW current version and retries (the
+    documented optimistic-concurrency loop, Delta-on-S3 stance) up to 3
+    times before surfacing the conflict."""
+    from .versioned import ConcurrentWriteError
+
     _adopt_plain(spark, path)
-    _versioned(spark, path).merge(src, keys, evolve_schema=evolve_schema)
+    t = _versioned(spark, path)
+    for attempt in range(3):
+        try:
+            t.merge(src, keys, evolve_schema=evolve_schema)
+            return
+        except ConcurrentWriteError:
+            if attempt == 2:
+                raise
 
 
 def merge_upsert_partitioned(

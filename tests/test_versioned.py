@@ -230,3 +230,53 @@ def test_merge_upsert_adopts_plain_table(spark, tmp_path):
         if f.endswith(".parquet") or f.startswith("part-")
     ]
     assert not stray
+
+
+def test_merge_upsert_retries_lost_commit_race(spark, tmp_path):
+    """Optimistic concurrency self-heals at the sink level: when another
+    writer steals the version marker mid-merge, merge_upsert re-derives
+    against the winner's table and retries — the final state contains BOTH
+    writers' rows with source-wins semantics, not an exception."""
+    from enterprise_data_warehouse_spark.sources.sink import (
+        merge_upsert,
+        read_table,
+    )
+
+    path = str(tmp_path / "t")
+    t = VersionedTable(spark, path)
+    t.commit(_mk(spark, [(1, "a"), (2, "b")]))
+
+    # interpose: the FIRST marker create is beaten by a racing writer
+    original = VersionedTable._create_marker
+    state = {"raced": False}
+
+    def racing_create(self, version, meta):
+        if not state["raced"]:
+            state["raced"] = True
+            # the racing writer lands the same version first — with ITS
+            # merge result (v1 ∪ its delta), as a real MERGE writer would
+            rival = _mk(spark, [(1, "a"), (2, "b"), (9, "rival")])
+            original(
+                self,
+                version,
+                {
+                    "version": version,
+                    "dir": self._stage_data(rival, version),
+                    "op": "merge",
+                },
+            )
+        return original(self, version, meta)
+
+    VersionedTable._create_marker = racing_create
+    try:
+        merge_upsert(spark, path, _mk(spark, [(2, "B"), (3, "c")]), ["id"])
+    finally:
+        VersionedTable._create_marker = original
+
+    assert state["raced"]
+    assert _rows(read_table(spark, path)) == {
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+        (9, "rival"),
+    }
