@@ -91,19 +91,30 @@ def _adopt_plain(spark: SparkSession, path: str) -> None:
     leaves stale-but-invisible files (read_table prefers the manifest).
     A later merge_partitioned converts v1 to the partition-mapped layout
     on its first run."""
+    from .versioned import _DIR_RE
+
     t = _versioned(spark, path)
     if t.exists() or not _target_exists(spark, path):
         return
     jvm, fs, hpath = fs_handles(spark, path)
-    old_entries = [st.getPath() for st in fs.listStatus(hpath)]
-    if not old_entries:
+    # adopt only the PLAIN entries: a crashed writer may have left orphan
+    # v*-* staging dirs (or an empty _commits) next to the legacy files —
+    # reading the whole root would trip over them. basePath keeps hive
+    # partition columns recoverable when entries are key=value dirs.
+    plain_entries = [
+        st.getPath()
+        for st in fs.listStatus(hpath)
+        if st.getPath().getName() != "_commits"
+        and not _DIR_RE.match(st.getPath().getName())
+    ]
+    if not plain_entries:
         return
-    plain = spark.read.parquet(path)
+    plain = spark.read.option("basePath", path).parquet(
+        *[p.toString() for p in plain_entries]
+    )
     t.commit(plain, op="adopt")
-    committed = {t._read_marker(t.current_version())["dir"], "_commits"}
-    for p in old_entries:
-        if p.getName() not in committed:
-            fs.delete(p, True)
+    for p in plain_entries:
+        fs.delete(p, True)
 
 
 def read_table(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
@@ -177,9 +188,20 @@ def merge_upsert_partitioned(
     untouched partitions at their existing immutable dirs — Delta's
     add-file pruning with marker-last crash safety, replacing the old
     in-place dynamic-partition overwrite (which had a non-atomic window
-    per partition directory). Read results back with ``read_table``."""
+    per partition directory). Read results back with ``read_table``.
+    Lost commit races self-heal by re-deriving against the winner's
+    version, same as merge_upsert."""
+    from .versioned import ConcurrentWriteError
+
     _adopt_plain(spark, path)
-    _versioned(spark, path).merge_partitioned(src, keys, partition_col)
+    t = _versioned(spark, path)
+    for attempt in range(3):
+        try:
+            t.merge_partitioned(src, keys, partition_col)
+            return
+        except ConcurrentWriteError:
+            if attempt == 2:
+                raise
 
 
 def _target_exists(spark: SparkSession, path: str) -> bool:

@@ -280,3 +280,25 @@ def test_merge_upsert_retries_lost_commit_race(spark, tmp_path):
         (3, "c"),
         (9, "rival"),
     }
+
+
+def test_adoption_survives_crashed_staging_dir(spark, tmp_path):
+    """Crash shape: a legacy plain table plus an orphan v*-* staging dir
+    from a writer that died before its first marker. Adoption must read
+    ONLY the plain files (the orphan would poison a whole-root read),
+    migrate them to v1, and merge cleanly."""
+    from enterprise_data_warehouse_spark.sources.sink import (
+        merge_upsert,
+        read_table,
+        write_table,
+    )
+
+    path = str(tmp_path / "t")
+    write_table(_mk(spark, [(1, "a"), (2, "b")]), path)
+    # orphan staging dir with DIFFERENT data — must not leak into v1
+    t = VersionedTable(spark, path)
+    t._stage_data(_mk(spark, [(9, "ghost")]), version=1)
+    assert not t.exists()  # no marker: still a "plain" table to adopt
+
+    merge_upsert(spark, path, _mk(spark, [(2, "B")]), ["id"])
+    assert _rows(read_table(spark, path)) == {(1, "a"), (2, "B")}
