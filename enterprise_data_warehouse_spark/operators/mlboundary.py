@@ -373,10 +373,12 @@ def make_scorer(weights: dict[str, float], bias: float):
     Determinism notes (what makes the output oracle-comparable): z
     accumulates in weights-dict insertion order with plain IEEE adds (the
     SQL mirror uses the same association); the probability is rounded to 6
-    decimals because libm exp() may differ between engines in the last ULP;
-    the class label comes from ``z >= 0`` (exactly equivalent to
-    prob >= 0.5, but decided on the pre-exp value both engines agree on
-    bit-for-bit)."""
+    decimals because libm exp() may differ between engines in the last ULP
+    — via an EXPLICIT floor(p*1e6 + 0.5)/1e6 written identically in both
+    engines (np.round is half-to-even while SQL ROUND is half-away, so the
+    builtin rounders themselves can disagree at boundaries); the class
+    label comes from ``z >= 0`` (exactly equivalent to prob >= 0.5, but
+    decided on the pre-exp value both engines agree on bit-for-bit)."""
     import pandas as pd  # noqa: F401 — signature documentation
 
     def score(batches):
@@ -386,7 +388,8 @@ def make_scorer(weights: dict[str, float], bias: float):
             z = np.full(len(pdf), bias)
             for feat, w in weights.items():
                 z = z + w * pdf[feat].to_numpy()
-            prob = np.round(1.0 / (1.0 + np.exp(-z)), 6)
+            p = 1.0 / (1.0 + np.exp(-z))
+            prob = np.floor(p * 1000000.0 + 0.5) / 1000000.0
             out = pdf[["customer_id"]].copy()
             out["churn_probability"] = prob
             out["churn_prediction"] = (z >= 0).astype("int32")
@@ -411,7 +414,8 @@ WITH feats AS (
   FROM feats
 )
 SELECT customer_id,
-  ROUND(1.0 / (1.0 + EXP(-z)), 6) AS churn_probability,
+  FLOOR((1.0 / (1.0 + EXP(-z))) * 1000000.0 + 0.5) / 1000000.0
+    AS churn_probability,
   CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS INT) AS churn_prediction
 FROM scored
 """

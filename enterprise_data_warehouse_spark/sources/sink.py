@@ -109,10 +109,22 @@ def _adopt_plain(spark: SparkSession, path: str) -> None:
     ]
     if not plain_entries:
         return
-    plain = spark.read.option("basePath", path).parquet(
-        *[p.toString() for p in plain_entries]
-    )
-    t.commit(plain, op="adopt")
+    from .versioned import ConcurrentWriteError
+
+    try:
+        plain = spark.read.option("basePath", path).parquet(
+            *[p.toString() for p in plain_entries]
+        )
+        t.commit(plain, op="adopt")
+    except ConcurrentWriteError:
+        return  # a racing writer adopted first — its v1 is the same data
+    except Exception:
+        # the racing winner may have deleted the plain files mid-read; if
+        # a committed version now exists the adoption is complete — any
+        # other failure is real and propagates
+        if t.exists():
+            return
+        raise
     for p in plain_entries:
         fs.delete(p, True)
 

@@ -225,8 +225,13 @@ class VersionedTable:
         version = (current or 0) + 1
         prev = self._read_marker(current) if current else None
         parts: dict[str, str] = dict((prev or {}).get("parts") or {})
+        # NULL partition values land in the hive default dir; key the parts
+        # map by that same name so a null partition's survivors are found
+        # (a str(None) key would orphan the existing null partition — data
+        # loss on the second merge touching it)
+        null_key = "__HIVE_DEFAULT_PARTITION__"
         touched = [
-            str(r[0])
+            null_key if r[0] is None else str(r[0])
             for r in src.select(F.col(partition_col).cast("string")).distinct().collect()
         ]
         if prev and not parts:

@@ -172,9 +172,10 @@ def stream_mv_merge(
     multi-batch arrivals + restarts from the checkpoint). Cost per batch:
     |batch| + |touched groups| — the base stream is never replayed.
 
-    The MV stores (keys, n, sum_dec DECIMAL(38,10)) plus a constant
-    ``_last_batch_id`` column; readers drop the underscore column and
-    finalize (e.g. dec2dbl) at query time, exactly like mv_rollup_routing.
+    The MV stores (keys, n, sum_dec DECIMAL(38,10)) plus two constant
+    columns — ``_last_batch_id`` and ``_ckpt`` (hash of the checkpoint
+    location) — which readers drop; finalize (e.g. dec2dbl) at query time,
+    exactly like mv_rollup_routing.
 
     Failure semantics: "first batch" is decided by an explicit fs.exists
     probe — a transient read error on the stored MV PROPAGATES and fails
@@ -182,10 +183,17 @@ def stream_mv_merge(
     for an empty MV and silently replacing history with one batch's
     partials. ``_last_batch_id`` makes the merge idempotent per batch_id:
     a crash between the staged swap and the checkpoint commit replays the
-    batch, sees its id already folded in, and skips — no double-merge."""
+    batch, sees its id already folded in, and skips — no double-merge.
+    The guard is scoped to ONE checkpoint lineage via ``_ckpt``: batch ids
+    restart from 0 under a fresh checkpoint, so comparing them across
+    checkpoints would silently discard genuinely new data — a different
+    checkpoint's batches always merge."""
+    import hashlib
     import uuid as _uuid
 
     from ..sources.sink import fs_handles, staged_swap
+
+    ckpt_id = hashlib.md5(checkpoint.encode()).hexdigest()[:16]
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -199,11 +207,16 @@ def stream_mv_merge(
         if fs.exists(hpath):
             existing = spark.read.parquet(target_path)
             if "_last_batch_id" in existing.columns:
-                # Constant column → one row answers the replay probe.
-                row = existing.select("_last_batch_id").first()
-                if row is not None and row[0] is not None and batch_id <= row[0]:
-                    return  # replayed batch: already folded into the MV
-                existing = existing.drop("_last_batch_id")
+                # Constant columns → one row answers the replay probe.
+                row = existing.select("_last_batch_id", "_ckpt").first()
+                if (
+                    row is not None
+                    and row[0] is not None
+                    and row[1] == ckpt_id
+                    and batch_id <= row[0]
+                ):
+                    return  # replayed batch of THIS stream: already folded in
+                existing = existing.drop("_last_batch_id", "_ckpt")
             merged = (
                 existing.unionByName(partial)
                 .groupBy(*group_keys)
@@ -211,7 +224,9 @@ def stream_mv_merge(
             )
         else:
             merged = partial
-        merged = merged.withColumn("_last_batch_id", F.lit(batch_id))
+        merged = merged.withColumn("_last_batch_id", F.lit(batch_id)).withColumn(
+            "_ckpt", F.lit(ckpt_id)
+        )
         staged = target_path + "_staged-" + _uuid.uuid4().hex[:8]
         merged.write.mode("overwrite").parquet(staged)
         staged_swap(spark, staged, target_path)

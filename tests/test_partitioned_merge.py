@@ -161,3 +161,29 @@ def test_read_partitions_prunes_via_manifest(spark, tmp_path):
     one = t.read_partitions(["2024-01-02"])
     assert {r["id"] for r in one.collect()} == {2}
     assert t.read_partitions(["2099-01-01"]) is None
+
+
+def test_null_partition_values_survive_merges(spark, tmp_path):
+    """NULL partition values land in the hive default dir; the parts map
+    must key them consistently so a later merge touching the null
+    partition finds its survivors (regression: str(None) key orphaned the
+    existing null partition — silent data loss)."""
+    path = str(tmp_path / "fact")
+    batch = spark.createDataFrame(
+        [(1, None, 1.0), (2, "2024-01-02", 2.0)],
+        "id int, date_key string, amount double",
+    )
+    merge_upsert_partitioned(spark, path, batch, ["id"], "date_key")
+    delta = spark.createDataFrame(
+        [(3, None, 3.0)], "id int, date_key string, amount double"
+    )
+    merge_upsert_partitioned(spark, path, delta, ["id"], "date_key")
+    got = {
+        r["id"]: (r["date_key"], r["amount"])
+        for r in read_table(spark, path).collect()
+    }
+    assert got == {
+        1: (None, 1.0),  # existing null-partition row survives
+        2: ("2024-01-02", 2.0),
+        3: (None, 3.0),
+    }

@@ -242,6 +242,9 @@ def test_stream_mv_merge_equals_full_recompute(spark, tmp_path):
     drain()
     batch2 = o.where(F.col("o_orderkey") % 3 == 0)
     batch2.write.mode("append").parquet(src_dir)
+    import shutil as _sh
+
+    _sh.copytree(ckpt, str(tmp_path / "ckpt_snapshot"))  # pre-batch-2 state
     drain()  # restart from checkpoint: only batch2 is new
 
     got = {
@@ -259,17 +262,16 @@ def test_stream_mv_merge_equals_full_recompute(spark, tmp_path):
     }
     assert got == expect
 
-    # Replay guard: a fresh checkpoint re-delivers every file under the same
-    # batch ids (the crash-between-swap-and-commit shape). The _last_batch_id
-    # stored with the MV must make the re-merge a no-op, not a double count.
-    q = stream_mv_merge(
-        read_file_stream(spark, src_dir, schema),
-        mv,
-        ["o_orderstatus"],
-        "o_totalprice",
-        str(tmp_path / "ckpt_replay"),
-    )
-    q.awaitTermination()
+    # Crash-replay guard: restore the checkpoint to its pre-batch-2 state
+    # (as if the MV swap landed but the checkpoint commit was lost) — the
+    # SAME batch id is re-delivered from the SAME lineage, and the
+    # (_ckpt, _last_batch_id) pair stored with the MV must make the
+    # re-merge a no-op, not a double count.
+    import shutil
+
+    shutil.rmtree(ckpt)
+    shutil.copytree(str(tmp_path / "ckpt_snapshot"), ckpt)
+    drain()
     got_after_replay = {
         r["o_orderstatus"]: (r["n"], str(r["sum_dec"]))
         for r in spark.read.parquet(mv).collect()

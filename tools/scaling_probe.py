@@ -34,7 +34,12 @@ SF_DIRS = {
     "0.1": "/root/testdata/sf0.1",
     "1": "/root/repo/testdata_sf1",
 }
-SFS = [sf for sf in SF_DIRS if os.path.isdir(SF_DIRS[sf])]
+ALL_SFS = list(SF_DIRS)
+SFS = [sf for sf in ALL_SFS if os.path.isdir(SF_DIRS[sf])]
+# PROBES row lists are positional over ALL_SFS; select the indices of the
+# scales actually present so rows stay aligned with timings when a data
+# dir is missing (e.g. sf1 not yet generated on this host)
+SF_IDX = [ALL_SFS.index(sf) for sf in SFS]
 
 # query -> (driving table, rows at each sf, runs)
 PROBES = {
@@ -79,20 +84,23 @@ def main() -> None:
         spark.stop()
 
     hdr = f"{'query':28s} " + "".join(f"{'sf' + sf:>9s}" for sf in SFS)
+    top, prev = SFS[-1], SFS[-2] if len(SFS) > 1 else SFS[-1]
     print(
         hdr
-        + f"{'r/s@0.1':>11s}{'r/s@1':>11s}{'ratio01':>9s}{'ratio1':>8s}"
+        + f"{'r/s@' + prev:>11s}{'r/s@' + top:>11s}"
+        + f"{'ratio@' + prev:>10s}{'ratio@' + top:>9s}"
     )
     for name, (table, rows, _) in PROBES.items():
         ts = times[name]
-        tp = [r / t for r, t in zip(rows, ts)]
-        ratio01 = tp[2] / tp[1] if len(tp) > 2 else float("nan")
-        ratio1 = tp[3] / tp[2] if len(tp) > 3 else float("nan")
+        rows_sel = [rows[i] for i in SF_IDX]
+        tp = [r / t for r, t in zip(rows_sel, ts)]
+        r_prev = tp[-2] / tp[-3] if len(tp) > 2 else float("nan")
+        r_top = tp[-1] / tp[-2] if len(tp) > 1 else float("nan")
         print(
             f"{name:28s} "
             + "".join(f"{t:8.2f}s" for t in ts)
-            + f"{tp[2]:11.0f}{tp[3] if len(tp) > 3 else float('nan'):11.0f}"
-            + f"{ratio01:9.2f}{ratio1:8.2f}"
+            + f"{tp[-2] if len(tp) > 1 else float('nan'):11.0f}{tp[-1]:11.0f}"
+            + f"{r_prev:10.2f}{r_top:9.2f}"
         )
 
 
