@@ -220,7 +220,14 @@ class VersionedTable:
 
         The staged dir nests one subdir per touched partition
         (``_pv=<value>``); the partition column itself stays in the data
-        files so a mapped subdir is self-contained."""
+        files so a mapped subdir is self-contained.
+
+        Contract: the merge key must be PARTITION-STABLE (a key never
+        moves between partition values) — survivors are read only from
+        touched partitions, so a key migrating from an untouched partition
+        would leave its old row behind (the same contract Delta MERGE has
+        under partition-pruning predicates; fact tables keyed on
+        (entity, date) satisfy it by construction)."""
         current = self.current_version()
         version = (current or 0) + 1
         prev = self._read_marker(current) if current else None

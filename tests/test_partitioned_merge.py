@@ -187,3 +187,25 @@ def test_null_partition_values_survive_merges(spark, tmp_path):
         2: ("2024-01-02", 2.0),
         3: (None, 3.0),
     }
+
+
+def test_date_typed_partition_column(spark, tmp_path):
+    """A DATE-typed partition key must round-trip through the string-keyed
+    parts map (cast-to-string on the touched list == hive dir name) and
+    keep its type in the data files."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "fact")
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0)],
+        "id int, d string, amount double",
+    ).withColumn("d", F.col("d").cast("date"))
+    merge_upsert_partitioned(spark, path, batch, ["id"], "d")
+    delta = spark.createDataFrame(
+        [(2, "2024-01-02", 22.0)], "id int, d string, amount double"
+    ).withColumn("d", F.col("d").cast("date"))
+    merge_upsert_partitioned(spark, path, delta, ["id"], "d")
+    out = read_table(spark, path)
+    assert dict(out.dtypes)["d"] == "date"
+    got = {r["id"]: (str(r["d"]), r["amount"]) for r in out.collect()}
+    assert got == {1: ("2024-01-01", 1.0), 2: ("2024-01-02", 22.0)}

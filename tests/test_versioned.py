@@ -302,3 +302,63 @@ def test_adoption_survives_crashed_staging_dir(spark, tmp_path):
 
     merge_upsert(spark, path, _mk(spark, [(2, "B")]), ["id"])
     assert _rows(read_table(spark, path)) == {(1, "a"), (2, "B")}
+
+
+def test_randomized_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: a seeded random interleaving of commits, plain
+    merges, partition-mapped merges, crashed writers (staged data, no
+    marker), and vacuums must always read back exactly what a dict model
+    predicts — the protocol's invariants hold under composition, not just
+    in the hand-picked scenarios above. The merge key is (id, part):
+    partition-scoped MERGE contracts that the key is partition-stable
+    (same as Delta MERGE under partition pruning), so the model keys on
+    the pair."""
+    import random
+
+    for seed in (7, 23, 41):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"t{seed}")
+        t = VersionedTable(spark, path)
+        model: dict[tuple[int, str], str] = {}  # (id, part) -> val
+
+        def mkdf(rows):
+            return spark.createDataFrame(rows, "id int, part string, val string")
+
+        def rand_rows(n):
+            return [
+                (
+                    rng.randint(1, 8),
+                    rng.choice(["p1", "p2", "p3"]),
+                    f"v{rng.randint(0, 99)}",
+                )
+                for _ in range(n)
+            ]
+
+        for step in range(14):
+            op = rng.choice(["commit", "merge", "merge_part", "crash", "vacuum"])
+            rows = rand_rows(rng.randint(1, 4))
+            # de-dup keys within a batch (upsert source must be key-unique)
+            rows = list({(r[0], r[1]): r for r in rows}.values())
+            if op == "commit":
+                t.commit(mkdf(rows))
+                model = {(r[0], r[1]): r[2] for r in rows}
+            elif op == "merge":
+                t.merge(mkdf(rows), keys=["id", "part"])
+                for r in rows:
+                    model[(r[0], r[1])] = r[2]
+            elif op == "merge_part":
+                t.merge_partitioned(
+                    mkdf(rows), keys=["id", "part"], partition_col="part"
+                )
+                for r in rows:
+                    model[(r[0], r[1])] = r[2]
+            elif op == "crash":
+                if t.exists():
+                    t._stage_data(mkdf(rows), version=t.current_version() + 1)
+            elif op == "vacuum":
+                t.vacuum(keep=rng.choice([1, 2]))
+            if t.exists():
+                got = {
+                    (r["id"], r["part"]): r["val"] for r in t.read().collect()
+                }
+                assert got == model, f"seed={seed} step={step} op={op}"
