@@ -25,6 +25,12 @@ ANSI_PROBES = [
     "salted_skew_join",        # salt pmod + shuffled hash join
     "bipartite_pagerank",      # integer floor-division rank transfer
     "train_test_split",        # md5-derived bucketing
+    "embedding_quantize",      # floor/cast int8 quantization (r04 rewrite)
+    "embedding_centroids",     # decimal component means (r04 rows form)
+    "pq_encode",               # subspace slicing + cast (r04 CSV rewrite)
+    "ts_features_pandas",      # decimal-exact Arrow boundary (r04 oracle)
+    "score_customers_pandas",  # floor-rounded logistic (r04 oracle)
+    "trigram_lm_counts",       # clamped slice lengths (r04 fix)
 ]
 
 
