@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import re
+import time
 import uuid
 from collections.abc import Sequence
 
@@ -43,6 +44,22 @@ from pyspark.sql import functions as F
 
 _DIR_RE = re.compile(r"^v(\d{8})-[0-9a-f]{8}$")
 _MARKER_RE = re.compile(r"^v(\d{8})\.json$")
+
+# Staleness grace before reclaiming another writer's artifacts (lease
+# heuristic — the clock is the filesystem's own modification stamps, so no
+# cross-writer clock agreement is needed beyond the storage system's):
+#  * a marker that exists but holds no parseable commit may be a LIVE racer
+#    between create() and the content write — a window of milliseconds, so
+#    a short grace suffices before the dead-writer reclaim;
+#  * an unreferenced v*-* dir may be a LIVE racer still staging data — a
+#    window of minutes at 100 TB, hence the long default; pass
+#    ``orphan_grace_ms=0`` to vacuum only when no writer can be running.
+MARKER_GRACE_MS = 10_000
+ORPHAN_GRACE_MS = 600_000
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -88,7 +105,15 @@ class VersionedTable:
                 line = reader.readLine()
         finally:
             stream.close()
-        return json.loads("\n".join(parts))
+        try:
+            return json.loads("\n".join(parts))
+        except ValueError:
+            # writer died between marker create() and the content write:
+            # the version never became visible. Treated as uncommitted so
+            # reads keep resolving the previous version (without this, one
+            # 0-byte marker poisons every committed_versions() call), and
+            # reclaimed by the next writer past MARKER_GRACE_MS.
+            return None
 
     # -- read side ---------------------------------------------------------
     def committed_versions(self) -> list[int]:
@@ -173,16 +198,41 @@ class VersionedTable:
         marker = self._marker(version)
         self._hfs.mkdirs(marker.getParent())
         # overwrite=False: racing writers of the same version — one wins.
-        try:
-            out = self._hfs.create(marker, False)
-        except Exception as e:  # py4j wraps FileAlreadyExistsException
-            raise ConcurrentWriteError(
-                f"version {version} of {self.root} was committed concurrently"
-            ) from e
+        for attempt in (0, 1):
+            try:
+                out = self._hfs.create(marker, False)
+                break
+            except Exception as e:  # py4j wraps FileAlreadyExistsException
+                if attempt == 0 and self._reclaim_dead_marker(version):
+                    continue  # stale unparseable marker removed — retry
+                raise ConcurrentWriteError(
+                    f"version {version} of {self.root} was committed concurrently"
+                ) from e
         try:
             out.write(bytearray(json.dumps(meta, sort_keys=True), "utf-8"))
         finally:
             out.close()
+
+    def _reclaim_dead_marker(self, version: int) -> bool:
+        """True if ``version``'s marker is reclaimable: it vanished since
+        the failed create, or it exists, holds no parseable commit, and is
+        older than MARKER_GRACE_MS — i.e. its writer died between create()
+        and the content write. Without reclamation that version number
+        stays taken forever and NO writer can ever advance the table (every
+        merge computes current+1 and collides with the dead marker). The
+        grace keeps us from deleting a live racer's marker in the
+        milliseconds before its content lands; create(overwrite=False)
+        re-arbitrates after the delete, so two reclaimers can't both win."""
+        marker = self._marker(version)
+        if not self._hfs.exists(marker):
+            return True
+        if self._read_marker(version) is not None:
+            return False  # fully-written commit — genuine conflict
+        age = _now_ms() - self._hfs.getFileStatus(marker).getModificationTime()
+        if age <= MARKER_GRACE_MS:
+            return False  # possibly a racer mid-write — let it finish
+        self._hfs.delete(marker, False)
+        return True
 
     def commit(self, df: DataFrame, partition_by: Sequence[str] | None = None,
                op: str = "overwrite") -> int:
@@ -325,7 +375,9 @@ class VersionedTable:
         n_before = target.count()
         version = self.commit(survivors, op="erase")
         n_after = self.read(version).count()
-        purged = self.vacuum(keep=1)
+        # grace 0: erasure must leave NO copy of the subject's rows, orphan
+        # staging dirs included — the caller owns quiescing writers first
+        purged = self.vacuum(keep=1, orphan_grace_ms=0)
         return {
             "version": version,
             "n_erased": n_before - n_after,
@@ -333,12 +385,23 @@ class VersionedTable:
         }
 
     # -- maintenance -------------------------------------------------------
-    def vacuum(self, keep: int = 2) -> dict[str, list[int] | list[str]]:
+    def vacuum(
+        self, keep: int = 2, orphan_grace_ms: int | None = None
+    ) -> dict[str, list[int] | list[str]]:
         """Reclaim (a) orphan data dirs — staged dirs whose writer died (or
         lost a commit race) before the marker — and (b) committed versions
-        older than the last ``keep``. Markers are deleted BEFORE their data
-        dir so a crash mid-vacuum never yields a marker pointing at missing
-        data (readers also double-check the data dir exists)."""
+        older than the last ``keep``, plus (c) dead unparseable markers.
+        Markers are deleted BEFORE their data dir so a crash mid-vacuum
+        never yields a marker pointing at missing data (readers also
+        double-check the data dir exists).
+
+        Orphan dirs and dead markers younger than the grace
+        (ORPHAN_GRACE_MS default) are SPARED: an unreferenced v*-* dir may
+        be a live writer mid-stage, and deleting it would vaporize that
+        writer's in-flight commit (Delta's VACUUM has the same retention
+        rule for the same reason). Pass ``orphan_grace_ms=0`` only when no
+        concurrent writer can exist (tests; post-erase purge)."""
+        grace = ORPHAN_GRACE_MS if orphan_grace_ms is None else orphan_grace_ms
         committed = self.committed_versions()
         live = set(committed[-keep:]) if committed else set()
         # every top-level dir a LIVE version references — including dirs an
@@ -360,11 +423,40 @@ class VersionedTable:
                     self._hfs.delete(self._path(meta["dir"]), True)
                 removed_versions.append(v)
         # after the loop above, every dir still listed that is not a live
-        # version's dir is an orphan (crashed or race-losing writer)
+        # version's dir is an orphan (crashed or race-losing writer) —
+        # unless it is younger than the grace, in which case it may be a
+        # live writer still staging
         if self._hfs.exists(self._path("")):
             for st in self._hfs.listStatus(self._path("")):
                 name = st.getPath().getName()
-                if _DIR_RE.match(name) and name not in live_dirs:
+                if (
+                    _DIR_RE.match(name)
+                    and name not in live_dirs
+                    and _now_ms() - st.getModificationTime() > grace
+                ):
                     self._hfs.delete(st.getPath(), True)
                     removed_orphans.append(name)
-        return {"versions": removed_versions, "orphans": sorted(removed_orphans)}
+        # dead markers: unparseable (writer died mid-create) or pointing at
+        # a data dir that no longer exists (crash mid-vacuum inverse order).
+        # Grace-gated like orphans — a young unparseable one may be a racer
+        # an instant from finishing its content write.
+        removed_markers: list[str] = []
+        commits = self._path("_commits")
+        if self._hfs.exists(commits):
+            live_markers = {self._marker(v).getName() for v in live}
+            for st in self._hfs.listStatus(commits):
+                name = st.getPath().getName()
+                m = _MARKER_RE.match(name)
+                if (
+                    m
+                    and name not in live_markers
+                    and int(m.group(1)) not in committed
+                    and _now_ms() - st.getModificationTime() > grace
+                ):
+                    self._hfs.delete(st.getPath(), False)
+                    removed_markers.append(name)
+        return {
+            "versions": removed_versions,
+            "orphans": sorted(removed_orphans),
+            "markers": sorted(removed_markers),
+        }

@@ -112,7 +112,7 @@ def test_partitioned_merge_kill_before_marker_keeps_table(spark, tmp_path):
     assert got == {1: 1.0, 2: 22.0}
     # vacuum reclaims the orphan but must KEEP v1's dir — v2's parts map
     # still references it for the untouched partition
-    removed = t.vacuum(keep=1)
+    removed = t.vacuum(keep=1, orphan_grace_ms=0)
     assert orphan in removed["orphans"]
     got = {r["id"]: r["amount"] for r in read_table(spark, path).collect()}
     assert got == {1: 1.0, 2: 22.0}

@@ -83,7 +83,7 @@ def test_kill_with_half_written_data_dir(spark, tmp_path):
     (bad / "part-00000.parquet._COPYING_").write_bytes(b"\x00garbage")
     assert t.current_version() == 1
     assert _rows(t.read()) == {(1, "a")}
-    removed = t.vacuum(keep=2)
+    removed = t.vacuum(keep=2, orphan_grace_ms=0)
     assert removed["orphans"] == ["v00000002-deadbeef"]
     assert not bad.exists()
 
@@ -109,7 +109,7 @@ def test_vacuum_keeps_last_n_and_drops_orphans(spark, tmp_path):
     for i in range(4):
         t.commit(_mk(spark, [(1, f"v{i + 1}")]))
     orphan = t._stage_data(_mk(spark, [(9, "orphan")]), version=9)
-    removed = t.vacuum(keep=2)
+    removed = t.vacuum(keep=2, orphan_grace_ms=0)
     assert removed["versions"] == [1, 2]
     assert removed["orphans"] == [orphan]
     assert t.committed_versions() == [3, 4]
@@ -356,9 +356,114 @@ def test_randomized_op_sequences_match_model(spark, tmp_path):
                 if t.exists():
                     t._stage_data(mkdf(rows), version=t.current_version() + 1)
             elif op == "vacuum":
-                t.vacuum(keep=rng.choice([1, 2]))
+                # grace 0 (no live writers here) half the time so orphan
+                # reclaim composes with the other ops; default-grace the
+                # rest so the sparing path is exercised too
+                t.vacuum(
+                    keep=rng.choice([1, 2]),
+                    orphan_grace_ms=rng.choice([0, None]),
+                )
             if t.exists():
                 got = {
                     (r["id"], r["part"]): r["val"] for r in t.read().collect()
                 }
                 assert got == model, f"seed={seed} step={step} op={op}"
+
+
+def _age(path, by_s: float) -> None:
+    old = os.stat(path).st_mtime - by_s
+    os.utime(path, (old, old))
+
+
+def test_kill_between_marker_create_and_content_write(spark, tmp_path):
+    """The OTHER crash window: writer dies after creating the marker file
+    but before writing its JSON content. The 0-byte marker must not poison
+    reads (one bad marker would otherwise raise on every
+    committed_versions() call), must not take the version number forever,
+    and the table must heal on the next merge once the grace expires."""
+    from enterprise_data_warehouse_spark.sources import versioned as V
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    # simulate: stage v2's data, create the marker, die before the write
+    t._stage_data(_mk(spark, [(1, "A")]), version=2)
+    marker = tmp_path / "t" / "_commits" / "v00000002.json"
+    marker.write_bytes(b"")
+
+    # readers: unaffected, v1 stays current
+    assert t.committed_versions() == [1]
+    assert _rows(t.read()) == {(1, "a")}
+
+    # inside the grace the version must NOT be stolen — the marker's owner
+    # may be a live racer milliseconds from landing its content
+    with pytest.raises(ConcurrentWriteError):
+        t.merge(_mk(spark, [(2, "b")]), keys=["id"])
+    assert _rows(t.read()) == {(1, "a")}
+
+    # past the grace the dead marker is reclaimed and the merge commits
+    _age(marker, V.MARKER_GRACE_MS / 1000 + 5)
+    t.merge(_mk(spark, [(2, "b")]), keys=["id"])
+    assert t.current_version() == 2
+    assert _rows(t.read()) == {(1, "a"), (2, "b")}
+
+
+def test_truncated_marker_content_heals(spark, tmp_path):
+    """Same window, content half-written (e.g. died mid-flush): treated
+    exactly like the 0-byte case."""
+    from enterprise_data_warehouse_spark.sources import versioned as V
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    marker = tmp_path / "t" / "_commits" / "v00000002.json"
+    marker.write_bytes(b'{"version": 2, "dir": "v0000')
+    assert t.committed_versions() == [1]
+    assert _rows(t.read()) == {(1, "a")}
+    _age(marker, V.MARKER_GRACE_MS / 1000 + 5)
+    t.merge(_mk(spark, [(1, "A")]), keys=["id"])
+    assert t.current_version() == 2
+    assert _rows(t.read()) == {(1, "A")}
+
+
+def test_vacuum_spares_young_orphans_reclaims_stale(spark, tmp_path):
+    """An unreferenced v*-* dir younger than the grace may be a LIVE
+    writer mid-stage — vacuum must not vaporize its in-flight commit.
+    Past the grace it is a dead writer's leftover and is reclaimed."""
+    from enterprise_data_warehouse_spark.sources import versioned as V
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    orphan = t._stage_data(_mk(spark, [(9, "staging")]), version=2)
+    removed = t.vacuum(keep=2)  # default grace: spared
+    assert removed["orphans"] == []
+    assert os.path.isdir(tmp_path / "t" / orphan)
+    _age(tmp_path / "t" / orphan, V.ORPHAN_GRACE_MS / 1000 + 5)
+    removed = t.vacuum(keep=2)
+    assert removed["orphans"] == [orphan]
+    assert not os.path.isdir(tmp_path / "t" / orphan)
+
+
+def test_vacuum_reclaims_stale_dead_markers(spark, tmp_path):
+    """Vacuum also sweeps dead markers: unparseable ones (writer died
+    mid-create) and ones whose data dir is gone (crash mid-vacuum in the
+    inverse order) — grace-gated like orphan dirs."""
+    import shutil
+
+    from enterprise_data_warehouse_spark.sources import versioned as V
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    t.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    # dead marker kind 1: v3 marker with no content
+    empty = tmp_path / "t" / "_commits" / "v00000003.json"
+    empty.write_bytes(b"")
+    # dead marker kind 2: v1 committed but its data dir vanished
+    shutil.rmtree(tmp_path / "t" / t._read_marker(1)["dir"])
+    removed = t.vacuum(keep=2)  # young: both spared
+    assert removed["markers"] == []
+    _age(empty, V.ORPHAN_GRACE_MS / 1000 + 5)
+    _age(tmp_path / "t" / "_commits" / "v00000001.json",
+         V.ORPHAN_GRACE_MS / 1000 + 5)
+    removed = t.vacuum(keep=2)
+    assert removed["markers"] == ["v00000001.json", "v00000003.json"]
+    assert t.committed_versions() == [2]
+    assert _rows(t.read()) == {(1, "a"), (2, "b")}
