@@ -467,3 +467,44 @@ def test_vacuum_reclaims_stale_dead_markers(spark, tmp_path):
     assert removed["markers"] == ["v00000001.json", "v00000003.json"]
     assert t.committed_versions() == [2]
     assert _rows(t.read()) == {(1, "a"), (2, "b")}
+
+
+def test_merge_upsert_concurrent_threads_all_land(spark, tmp_path):
+    """REAL concurrency (not interposed): three threads merge disjoint
+    deltas into the same table at once. The marker create arbitrates,
+    losers re-derive against the winner's version and retry, and the final
+    table holds the base plus ALL three deltas. With N writers a thread
+    can lose at most N-1 races (every loss means someone else committed),
+    so the 3-attempt retry loop is sufficient by construction here."""
+    import threading
+
+    from enterprise_data_warehouse_spark.sources.sink import (
+        merge_upsert,
+        read_table,
+    )
+
+    path = str(tmp_path / "t")
+    VersionedTable(spark, path).commit(_mk(spark, [(1, "base")]))
+
+    errors: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            merge_upsert(spark, path, _mk(spark, [(10 + i, f"w{i}")]), ["id"])
+        except Exception as e:  # surfaced after join
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert _rows(read_table(spark, path)) == {
+        (1, "base"),
+        (10, "w0"),
+        (11, "w1"),
+        (12, "w2"),
+    }
+    # every successful merge produced its own committed version
+    assert VersionedTable(spark, path).current_version() == 4
