@@ -555,10 +555,13 @@ def densify_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "7 calendar days" only on a dense spine).
 
     Shape: the spine is generated from a 1-row bounds aggregate via
-    sequence+explode (never a driver loop), sized |days| — it BROADCASTS
-    to the left join at any fact scale; the day-grain aggregate is the
-    usual map-side-combined exchange. Integer-cent revenue, engine-exact.
-    """
+    sequence+explode (never a driver loop). BOTH join sides are day-grain
+    (≤ |calendar days| rows at any fact scale); the broadcast hint goes on
+    the RIGHT side (`daily`) because left-outer BroadcastHashJoin only
+    supports build-right — hinting the preserved spine side is silently
+    ignored and the join degrades to sort-merge. The day-grain aggregate
+    is the usual map-side-combined exchange. Integer-cent revenue,
+    engine-exact."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.round(F.sum(F.col("o_totalprice").cast(DEC)) * 100, 0)
@@ -570,8 +573,7 @@ def densify_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("_d")
     ).select(F.col("_d").cast("date").alias("d"))
     return (
-        F.broadcast(spine)
-        .join(daily, "d", "left")
+        spine.join(F.broadcast(daily), "d", "left")
         .select(
             "d",
             F.coalesce("rev_cents", F.lit(0)).alias("rev_cents"),

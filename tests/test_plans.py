@@ -418,3 +418,12 @@ def test_salted_join_keys_include_salt_no_broadcast(spark):
     m = re.search(r"ShuffledHashJoin \[([^\]]*)\]", plan)
     assert m and "_salt" in m.group(1) and "event_type" in m.group(1), m
     assert "BroadcastHashJoin" not in plan
+
+
+def test_densify_spine_join_is_broadcast(spark):
+    """The date-spine left join must hash-broadcast the day-grain
+    aggregate (build-right). Hinting the preserved LEFT side is silently
+    ignored by Spark (HintErrorLogger warning) and the join degrades to
+    sort-merge — the regression this pin guards against."""
+    plan = plan_of(REG["densify_daily_revenue"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
