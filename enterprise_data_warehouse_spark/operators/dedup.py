@@ -1147,11 +1147,14 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("s") - F.floor((F.col("s") + 1) / 2).cast("int") + 1
     prefix = ordered.select(
         "doc_id",
+        F.col("s").alias("n"),
         F.explode(
             F.slice(F.transform("ord", lambda x: x["sh64"]), 1, p)
         ).alias("sh64"),
     )
-    docs_sorted = F.array_sort(F.collect_list("doc_id"))
+    # struct sorts by doc_id first (n is functionally dependent), so the
+    # grouped i<j emission below still yields doc_a < doc_b
+    docs_sorted = F.array_sort(F.collect_list(F.struct("doc_id", "n")))
     grouped = prefix.groupBy("sh64").agg(docs_sorted.alias("docs"))
     docs = F.col("docs")
     n = F.size(docs)
@@ -1159,12 +1162,23 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         lambda x, i: F.transform(
             F.slice(docs, i + F.lit(2), n - i - F.lit(1)),
-            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            lambda y: F.struct(
+                x["doc_id"].alias("doc_a"),
+                y["doc_id"].alias("doc_b"),
+                x["n"].alias("na"),
+                y["n"].alias("nb"),
+            ),
         ),
     )
     cand = (
         grouped.select(F.explode(F.flatten(pair_arrays)).alias("p"))
         .select("p.*")
+        # PPJoin LENGTH FILTER: max common = min(na, nb), so J ≤ min/max —
+        # pairs with min < τ·max can never reach the threshold and are
+        # pruned BEFORE the distinct exchange and the two array-carrying
+        # verification joins (the expensive stages)
+        .where(F.least("na", "nb") >= PREFIX_TAU * F.greatest("na", "nb"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
     a = sets.select(
