@@ -427,3 +427,43 @@ def test_densify_spine_join_is_broadcast(spark):
     sort-merge — the regression this pin guards against."""
     plan = plan_of(REG["densify_daily_revenue"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+# Queries ALLOWED an unpartitioned ordered Window (WindowExec moves all
+# rows to one partition — the classic silent 100 TB killer). Every entry
+# must operate on a BOUNDED-grain frame or have a documented scale twin.
+GLOBAL_WINDOW_ALLOWED = {
+    "abc_part_classification",  # part-grain rollup; extreme-cardinality recipe documented
+    "customer_rfm",  # exact ntile spec; customer_rfm_scalable is the approxQuantile twin
+    "forecast_baseline_daily",  # day-grain series (bounded by calendar days)
+    "key_skew_profile",  # top-10 over key-count rollup
+    "ks_binned_drift",  # bin-grain CDF (fixed bin count)
+    "ks_drift_pvalue",  # bin-grain CDF (fixed bin count)
+    "ks_value_drift",  # exact KS needs the global CDF; ks_binned_drift is the scale twin
+    "sequence_packing",  # bucket-grain offsets: level 2 of the distributed prefix sum
+    "vocab_growth_buckets",  # bucket-grain cumulative vocabulary
+}
+
+
+def test_unpartitioned_windows_only_where_allowed(spark):
+    """Sweep every registered batch query's executed plan for Window nodes
+    with NO partition spec (plan text: two bracket groups instead of three,
+    the last being an order spec). Any query outside the justified
+    allowlist fails — an unpartitioned ordered window funnels the whole
+    input through one task and cannot survive a 100× scale-up."""
+    offenders = []
+    for name, spec in REG.items():
+        if name in STREAM_RUNNERS:
+            continue
+        plan = plan_of(spec.fn(spark, SF))
+        for line in plan.splitlines():
+            stripped = line.strip().lstrip("+-*: ").strip()
+            if not stripped.startswith("Window "):
+                continue
+            if line.count("], [") == 1:
+                last = line.rsplit("], [", 1)[1]
+                if (" ASC" in last or " DESC" in last) and (
+                    name not in GLOBAL_WINDOW_ALLOWED
+                ):
+                    offenders.append(f"{name}: {stripped[:120]}")
+    assert not offenders, offenders
