@@ -120,7 +120,9 @@ SHOWCASE = [
      "is checkpointed once — prefixes, df counts, and both verification "
      "sides read that stage output instead of re-shingling the corpus 4×; "
      "df is a count window on the sh64 exchange, candidates come from "
-     "grouped i<j emission, no self-join anywhere."),
+     "grouped i<j emission with the PPJoin LENGTH FILTER applied at "
+     "emission (min(n) ≥ τ·max(n), pruning before the distinct exchange "
+     "and the array-carrying verify joins), no self-join anywhere."),
     ("perplexity_buckets",
      "CCNet perplexity gate: vocab NLL aggregate (map-side combined) "
      "joined back on the token key; the tertile cut runs on the per-DOC "
