@@ -228,8 +228,11 @@ class VersionedTable:
             return True
         if self._read_marker(version) is not None:
             return False  # fully-written commit — genuine conflict
-        age = _now_ms() - self._hfs.getFileStatus(marker).getModificationTime()
-        if age <= MARKER_GRACE_MS:
+        try:
+            stat = self._hfs.getFileStatus(marker)
+        except Exception:
+            return True  # a racing reclaimer deleted it — retry the create
+        if _now_ms() - stat.getModificationTime() <= MARKER_GRACE_MS:
             return False  # possibly a racer mid-write — let it finish
         self._hfs.delete(marker, False)
         return True
