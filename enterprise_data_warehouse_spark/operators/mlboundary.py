@@ -267,7 +267,7 @@ TS_FEATURES_ORACLE = f"""
 WITH s AS (
   SELECT user_id, value,
     LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), agg AS (
   SELECT user_id,
     COUNT(value) AS n,
@@ -321,7 +321,25 @@ def ts_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
 
     def extract(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL values are dropped on BOTH sides (oracle: WHERE value IS NOT
+        # NULL): a NaN reaching _pdsum would raise decimal.InvalidOperation
+        # at quantize and fail the job, and pair/count semantics would
+        # diverge from SQL's null-skipping aggregates
         pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = pdf[pdf["value"].notna()]
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_obs": pd.Series(dtype="int64"),
+                    "value_mean": pd.Series(dtype="float64"),
+                    "value_std": pd.Series(dtype="float64"),
+                    "value_min": pd.Series(dtype="float64"),
+                    "value_max": pd.Series(dtype="float64"),
+                    "lag1_autocorr": pd.Series(dtype="float64"),
+                    "energy": pd.Series(dtype="float64"),
+                }
+            )
         v = [float(x) for x in pdf["value"]]
         n = len(v)
         s1 = _pdsum(v)

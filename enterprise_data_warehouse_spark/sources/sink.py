@@ -115,7 +115,11 @@ def _adopt_plain(spark: SparkSession, path: str) -> None:
         plain = spark.read.option("basePath", path).parquet(
             *[p.toString() for p in plain_entries]
         )
-        t.commit(plain, op="adopt")
+        # pinned at v1: a delayed adopter racing a winner (who may already
+        # have MERGED on top of its v1) must collide and back off — an
+        # unpinned commit would land the STALE plain snapshot as the newest
+        # version, shadowing every merge that happened in between
+        t.commit(plain, op="adopt", at_version=1)
     except ConcurrentWriteError:
         return  # a racing writer adopted first — its v1 is the same data
     except Exception:
@@ -148,6 +152,7 @@ def merge_upsert(
     src: DataFrame,
     keys: Sequence[str],
     evolve_schema: bool = False,
+    retain_versions: int | None = None,
 ) -> None:
     """S9: MERGE semantics on parquet — source rows win on key collision.
 
@@ -170,7 +175,15 @@ def merge_upsert(
     marker raises ConcurrentWriteError inside the protocol; this wrapper
     re-derives the merge against the NEW current version and retries (the
     documented optimistic-concurrency loop, Delta-on-S3 stance) up to 3
-    times before surfacing the conflict."""
+    times before surfacing the conflict.
+
+    ``retain_versions=N`` vacuums down to the last N versions after a
+    successful merge (young orphans of live racers are grace-spared).
+    Default None keeps full history for time travel — but a HIGH-FREQUENCY
+    merge loop (streaming foreachBatch, every-5-min incrementals) MUST set
+    it: every merge writes a full immutable version, so unbounded history
+    means storage ∝ batches × table size and O(versions) marker reads per
+    merge."""
     from .versioned import ConcurrentWriteError
 
     _adopt_plain(spark, path)
@@ -178,10 +191,12 @@ def merge_upsert(
     for attempt in range(3):
         try:
             t.merge(src, keys, evolve_schema=evolve_schema)
-            return
+            break
         except ConcurrentWriteError:
             if attempt == 2:
                 raise
+    if retain_versions is not None:
+        t.vacuum(keep=retain_versions)
 
 
 def merge_upsert_partitioned(
@@ -190,6 +205,7 @@ def merge_upsert_partitioned(
     src: DataFrame,
     keys: Sequence[str],
     partition_col: str,
+    retain_versions: int | None = None,
 ) -> None:
     """S9 at scale: MERGE that only reads and rewrites the partitions the
     delta touches (SURVEY.md §7.4a mitigation). A day's delta against a
@@ -210,10 +226,13 @@ def merge_upsert_partitioned(
     for attempt in range(3):
         try:
             t.merge_partitioned(src, keys, partition_col)
-            return
+            break
         except ConcurrentWriteError:
             if attempt == 2:
                 raise
+    # retention note: see merge_upsert — mandatory for high-frequency loops
+    if retain_versions is not None:
+        t.vacuum(keep=retain_versions)
 
 
 def _target_exists(spark: SparkSession, path: str) -> bool:
@@ -240,13 +259,15 @@ def incremental_build(
     watermark_col: str,
     keys: Sequence[str],
     default_watermark: str = "1900-01-01 00:00:00",
+    retain_versions: int | None = None,
 ) -> None:
     """The dbt incremental-merge materialization: filter source past the
     target's watermark, MERGE on unique key. Idempotent under replays —
-    re-merging the same delta is a no-op row-count-wise."""
+    re-merging the same delta is a no-op row-count-wise. Scheduled loops
+    should set ``retain_versions`` (see merge_upsert) to bound history."""
     wm = read_watermark(spark, path, watermark_col, default_watermark)
     delta = source.where(F.col(watermark_col) > F.lit(wm).cast("timestamp"))
-    merge_upsert(spark, path, delta, keys)
+    merge_upsert(spark, path, delta, keys, retain_versions=retain_versions)
 
 
 def read_csv_seed(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:

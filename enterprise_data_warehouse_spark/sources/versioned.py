@@ -46,8 +46,10 @@ _DIR_RE = re.compile(r"^v(\d{8})-[0-9a-f]{8}$")
 _MARKER_RE = re.compile(r"^v(\d{8})\.json$")
 
 # Staleness grace before reclaiming another writer's artifacts (lease
-# heuristic — the clock is the filesystem's own modification stamps, so no
-# cross-writer clock agreement is needed beyond the storage system's):
+# heuristic — BOTH sides of every age comparison are the storage system's
+# own timestamps: the artifact's mtime vs a freshly-written probe file's
+# mtime, see _fs_now_ms — so writer wall clocks never enter the decision
+# and cross-writer clock skew cannot fake staleness):
 #  * a marker that exists but holds no parseable commit may be a LIVE racer
 #    between create() and the content write — a window of milliseconds, so
 #    a short grace suffices before the dead-writer reclaim;
@@ -59,7 +61,7 @@ ORPHAN_GRACE_MS = 600_000
 
 
 def _now_ms() -> int:
-    return int(time.time() * 1000)
+    return int(time.time() * 1000)  # fallback only — prefer _fs_now_ms
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -170,11 +172,22 @@ class VersionedTable:
         """Read ONLY the named partitions of the current (partition-mapped)
         version — driver-side partition pruning over the manifest, the same
         file-skipping Delta's MERGE gets from its add-file stats. Returns
-        None when none of the values exist yet."""
+        None when the table doesn't exist or none of the values exist yet.
+
+        Raises ValueError when the CURRENT version is not partition-mapped
+        (a plain commit/adopt/merge landed on top): the parts map can no
+        longer say which rows belong to which partition, and returning None
+        there would let a caller mistake existing data for absent data."""
         version = self.current_version()
         if version is None:
             return None
         parts = self._read_marker(version).get("parts") or {}
+        if not parts:
+            raise ValueError(
+                f"current version v{version} of {self.root} is not "
+                "partition-mapped — read() the full table (or re-establish "
+                "the map with merge_partitioned) instead"
+            )
         hit = [parts[v] for v in values if v in parts]
         if not hit:
             return None
@@ -213,6 +226,25 @@ class VersionedTable:
         finally:
             out.close()
 
+    def _fs_now_ms(self) -> int:
+        """The STORAGE SYSTEM's current time, read back from a probe file's
+        own modification stamp (created, statted, deleted). Grace checks
+        compare this against artifact mtimes — same clock on both sides, so
+        a writer whose wall clock is skewed past the grace cannot misjudge
+        a LIVE racer's fresh marker as stale. Falls back to the local clock
+        if the probe cannot be written (read-only mount during vacuum dry
+        contexts)."""
+        probe = self._path(f"_commits/.clock-{uuid.uuid4().hex[:8]}")
+        try:
+            self._hfs.mkdirs(probe.getParent())
+            self._hfs.create(probe, True).close()
+            try:
+                return self._hfs.getFileStatus(probe).getModificationTime()
+            finally:
+                self._hfs.delete(probe, False)
+        except Exception:
+            return _now_ms()
+
     def _reclaim_dead_marker(self, version: int) -> bool:
         """True if ``version``'s marker is reclaimable: it vanished since
         the failed create, or it exists, holds no parseable commit, and is
@@ -232,17 +264,28 @@ class VersionedTable:
             stat = self._hfs.getFileStatus(marker)
         except Exception:
             return True  # a racing reclaimer deleted it — retry the create
-        if _now_ms() - stat.getModificationTime() <= MARKER_GRACE_MS:
+        if self._fs_now_ms() - stat.getModificationTime() <= MARKER_GRACE_MS:
             return False  # possibly a racer mid-write — let it finish
         self._hfs.delete(marker, False)
         return True
 
     def commit(self, df: DataFrame, partition_by: Sequence[str] | None = None,
-               op: str = "overwrite") -> int:
-        version = (self.current_version() or 0) + 1
-        dirname = self._stage_data(df, version, partition_by)
-        self._create_marker(version, {"version": version, "dir": dirname, "op": op})
-        return version
+               op: str = "overwrite", at_version: int | None = None) -> int:
+        """Stage ``df`` and commit it. ``at_version`` PINS the commit to a
+        specific version number: read-modify-write ops (merge/incremental/
+        erase/adopt) pass the version they READ plus one, so a rival commit
+        landing in the read→commit window collides on the marker and raises
+        ConcurrentWriteError instead of committing state derived from a
+        stale read one number higher — which would silently shadow the
+        rival's rows (the classic lost update). Plain overwrite keeps the
+        resolve-at-commit default (last-writer-wins is its semantics)."""
+        if at_version is None:
+            at_version = (self.current_version() or 0) + 1
+        dirname = self._stage_data(df, at_version, partition_by)
+        self._create_marker(
+            at_version, {"version": at_version, "dir": dirname, "op": op}
+        )
+        return at_version
 
     def merge(
         self, src: DataFrame, keys: Sequence[str], evolve_schema: bool = False
@@ -251,13 +294,18 @@ class VersionedTable:
         v{n+1}, marker last. Source rows win on key collision. On Delta this
         is one MERGE INTO. ``evolve_schema=True`` is dbt's
         ``on_schema_change: append_new_columns``: a wider source widens the
-        table (old rows null-fill), a narrower one still merges."""
-        if not self.exists():
-            return self.commit(src, op="merge")
-        target = self.read(merge_schema=evolve_schema)
+        table (old rows null-fill), a narrower one still merges.
+
+        The commit is PINNED to read_version+1 (see commit): a rival
+        landing between our read and our commit raises ConcurrentWriteError
+        so the caller re-derives — never a silent lost update."""
+        current = self.current_version()
+        if current is None:
+            return self.commit(src, op="merge", at_version=1)
+        target = self.read(version=current, merge_schema=evolve_schema)
         survivors = target.join(src.select(*keys).distinct(), list(keys), "left_anti")
         merged = src.unionByName(survivors, allowMissingColumns=evolve_schema)
-        return self.commit(merged, op="merge")
+        return self.commit(merged, op="merge", at_version=current + 1)
 
     def merge_partitioned(
         self, src: DataFrame, keys: Sequence[str], partition_col: str
@@ -285,15 +333,17 @@ class VersionedTable:
         version = (current or 0) + 1
         prev = self._read_marker(current) if current else None
         parts: dict[str, str] = dict((prev or {}).get("parts") or {})
-        # NULL partition values land in the hive default dir; key the parts
-        # map by that same name so a null partition's survivors are found
-        # (a str(None) key would orphan the existing null partition — data
-        # loss on the second merge touching it)
+        # NULL — and EMPTY-STRING — partition values land in the hive
+        # default dir (Spark's getPartitionPathString maps both); key the
+        # parts map by that same name so those partitions' survivors are
+        # found (a str(None) or '' key would orphan the existing default
+        # partition — data loss on the second merge touching it)
         null_key = "__HIVE_DEFAULT_PARTITION__"
-        touched = [
-            null_key if r[0] is None else str(r[0])
+        touched = sorted({
+            null_key if r[0] is None or r[0] == "" else str(r[0])
             for r in src.select(F.col(partition_col).cast("string")).distinct().collect()
-        ]
+        })  # a set: null and '' both map to null_key — a duplicated entry
+        # would read the default partition's survivor files twice
         if prev and not parts:
             # current version is NOT partition-mapped (plain commit/adopt/
             # merge): one-time full conversion — every row must land in a
@@ -372,11 +422,14 @@ class VersionedTable:
         audit dict {version, n_erased, purged_versions} for the
         compliance log (reference: governance retention policies,
         governance/data_catalog.yml defaults)."""
-        target = self.read()
+        current = self.current_version()
+        target = self.read(version=current)
         keyset = subject_keys.select(*keys).distinct()
         survivors = target.join(keyset, list(keys), "left_anti")
         n_before = target.count()
-        version = self.commit(survivors, op="erase")
+        # pinned: a rival committing mid-erase raises instead of having its
+        # rows silently purged by a commit derived from the stale read
+        version = self.commit(survivors, op="erase", at_version=current + 1)
         n_after = self.read(version).count()
         # grace 0: erasure must leave NO copy of the subject's rows, orphan
         # staging dirs included — the caller owns quiescing writers first
@@ -405,6 +458,8 @@ class VersionedTable:
         rule for the same reason). Pass ``orphan_grace_ms=0`` only when no
         concurrent writer can exist (tests; post-erase purge)."""
         grace = ORPHAN_GRACE_MS if orphan_grace_ms is None else orphan_grace_ms
+        # one storage-clock read per vacuum — fs-mtime vs fs-mtime ages
+        now = self._fs_now_ms() if grace else 0
         committed = self.committed_versions()
         live = set(committed[-keep:]) if committed else set()
         # every top-level dir a LIVE version references — including dirs an
@@ -435,7 +490,7 @@ class VersionedTable:
                 if (
                     _DIR_RE.match(name)
                     and name not in live_dirs
-                    and _now_ms() - st.getModificationTime() > grace
+                    and (not grace or now - st.getModificationTime() > grace)
                 ):
                     self._hfs.delete(st.getPath(), True)
                     removed_orphans.append(name)
@@ -454,7 +509,7 @@ class VersionedTable:
                     m
                     and name not in live_markers
                     and int(m.group(1)) not in committed
-                    and _now_ms() - st.getModificationTime() > grace
+                    and (not grace or now - st.getModificationTime() > grace)
                 ):
                     self._hfs.delete(st.getPath(), False)
                     removed_markers.append(name)

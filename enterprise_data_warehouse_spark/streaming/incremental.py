@@ -50,7 +50,14 @@ def stream_incremental_merge(
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        merge_upsert(batch.sparkSession, target_path, batch, keys)
+        # retain_versions=2: every micro-batch commits a full immutable
+        # version — without retention a long-running stream accumulates
+        # one table copy PER BATCH (storage ∝ batches × table size) and
+        # every merge pays O(versions) marker reads. Keeping 2 preserves
+        # the previous version for in-flight readers (Delta's stance).
+        merge_upsert(
+            batch.sparkSession, target_path, batch, keys, retain_versions=2
+        )
 
     return (
         stream.writeStream.foreachBatch(_merge)

@@ -51,3 +51,35 @@ def test_approx_distinct_bounded_error(spark):
     for etype, est in approx.items():
         rel_err = abs(est - exact[etype]) / max(exact[etype], 1)
         assert rel_err < 0.02, f"{etype}: approx={est} exact={exact[etype]}"
+
+
+def test_ts_features_null_values_skip_not_crash(spark, tmp_path):
+    """Events with NULL values: the pandas path must drop them exactly like
+    the oracle's null-skipping aggregates (a NaN reaching the decimal-exact
+    summer raises InvalidOperation and fails the job; counting it diverges
+    from SQL COUNT(value))."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from enterprise_data_warehouse_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    nulled = e.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")),
+    )
+    nulled.write.parquet(str(tmp_path / "events.parquet"))
+    spec = REGISTRY["ts_features_pandas"]
+    srows = sorted(
+        tuple(str(v) for v in r)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    drows = sorted(
+        tuple(str(v) for v in r) for r in con.execute(spec.oracle).fetchall()
+    )
+    assert srows == drows and len(srows) > 0

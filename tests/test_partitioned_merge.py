@@ -209,3 +209,43 @@ def test_date_typed_partition_column(spark, tmp_path):
     assert dict(out.dtypes)["d"] == "date"
     got = {r["id"]: (str(r["d"]), r["amount"]) for r in out.collect()}
     assert got == {1: ("2024-01-01", 1.0), 2: ("2024-01-02", 22.0)}
+
+
+def test_empty_string_partition_survives_second_merge(spark, tmp_path):
+    """Spark writes BOTH null and '' partition values to
+    __HIVE_DEFAULT_PARTITION__; the touched-partition keys must map ''
+    the same way or the second merge touching '' skips the survivor read
+    and overwrites the parts-map entry — silent loss of every
+    default-partition row not in the delta."""
+    from enterprise_data_warehouse_spark.sources.versioned import VersionedTable
+
+    path = str(tmp_path / "fact")
+    t = VersionedTable(spark, path)
+    mk = lambda rows: spark.createDataFrame(rows, "id int, pcol string, v string")
+    t.merge_partitioned(mk([(1, "", "keep"), (2, "a", "a1")]), ["id"], "pcol")
+    # second merge touches the ''-partition with a DIFFERENT key
+    t.merge_partitioned(mk([(3, "", "new")]), ["id"], "pcol")
+    got = {(r["id"], r["v"]) for r in t.read().collect()}
+    assert got == {(1, "keep"), (2, "a1"), (3, "new")}
+    # and null + '' in one delta must not double-read the default dir
+    t.merge_partitioned(mk([(4, None, "n1"), (5, "", "e1")]), ["id"], "pcol")
+    got = {(r["id"], r["v"]) for r in t.read().collect()}
+    assert got == {(1, "keep"), (2, "a1"), (3, "new"), (4, "n1"), (5, "e1")}
+
+
+def test_read_partitions_raises_on_unmapped_current_version(spark, tmp_path):
+    """A plain commit on top of a partition-mapped table invalidates the
+    parts map; read_partitions must fail loudly instead of returning None
+    (None means 'values absent' — existing data must not look absent)."""
+    import pytest as _pytest
+
+    from enterprise_data_warehouse_spark.sources.versioned import VersionedTable
+
+    path = str(tmp_path / "fact")
+    t = VersionedTable(spark, path)
+    mk = lambda rows: spark.createDataFrame(rows, "id int, pcol string, v string")
+    t.merge_partitioned(mk([(1, "a", "x")]), ["id"], "pcol")
+    assert t.read_partitions(["a"]) is not None
+    t.commit(mk([(1, "a", "x"), (2, "b", "y")]))  # plain commit on top
+    with _pytest.raises(ValueError, match="not partition-mapped"):
+        t.read_partitions(["a"])

@@ -508,3 +508,77 @@ def test_merge_upsert_concurrent_threads_all_land(spark, tmp_path):
     }
     # every successful merge produced its own committed version
     assert VersionedTable(spark, path).current_version() == 4
+
+
+def test_merge_pins_version_against_mid_derivation_rival(spark, tmp_path):
+    """Lost-update guard: a rival committing BETWEEN merge's read and its
+    commit must raise ConcurrentWriteError (the commit is pinned to
+    read_version+1), never silently land one number higher with state
+    derived from the stale read — and merge_upsert's retry must then
+    re-derive so BOTH writers' rows survive."""
+    from enterprise_data_warehouse_spark.sources.sink import (
+        merge_upsert,
+        read_table,
+    )
+
+    path = str(tmp_path / "t")
+    t = VersionedTable(spark, path)
+    t.commit(_mk(spark, [(1, "base")]))
+
+    original = VersionedTable._stage_data
+    state = {"raced": False}
+
+    def racing_stage(self, df, version, partition_by=None):
+        if not state["raced"]:
+            state["raced"] = True
+            # rival MERGES (not overwrites) v2 while our merge is deriving
+            rival = VersionedTable(spark, self.root)
+            rival.merge(_mk(spark, [(9, "rival")]), keys=["id"])
+        return original(self, df, version, partition_by)
+
+    VersionedTable._stage_data = racing_stage
+    try:
+        merge_upsert(spark, path, _mk(spark, [(2, "mine")]), ["id"])
+    finally:
+        VersionedTable._stage_data = original
+
+    assert state["raced"]
+    # no lost update: base, rival's row, AND our row are all present
+    assert _rows(read_table(spark, path)) == {
+        (1, "base"),
+        (9, "rival"),
+        (2, "mine"),
+    }
+
+
+def test_pinned_commit_rejects_stale_adoption(spark, tmp_path):
+    """Adoption commits are pinned at v1: once any version exists, a
+    delayed adopter's stale plain snapshot must collide and back off, not
+    land as the NEWEST version shadowing interleaved merges."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    t.merge(_mk(spark, [(2, "b")]), keys=["id"])
+    with pytest.raises(ConcurrentWriteError):
+        t.commit(_mk(spark, [(1, "stale-plain")]), op="adopt", at_version=1)
+    assert _rows(t.read()) == {(1, "a"), (2, "b")}
+
+
+def test_merge_upsert_retention_bounds_history(spark, tmp_path):
+    """retain_versions=N vacuums after each merge: a high-frequency merge
+    loop (streaming foreachBatch) must not accumulate one full table copy
+    per batch."""
+    from enterprise_data_warehouse_spark.sources.sink import (
+        merge_upsert,
+        read_table,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(5):
+        merge_upsert(
+            spark, path, _mk(spark, [(i, f"v{i}")]), ["id"], retain_versions=2
+        )
+    t = VersionedTable(spark, path)
+    assert len(t.committed_versions()) <= 2
+    assert _rows(read_table(spark, path)) == {(i, f"v{i}") for i in range(5)}
+    # old version DIRS are gone too, not just markers
+    assert len(_data_dirs(tmp_path)) <= 2
