@@ -421,6 +421,13 @@ def compact_parquet(
     (≤ files_per_partition distinct values), so each output directory gets
     at most files_per_partition ~target-size files.
     """
+    if _versioned(spark, path).exists():
+        raise ValueError(
+            f"{path} is a commit-manifest (versioned) table: compacting the "
+            "root would read every version's dir as one dataset and swap "
+            "the manifest away. Compact a specific version's data dir, or "
+            "rewrite via VersionedTable.commit(read(), ...) instead."
+        )
     n_before, total_bytes = _dir_stats(spark, path)
     n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
     df = spark.read.parquet(path)

@@ -56,3 +56,19 @@ def test_partitioned_compaction_cannot_increase_file_count(spark, tmp_path):
 
     after = spark.read.parquet(path)
     assert after.count() == before_rows
+
+
+def test_compact_refuses_versioned_root(spark, tmp_path):
+    """Compacting a commit-manifest root would read every version dir as
+    one dataset and swap the manifest away — must refuse loudly."""
+    import pytest
+
+    from enterprise_data_warehouse_spark.sources.sink import compact_parquet
+    from enterprise_data_warehouse_spark.sources.versioned import VersionedTable
+
+    path = str(tmp_path / "t")
+    VersionedTable(spark, path).commit(
+        spark.createDataFrame([(1, "a")], "id int, val string")
+    )
+    with pytest.raises(ValueError, match="commit-manifest"):
+        compact_parquet(spark, path)
