@@ -267,7 +267,7 @@ TS_FEATURES_ORACLE = f"""
 WITH s AS (
   SELECT user_id, value,
     LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ), agg AS (
   SELECT user_id,
     COUNT(value) AS n,
@@ -321,10 +321,12 @@ def ts_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
 
     def extract(pdf: pd.DataFrame) -> pd.DataFrame:
-        # NULL values are dropped on BOTH sides (oracle: WHERE value IS NOT
-        # NULL): a NaN reaching _pdsum would raise decimal.InvalidOperation
-        # at quantize and fail the job, and pair/count semantics would
-        # diverge from SQL's null-skipping aggregates
+        # NULL *and NaN* values are dropped on BOTH sides (oracle: WHERE
+        # value IS NOT NULL AND NOT isnan(value) — pandas notna() drops
+        # both, and Arrow folds SQL NULL into NaN anyway): a NaN reaching
+        # _pdsum would raise decimal.InvalidOperation at quantize and fail
+        # the job, and pair/count semantics would diverge from SQL's
+        # null-skipping aggregates
         pdf = pdf.sort_values(["ts", "event_id"])
         pdf = pdf[pdf["value"].notna()]
         if len(pdf) == 0:

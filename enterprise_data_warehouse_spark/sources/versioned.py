@@ -58,6 +58,13 @@ _MARKER_RE = re.compile(r"^v(\d{8})\.json$")
 #    ``orphan_grace_ms=0`` to vacuum only when no writer can be running.
 MARKER_GRACE_MS = 10_000
 ORPHAN_GRACE_MS = 600_000
+# How long a SUPERSEDED version stays readable after its successor commits
+# (vacuum only reclaims versions superseded for longer): a reader that
+# resolved v as current moments before the successor landed gets this long
+# to finish its lazy scan before the files vanish — Delta's retention
+# period, sized for the per-merge retain_versions loop rather than days.
+# Bounds retained storage at versions-superseded-per-minute.
+SUPERSEDE_GRACE_MS = 60_000
 
 
 def _now_ms() -> int:
@@ -238,12 +245,14 @@ class VersionedTable:
         try:
             self._hfs.mkdirs(probe.getParent())
             self._hfs.create(probe, True).close()
-            try:
-                return self._hfs.getFileStatus(probe).getModificationTime()
-            finally:
-                self._hfs.delete(probe, False)
+            ts = self._hfs.getFileStatus(probe).getModificationTime()
         except Exception:
             return _now_ms()
+        try:
+            self._hfs.delete(probe, False)
+        except Exception:
+            pass  # leaked probe — vacuum sweeps stale .clock-* files
+        return ts
 
     def _reclaim_dead_marker(self, version: int) -> bool:
         """True if ``version``'s marker is reclaimable: it vanished since
@@ -457,6 +466,12 @@ class VersionedTable:
         writer's in-flight commit (Delta's VACUUM has the same retention
         rule for the same reason). Pass ``orphan_grace_ms=0`` only when no
         concurrent writer can exist (tests; post-erase purge)."""
+        if keep < 1:
+            raise ValueError(
+                "vacuum keep must be >= 1 — keep=0 would reclaim the "
+                "CURRENT version (and committed[-0:] would silently keep "
+                "everything instead)"
+            )
         grace = ORPHAN_GRACE_MS if orphan_grace_ms is None else orphan_grace_ms
         # one storage-clock read per vacuum — fs-mtime vs fs-mtime ages
         now = self._fs_now_ms() if grace else 0
@@ -473,15 +488,47 @@ class VersionedTable:
                 live_dirs.add(rel.split("/", 1)[0])
         removed_versions: list[int] = []
         removed_orphans: list[str] = []
+        for idx, v in enumerate(committed):
+            if v in live:
+                continue
+            # a reader (or a lagging writer's re-derive) may have resolved
+            # v as current moments before its successor landed and still be
+            # lazily reading its files; reclaim only once v has been
+            # SUPERSEDED for longer than the grace — measured by the
+            # successor marker's fs-age, not the commit's own age. With the
+            # per-merge retain_versions loop this is what keeps concurrent
+            # readers from dying on FileNotFound mid-job (Delta's retention
+            # period plays the same role).
+            if grace:
+                try:
+                    superseded_ms = now - self._hfs.getFileStatus(
+                        self._marker(committed[idx + 1])
+                    ).getModificationTime()
+                except Exception:
+                    # successor marker vanished (racing vacuum) — stale
+                    superseded_ms = SUPERSEDE_GRACE_MS
+                if superseded_ms < SUPERSEDE_GRACE_MS:
+                    continue
+            meta = self._read_marker(v)
+            self._hfs.delete(self._marker(v), False)
+            if meta["dir"] not in live_dirs:
+                self._hfs.delete(self._path(meta["dir"]), True)
+            removed_versions.append(v)
+        # every dir a SURVIVING version references is protected — the keep
+        # set, plus versions the supersede-grace spared above (their dirs
+        # are not in live_dirs, but deleting them would orphan a still-
+        # present marker and break the readers the grace exists to protect)
+        protected = set(live_dirs)
         for v in committed:
-            if v not in live:
-                meta = self._read_marker(v)
-                self._hfs.delete(self._marker(v), False)
-                if meta["dir"] not in live_dirs:
-                    self._hfs.delete(self._path(meta["dir"]), True)
-                removed_versions.append(v)
-        # after the loop above, every dir still listed that is not a live
-        # version's dir is an orphan (crashed or race-losing writer) —
+            if v in removed_versions:
+                continue
+            meta = self._read_marker(v)
+            if meta:
+                protected.add(meta["dir"])
+                for rel in (meta.get("parts") or {}).values():
+                    protected.add(rel.split("/", 1)[0])
+        # after the loop above, every dir still listed that no surviving
+        # version references is an orphan (crashed or race-losing writer) —
         # unless it is younger than the grace, in which case it may be a
         # live writer still staging
         if self._hfs.exists(self._path("")):
@@ -489,7 +536,7 @@ class VersionedTable:
                 name = st.getPath().getName()
                 if (
                     _DIR_RE.match(name)
-                    and name not in live_dirs
+                    and name not in protected
                     and (not grace or now - st.getModificationTime() > grace)
                 ):
                     self._hfs.delete(st.getPath(), True)
@@ -504,12 +551,17 @@ class VersionedTable:
             live_markers = {self._marker(v).getName() for v in live}
             for st in self._hfs.listStatus(commits):
                 name = st.getPath().getName()
+                stale = not grace or now - st.getModificationTime() > grace
+                if name.startswith(".clock-") and stale:
+                    # clock probe whose delete failed (see _fs_now_ms)
+                    self._hfs.delete(st.getPath(), False)
+                    continue
                 m = _MARKER_RE.match(name)
                 if (
                     m
                     and name not in live_markers
                     and int(m.group(1)) not in committed
-                    and (not grace or now - st.getModificationTime() > grace)
+                    and stale
                 ):
                     self._hfs.delete(st.getPath(), False)
                     removed_markers.append(name)

@@ -42,21 +42,28 @@ def stream_incremental_merge(
     target_path: str,
     keys: Sequence[str],
     checkpoint: str,
+    retain_versions: int | None = 2,
 ) -> StreamingQuery:
     """R1+R6: watermarked micro-batch MERGE into the target — the dbt
     incremental materialization as a stream. Late rows re-merge on the key
     (last-write-wins), matching the reference's idempotent-upsert semantics.
+
+    ``retain_versions`` defaults to 2: every micro-batch commits a full
+    immutable version, so an unbounded stream would otherwise accumulate
+    one table copy PER BATCH (storage ∝ batches × table size) and pay
+    O(versions) marker reads per merge. Keeping 2 preserves the previous
+    version for in-flight readers (plus the vacuum supersede-grace window);
+    pass None to keep full history, or higher N for longer time travel.
     """
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        # retain_versions=2: every micro-batch commits a full immutable
-        # version — without retention a long-running stream accumulates
-        # one table copy PER BATCH (storage ∝ batches × table size) and
-        # every merge pays O(versions) marker reads. Keeping 2 preserves
-        # the previous version for in-flight readers (Delta's stance).
         merge_upsert(
-            batch.sparkSession, target_path, batch, keys, retain_versions=2
+            batch.sparkSession,
+            target_path,
+            batch,
+            keys,
+            retain_versions=retain_versions,
         )
 
     return (

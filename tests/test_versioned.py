@@ -563,15 +563,19 @@ def test_pinned_commit_rejects_stale_adoption(spark, tmp_path):
     assert _rows(t.read()) == {(1, "a"), (2, "b")}
 
 
-def test_merge_upsert_retention_bounds_history(spark, tmp_path):
+def test_merge_upsert_retention_bounds_history(spark, tmp_path, monkeypatch):
     """retain_versions=N vacuums after each merge: a high-frequency merge
     loop (streaming foreachBatch) must not accumulate one full table copy
-    per batch."""
+    per batch. Supersede-grace is zeroed here (no concurrent readers in the
+    test) — with it, the bound is N plus versions superseded within the
+    last SUPERSEDE_GRACE_MS."""
+    from enterprise_data_warehouse_spark.sources import versioned as V
     from enterprise_data_warehouse_spark.sources.sink import (
         merge_upsert,
         read_table,
     )
 
+    monkeypatch.setattr(V, "SUPERSEDE_GRACE_MS", 0)
     path = str(tmp_path / "t")
     for i in range(5):
         merge_upsert(
@@ -582,3 +586,32 @@ def test_merge_upsert_retention_bounds_history(spark, tmp_path):
     assert _rows(read_table(spark, path)) == {(i, f"v{i}") for i in range(5)}
     # old version DIRS are gone too, not just markers
     assert len(_data_dirs(tmp_path)) <= 2
+
+
+def test_vacuum_spares_recently_superseded_versions(spark, tmp_path):
+    """A version superseded moments ago may still be mid-scan by a reader
+    that resolved it as current — vacuum (with grace) must keep it AND its
+    data dir (the orphan sweep must not treat the kept dir as orphaned).
+    Zero grace (erase) still purges immediately."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "v1")]))
+    t.commit(_mk(spark, [(1, "v2")]))
+    t.commit(_mk(spark, [(1, "v3")]))
+    removed = t.vacuum(keep=1)  # default grace; v1/v2 superseded just now
+    assert removed["versions"] == []
+    assert t.committed_versions() == [1, 2, 3]
+    # every kept version still fully readable (marker AND data dir intact)
+    assert _rows(t.read(version=1)) == {(1, "v1")}
+    assert _rows(t.read(version=2)) == {(1, "v2")}
+    removed = t.vacuum(keep=1, orphan_grace_ms=0)  # quiesced: purge now
+    assert removed["versions"] == [1, 2]
+    assert t.committed_versions() == [3]
+
+
+def test_vacuum_keep_zero_rejected(spark, tmp_path):
+    """keep=0 would reclaim the CURRENT version — and committed[-0:]
+    would actually keep everything silently. Both wrong: reject."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="keep"):
+        t.vacuum(keep=0)
