@@ -312,8 +312,12 @@ def test_randomized_op_sequences_match_model(spark, tmp_path):
     in the hand-picked scenarios above. The merge key is (id, part):
     partition-scoped MERGE contracts that the key is partition-stable
     (same as Delta MERGE under partition pruning), so the model keys on
-    the pair."""
+    the pair. The dead_marker op plants an aged 0-byte marker at
+    current+1 (a writer killed between marker create and content write) —
+    every later write must heal through it and every read ignore it."""
     import random
+
+    from enterprise_data_warehouse_spark.sources import versioned as V
 
     for seed in (7, 23, 41):
         rng = random.Random(seed)
@@ -335,11 +339,24 @@ def test_randomized_op_sequences_match_model(spark, tmp_path):
             ]
 
         for step in range(14):
-            op = rng.choice(["commit", "merge", "merge_part", "crash", "vacuum"])
+            op = rng.choice(
+                ["commit", "merge", "merge_part", "crash", "dead_marker", "vacuum"]
+            )
             rows = rand_rows(rng.randint(1, 4))
             # de-dup keys within a batch (upsert source must be key-unique)
             rows = list({(r[0], r[1]): r for r in rows}.values())
-            if op == "commit":
+            if op == "dead_marker":
+                if t.exists():
+                    marker = (
+                        tmp_path
+                        / f"t{seed}"
+                        / "_commits"
+                        / f"v{t.current_version() + 1:08d}.json"
+                    )
+                    if not marker.exists():
+                        marker.write_bytes(b"")
+                        _age(marker, V.MARKER_GRACE_MS / 1000 + 5)
+            elif op == "commit":
                 t.commit(mkdf(rows))
                 model = {(r[0], r[1]): r[2] for r in rows}
             elif op == "merge":
