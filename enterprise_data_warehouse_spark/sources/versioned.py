@@ -477,56 +477,57 @@ class VersionedTable:
         now = self._fs_now_ms() if grace else 0
         committed = self.committed_versions()
         live = set(committed[-keep:]) if committed else set()
-        # every top-level dir a LIVE version references — including dirs an
-        # older version wrote that a partition-mapped newer version still
-        # points at for its untouched partitions
-        live_dirs: set[str] = set()
-        for v in live:
-            meta = self._read_marker(v)
-            live_dirs.add(meta["dir"])
-            for rel in (meta.get("parts") or {}).values():
-                live_dirs.add(rel.split("/", 1)[0])
-        removed_versions: list[int] = []
-        removed_orphans: list[str] = []
+        # ---- phase 1: DECIDE which non-live versions are reclaimable.
+        # A reader (or a lagging writer's re-derive) may have resolved v as
+        # current moments before its successor landed and still be lazily
+        # reading its files; reclaim only once v has been SUPERSEDED for
+        # longer than the grace — measured by the successor marker's
+        # fs-age, not the commit's own age. With the per-merge
+        # retain_versions loop this is what keeps concurrent readers from
+        # dying on FileNotFound mid-job (Delta's retention period plays the
+        # same role). Any error reading the successor's stamp fails CLOSED
+        # (skip this round; the next vacuum retries) — failing open would
+        # delete files out from under readers on a transient stat error.
+        reclaim: set[int] = set()
         for idx, v in enumerate(committed):
             if v in live:
                 continue
-            # a reader (or a lagging writer's re-derive) may have resolved
-            # v as current moments before its successor landed and still be
-            # lazily reading its files; reclaim only once v has been
-            # SUPERSEDED for longer than the grace — measured by the
-            # successor marker's fs-age, not the commit's own age. With the
-            # per-merge retain_versions loop this is what keeps concurrent
-            # readers from dying on FileNotFound mid-job (Delta's retention
-            # period plays the same role).
             if grace:
                 try:
                     superseded_ms = now - self._hfs.getFileStatus(
                         self._marker(committed[idx + 1])
                     ).getModificationTime()
                 except Exception:
-                    # successor marker vanished (racing vacuum) — stale
-                    superseded_ms = SUPERSEDE_GRACE_MS
+                    continue
                 if superseded_ms < SUPERSEDE_GRACE_MS:
                     continue
-            meta = self._read_marker(v)
-            self._hfs.delete(self._marker(v), False)
-            if meta["dir"] not in live_dirs:
-                self._hfs.delete(self._path(meta["dir"]), True)
-            removed_versions.append(v)
-        # every dir a SURVIVING version references is protected — the keep
-        # set, plus versions the supersede-grace spared above (their dirs
-        # are not in live_dirs, but deleting them would orphan a still-
-        # present marker and break the readers the grace exists to protect)
-        protected = set(live_dirs)
+            reclaim.add(v)
+        # ---- phase 2: every top-level dir ANY surviving version (the keep
+        # set AND the supersede-grace-spared) references is protected —
+        # including dirs an older version wrote that a partition-mapped
+        # newer version still points at for its untouched partitions. This
+        # must be known BEFORE any deletion: a reclaimed version's own dir
+        # may be exactly such a shared dir.
+        protected: set[str] = set()
         for v in committed:
-            if v in removed_versions:
+            if v in reclaim:
                 continue
             meta = self._read_marker(v)
             if meta:
                 protected.add(meta["dir"])
                 for rel in (meta.get("parts") or {}).values():
                     protected.add(rel.split("/", 1)[0])
+        # ---- phase 3: delete (marker first, then unprotected data dir)
+        removed_versions: list[int] = []
+        removed_orphans: list[str] = []
+        for v in sorted(reclaim):
+            meta = self._read_marker(v)
+            if meta is None:
+                continue  # a racing vacuum got here first
+            self._hfs.delete(self._marker(v), False)
+            if meta["dir"] not in protected:
+                self._hfs.delete(self._path(meta["dir"]), True)
+            removed_versions.append(v)
         # after the loop above, every dir still listed that no surviving
         # version references is an orphan (crashed or race-losing writer) —
         # unless it is younger than the grace, in which case it may be a

@@ -632,3 +632,35 @@ def test_vacuum_keep_zero_rejected(spark, tmp_path):
     t.commit(_mk(spark, [(1, "a")]))
     with pytest.raises(ValueError, match="keep"):
         t.vacuum(keep=0)
+
+
+def test_vacuum_keeps_dirs_shared_with_spared_versions(spark, tmp_path):
+    """A reclaimed version's data dir may still be referenced by a
+    SPARED (recently-superseded) partition-mapped version's parts map for
+    an untouched partition — the dir must survive even though its owner
+    version is reclaimed, or the spared version breaks mid-read."""
+    from enterprise_data_warehouse_spark.sources import versioned as V
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id int, part string, val string"
+    )
+    t.merge_partitioned(mk([(1, "a", "a1"), (2, "b", "b1")]), ["id", "part"], "part")
+    t.merge_partitioned(mk([(2, "b", "b2")]), ["id", "part"], "part")
+    t.merge_partitioned(mk([(1, "a", "a3")]), ["id", "part"], "part")
+    # v1: superseded long ago (its successor v2's marker is aged stale);
+    # v2: superseded moments ago (v3's marker stays fresh) — spared
+    _age(
+        tmp_path / "t" / "_commits" / "v00000002.json",
+        V.SUPERSEDE_GRACE_MS / 1000 + 5,
+    )
+    removed = t.vacuum(keep=1)
+    assert removed["versions"] == [1]
+    assert t.committed_versions() == [2, 3]
+    # the spared v2 remains FULLY readable: its parts map references v1's
+    # dir for the untouched partition 'a'
+    got = {(r["id"], r["part"]): r["val"] for r in t.read(version=2).collect()}
+    assert got == {(1, "a"): "a1", (2, "b"): "b2"}
+    # current version intact too
+    got = {(r["id"], r["part"]): r["val"] for r in t.read().collect()}
+    assert got == {(1, "a"): "a3", (2, "b"): "b2"}
