@@ -7,9 +7,7 @@ module closes that window the way Delta Lake's ``_delta_log`` does
 (reference's production materialization target is Snowflake/Delta; see
 SURVEY.md §7.4a): data is staged into a uniquely-named immutable directory,
 and the table "pointer" only moves when a tiny commit-marker file is
-created — single-file creation is atomic on HDFS (NameNode op) and on
-S3/GCS (PUT is all-or-nothing). There is no moment at which a reader can
-observe a half-table:
+created. There is no moment at which a reader can observe a half-table:
 
     root/
       v00000001-3f2a9c1b/ ... parquet files ...  (immutable once committed)
@@ -29,13 +27,29 @@ observe a half-table:
   becomes an orphan for vacuum) and the loser sees ConcurrentWriteError —
   re-derive against the new current version and retry (optimistic
   concurrency, the Delta-on-S3 stance).
+
+STORAGE REQUIREMENT — atomic create-no-overwrite. Version arbitration is
+exactly as strong as ``FileSystem.create(path, overwrite=false)``: it must
+atomically fail when the file already exists. True on local/HDFS/viewfs
+(NameNode op) and ABFS/WASB (lease/ETag-backed); FALSE on bare S3A, where
+the Hadoop connector emulates it with a non-atomic HEAD-then-PUT — two
+racers can both "win" and the second PUT silently replaces the first
+commit (lost update). On such stores run with S3A conditional writes
+(Hadoop 3.4.1+, ``fs.s3a.create.conditional.enabled`` backed by S3
+If-None-Match), or point the table at a coordinating layer (DynamoDB-style
+log store, as Delta-on-S3 does). The constructor probes the filesystem
+scheme and refuses to build a table on a scheme not known to provide the
+guarantee unless ``assume_atomic_marker_create=True`` is passed explicitly
+(the loud-failure stance: silent corruption is never an acceptable
+default). As defense-in-depth every commit also reads its marker back
+after writing and raises if the content does not round-trip (catches a
+stolen or overwritten marker after the fact).
 """
 
 from __future__ import annotations
 
 import json
 import re
-import time
 import uuid
 from collections.abc import Sequence
 
@@ -51,12 +65,18 @@ _MARKER_RE = re.compile(r"^v(\d{8})\.json$")
 # mtime, see _fs_now_ms — so writer wall clocks never enter the decision
 # and cross-writer clock skew cannot fake staleness):
 #  * a marker that exists but holds no parseable commit may be a LIVE racer
-#    between create() and the content write — a window of milliseconds, so
-#    a short grace suffices before the dead-writer reclaim;
+#    between create() and the content write — normally milliseconds, but a
+#    GC pause or driver stall can stretch it, and a premature reclaim then
+#    steals a live writer's marker (its buffered write would land invisibly
+#    on a local unlinked inode, or clobber the thief's commit on an object
+#    store). The grace is therefore sized well ABOVE plausible driver pause
+#    times, and _create_marker additionally read-back-verifies its commit
+#    so a stolen marker surfaces as ConcurrentWriteError, never a silent
+#    lost update;
 #  * an unreferenced v*-* dir may be a LIVE racer still staging data — a
 #    window of minutes at 100 TB, hence the long default; pass
 #    ``orphan_grace_ms=0`` to vacuum only when no writer can be running.
-MARKER_GRACE_MS = 10_000
+MARKER_GRACE_MS = 60_000
 ORPHAN_GRACE_MS = 600_000
 # How long a SUPERSEDED version stays readable after its successor commits
 # (vacuum only reclaims versions superseded for longer): a reader that
@@ -67,12 +87,22 @@ ORPHAN_GRACE_MS = 600_000
 SUPERSEDE_GRACE_MS = 60_000
 
 
-def _now_ms() -> int:
-    return int(time.time() * 1000)  # fallback only — prefer _fs_now_ms
-
-
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first. Re-read and retry."""
+
+
+class UnsupportedStoreError(RuntimeError):
+    """The filesystem cannot guarantee atomic create-no-overwrite, which
+    version arbitration depends on (see module docstring)."""
+
+
+# Schemes whose FileSystem.create(path, overwrite=false) is atomic:
+# local/HDFS (single-namespace op), ABFS/WASB (lease/ETag conditional).
+# Bare s3a/gs emulate it with HEAD-then-PUT — NOT atomic without
+# conditional-write support; the caller must opt in explicitly.
+_ATOMIC_CREATE_SCHEMES = frozenset(
+    {"file", "hdfs", "viewfs", "abfs", "abfss", "wasb", "wasbs"}
+)
 
 
 def _fs(spark: SparkSession, path: str):
@@ -86,10 +116,31 @@ class VersionedTable:
     """A parquet table whose visible state moves only via atomic
     commit-marker creation (see module docstring)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 assume_atomic_marker_create: bool = False):
         self.spark = spark
         self.root = root.rstrip("/")
         self._jvm, self._hfs = _fs(spark, self.root)
+        scheme = self._scheme()
+        if scheme not in _ATOMIC_CREATE_SCHEMES and not assume_atomic_marker_create:
+            raise UnsupportedStoreError(
+                f"filesystem scheme {scheme!r} for {self.root} is not known "
+                "to provide atomic create-no-overwrite, so two racing "
+                "writers could both believe they committed the same version "
+                "(silent lost update). Enable a conditional-write mode on "
+                "the store (e.g. S3A fs.s3a.create.conditional.enabled on "
+                "Hadoop 3.4.1+) and pass assume_atomic_marker_create=True "
+                "to acknowledge the guarantee is in place."
+            )
+
+    def _scheme(self) -> str:
+        """The filesystem scheme serving this table root (capability probe
+        input — see _ATOMIC_CREATE_SCHEMES)."""
+        try:
+            return str(self._hfs.getScheme())
+        except Exception:
+            # older FileSystem impls don't implement getScheme()
+            return str(self._hfs.getUri().getScheme() or "file")
 
     # -- path helpers ------------------------------------------------------
     def _path(self, rel: str):
@@ -232,22 +283,39 @@ class VersionedTable:
             out.write(bytearray(json.dumps(meta, sort_keys=True), "utf-8"))
         finally:
             out.close()
+        # Defense-in-depth read-back: if this writer stalled past
+        # MARKER_GRACE_MS between create() and the content write, a rival
+        # may have judged the empty marker dead, reclaimed it, and committed
+        # its own — on a local fs our buffered write then landed on an
+        # unlinked inode; on an object store our close() may have replaced
+        # the rival's marker. Either way the marker on storage no longer
+        # round-trips to OUR meta, and returning success would be a silent
+        # lost update. Verify and raise instead.
+        if self._read_marker(version) != meta:
+            raise ConcurrentWriteError(
+                f"version {version} of {self.root}: commit marker was "
+                "reclaimed by a rival writer during a stall — this commit "
+                "did not become visible; re-derive and retry"
+            )
 
     def _fs_now_ms(self) -> int:
         """The STORAGE SYSTEM's current time, read back from a probe file's
         own modification stamp (created, statted, deleted). Grace checks
         compare this against artifact mtimes — same clock on both sides, so
         a writer whose wall clock is skewed past the grace cannot misjudge
-        a LIVE racer's fresh marker as stale. Falls back to the local clock
-        if the probe cannot be written (read-only mount during vacuum dry
-        contexts)."""
+        a LIVE racer's fresh marker as stale. If the probe cannot be
+        written, FAIL CLOSED: return 0, which makes every ``now - mtime >
+        grace`` staleness test false, so this round reclaims nothing
+        (substituting the local wall clock here would re-enable exactly the
+        premature marker-steal/orphan-delete the fs-clock design exists to
+        prevent whenever the local clock runs ahead of the store's)."""
         probe = self._path(f"_commits/.clock-{uuid.uuid4().hex[:8]}")
         try:
             self._hfs.mkdirs(probe.getParent())
             self._hfs.create(probe, True).close()
             ts = self._hfs.getFileStatus(probe).getModificationTime()
         except Exception:
-            return _now_ms()
+            return 0  # sentinel: treat every artifact as young this round
         try:
             self._hfs.delete(probe, False)
         except Exception:
@@ -256,19 +324,26 @@ class VersionedTable:
 
     def _reclaim_dead_marker(self, version: int) -> bool:
         """True if ``version``'s marker is reclaimable: it vanished since
-        the failed create, or it exists, holds no parseable commit, and is
-        older than MARKER_GRACE_MS — i.e. its writer died between create()
-        and the content write. Without reclamation that version number
-        stays taken forever and NO writer can ever advance the table (every
-        merge computes current+1 and collides with the dead marker). The
-        grace keeps us from deleting a live racer's marker in the
-        milliseconds before its content lands; create(overwrite=False)
-        re-arbitrates after the delete, so two reclaimers can't both win."""
+        the failed create, or it is DEAD — holds no parseable commit (its
+        writer died between create() and the content write) OR parses but
+        references a data dir that no longer exists (external deletion /
+        partial tampering; the same liveness definition
+        committed_versions() applies) — and is older than MARKER_GRACE_MS.
+        Without reclamation that version number stays taken forever and NO
+        writer can ever advance the table (every merge computes current+1
+        and collides with the dead marker). The grace keeps us from
+        deleting a live racer's marker before its content (and, for the
+        data-dir case, a racer that creates the marker an instant before
+        its rename lands — our writers stage data BEFORE the marker, so
+        past the grace a dirless marker is genuinely dead);
+        create(overwrite=False) re-arbitrates after the delete, so two
+        reclaimers can't both win."""
         marker = self._marker(version)
         if not self._hfs.exists(marker):
             return True
-        if self._read_marker(version) is not None:
-            return False  # fully-written commit — genuine conflict
+        meta = self._read_marker(version)
+        if meta is not None and self._hfs.exists(self._path(meta["dir"])):
+            return False  # fully-written live commit — genuine conflict
         try:
             stat = self._hfs.getFileStatus(marker)
         except Exception:
@@ -440,9 +515,10 @@ class VersionedTable:
         # rows silently purged by a commit derived from the stale read
         version = self.commit(survivors, op="erase", at_version=current + 1)
         n_after = self.read(version).count()
-        # grace 0: erasure must leave NO copy of the subject's rows, orphan
-        # staging dirs included — the caller owns quiescing writers first
-        purged = self.vacuum(keep=1, orphan_grace_ms=0)
+        # both graces 0: erasure must leave NO copy of the subject's rows,
+        # orphan staging dirs and reader-retained superseded versions
+        # included — the caller owns quiescing writers AND readers first
+        purged = self.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
         return {
             "version": version,
             "n_erased": n_before - n_after,
@@ -450,8 +526,27 @@ class VersionedTable:
         }
 
     # -- maintenance -------------------------------------------------------
+    def _newest_mtime_ms(self, path) -> int | None:
+        """Newest FILE mtime under ``path`` (recursive), or None if it
+        holds no files. Orphan-dir age must come from the files, not the
+        directory entry: object stores synthesize directory statuses with
+        mtime 0, so keying staleness on the dir's own stamp would judge
+        every staging dir infinitely stale and delete a live writer's
+        in-flight data."""
+        newest = None
+        try:
+            it = self._hfs.listFiles(path, True)
+            while it.hasNext():
+                ts = it.next().getModificationTime()
+                if newest is None or ts > newest:
+                    newest = ts
+        except Exception:
+            return None  # fail closed: unknown age reads as young
+        return newest
+
     def vacuum(
-        self, keep: int = 2, orphan_grace_ms: int | None = None
+        self, keep: int = 2, orphan_grace_ms: int | None = None,
+        supersede_grace_ms: int | None = None,
     ) -> dict[str, list[int] | list[str]]:
         """Reclaim (a) orphan data dirs — staged dirs whose writer died (or
         lost a commit race) before the marker — and (b) committed versions
@@ -465,7 +560,14 @@ class VersionedTable:
         be a live writer mid-stage, and deleting it would vaporize that
         writer's in-flight commit (Delta's VACUUM has the same retention
         rule for the same reason). Pass ``orphan_grace_ms=0`` only when no
-        concurrent writer can exist (tests; post-erase purge)."""
+        concurrent writer can exist (tests; post-erase purge).
+
+        ``supersede_grace_ms`` (SUPERSEDE_GRACE_MS default) independently
+        protects recently-superseded versions still mid-scan by READERS —
+        a different population from writers, so quiescing writers (orphan
+        grace 0) deliberately does NOT imply dropping reader retention;
+        pass ``supersede_grace_ms=0`` only when readers are quiesced too
+        (erase: compliance requires the full purge)."""
         if keep < 1:
             raise ValueError(
                 "vacuum keep must be >= 1 — keep=0 would reclaim the "
@@ -473,8 +575,12 @@ class VersionedTable:
                 "everything instead)"
             )
         grace = ORPHAN_GRACE_MS if orphan_grace_ms is None else orphan_grace_ms
+        sgrace = (
+            SUPERSEDE_GRACE_MS if supersede_grace_ms is None
+            else supersede_grace_ms
+        )
         # one storage-clock read per vacuum — fs-mtime vs fs-mtime ages
-        now = self._fs_now_ms() if grace else 0
+        now = self._fs_now_ms() if (grace or sgrace) else 0
         committed = self.committed_versions()
         live = set(committed[-keep:]) if committed else set()
         # ---- phase 1: DECIDE which non-live versions are reclaimable.
@@ -492,14 +598,14 @@ class VersionedTable:
         for idx, v in enumerate(committed):
             if v in live:
                 continue
-            if grace:
+            if sgrace:
                 try:
                     superseded_ms = now - self._hfs.getFileStatus(
                         self._marker(committed[idx + 1])
                     ).getModificationTime()
                 except Exception:
                     continue
-                if superseded_ms < SUPERSEDE_GRACE_MS:
+                if superseded_ms < sgrace:
                     continue
             reclaim.add(v)
         # ---- phase 2: every top-level dir ANY surviving version (the keep
@@ -535,13 +641,19 @@ class VersionedTable:
         if self._hfs.exists(self._path("")):
             for st in self._hfs.listStatus(self._path("")):
                 name = st.getPath().getName()
-                if (
-                    _DIR_RE.match(name)
-                    and name not in protected
-                    and (not grace or now - st.getModificationTime() > grace)
-                ):
-                    self._hfs.delete(st.getPath(), True)
-                    removed_orphans.append(name)
+                if not _DIR_RE.match(name) or name in protected:
+                    continue
+                if grace:
+                    # age from the newest FILE inside (object-store dir
+                    # statuses carry mtime 0 — see _newest_mtime_ms); an
+                    # empty/unstattable dir has unknown age → spared
+                    mt = self._newest_mtime_ms(st.getPath())
+                    if mt is None:
+                        mt = st.getModificationTime() or None
+                    if mt is None or now - mt <= grace:
+                        continue
+                self._hfs.delete(st.getPath(), True)
+                removed_orphans.append(name)
         # dead markers: unparseable (writer died mid-create) or pointing at
         # a data dir that no longer exists (crash mid-vacuum inverse order).
         # Grace-gated like orphans — a young unparseable one may be a racer

@@ -109,7 +109,7 @@ def test_vacuum_keeps_last_n_and_drops_orphans(spark, tmp_path):
     for i in range(4):
         t.commit(_mk(spark, [(1, f"v{i + 1}")]))
     orphan = t._stage_data(_mk(spark, [(9, "orphan")]), version=9)
-    removed = t.vacuum(keep=2, orphan_grace_ms=0)
+    removed = t.vacuum(keep=2, orphan_grace_ms=0, supersede_grace_ms=0)
     assert removed["versions"] == [1, 2]
     assert removed["orphans"] == [orphan]
     assert t.committed_versions() == [3, 4]
@@ -379,6 +379,7 @@ def test_randomized_op_sequences_match_model(spark, tmp_path):
                 t.vacuum(
                     keep=rng.choice([1, 2]),
                     orphan_grace_ms=rng.choice([0, None]),
+                    supersede_grace_ms=rng.choice([0, None]),
                 )
             if t.exists():
                 got = {
@@ -390,6 +391,17 @@ def test_randomized_op_sequences_match_model(spark, tmp_path):
 def _age(path, by_s: float) -> None:
     old = os.stat(path).st_mtime - by_s
     os.utime(path, (old, old))
+
+
+def _age_tree(path, by_s: float) -> None:
+    """Age a directory AND every file under it — orphan-dir staleness is
+    judged by the newest contained FILE (object stores report dir mtime 0,
+    see VersionedTable._newest_mtime_ms), so aging just the dir entry no
+    longer makes it reclaimable."""
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            _age(os.path.join(root, f), by_s)
+    _age(path, by_s)
 
 
 def test_kill_between_marker_create_and_content_write(spark, tmp_path):
@@ -453,7 +465,12 @@ def test_vacuum_spares_young_orphans_reclaims_stale(spark, tmp_path):
     removed = t.vacuum(keep=2)  # default grace: spared
     assert removed["orphans"] == []
     assert os.path.isdir(tmp_path / "t" / orphan)
+    # aging the DIR entry alone must not suffice — staleness keys on the
+    # newest contained file (dir mtimes are 0 on object stores)
     _age(tmp_path / "t" / orphan, V.ORPHAN_GRACE_MS / 1000 + 5)
+    removed = t.vacuum(keep=2)
+    assert removed["orphans"] == []
+    _age_tree(tmp_path / "t" / orphan, V.ORPHAN_GRACE_MS / 1000 + 5)
     removed = t.vacuum(keep=2)
     assert removed["orphans"] == [orphan]
     assert not os.path.isdir(tmp_path / "t" / orphan)
@@ -609,7 +626,9 @@ def test_vacuum_spares_recently_superseded_versions(spark, tmp_path):
     """A version superseded moments ago may still be mid-scan by a reader
     that resolved it as current — vacuum (with grace) must keep it AND its
     data dir (the orphan sweep must not treat the kept dir as orphaned).
-    Zero grace (erase) still purges immediately."""
+    Reader retention is its OWN knob: quiescing writers (orphan grace 0)
+    must NOT drop it; only supersede_grace_ms=0 (readers quiesced too,
+    e.g. erase) purges immediately."""
     t = VersionedTable(spark, str(tmp_path / "t"))
     t.commit(_mk(spark, [(1, "v1")]))
     t.commit(_mk(spark, [(1, "v2")]))
@@ -620,7 +639,12 @@ def test_vacuum_spares_recently_superseded_versions(spark, tmp_path):
     # every kept version still fully readable (marker AND data dir intact)
     assert _rows(t.read(version=1)) == {(1, "v1")}
     assert _rows(t.read(version=2)) == {(1, "v2")}
-    removed = t.vacuum(keep=1, orphan_grace_ms=0)  # quiesced: purge now
+    # orphan grace 0 = "no live WRITERS"; in-flight READERS of the
+    # recently-superseded versions are still protected
+    removed = t.vacuum(keep=1, orphan_grace_ms=0)
+    assert removed["versions"] == []
+    assert t.committed_versions() == [1, 2, 3]
+    removed = t.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
     assert removed["versions"] == [1, 2]
     assert t.committed_versions() == [3]
 
@@ -664,3 +688,171 @@ def test_vacuum_keeps_dirs_shared_with_spared_versions(spark, tmp_path):
     # current version intact too
     got = {(r["id"], r["part"]): r["val"] for r in t.read().collect()}
     assert got == {(1, "a"): "a3", (2, "b"): "b2"}
+
+
+def test_unsupported_scheme_refused(spark, tmp_path, monkeypatch):
+    """Version arbitration is exactly as strong as atomic
+    create-no-overwrite; on a scheme not known to provide it (bare s3a's
+    HEAD-then-PUT emulation) the constructor must fail LOUDLY instead of
+    letting two racers both 'win' a commit — silent corruption is never an
+    acceptable default. The explicit opt-in acknowledges the store has a
+    conditional-write mode enabled."""
+    from enterprise_data_warehouse_spark.sources import versioned as V
+
+    monkeypatch.setattr(VersionedTable, "_scheme", lambda self: "s3a")
+    with pytest.raises(V.UnsupportedStoreError, match="s3a"):
+        VersionedTable(spark, str(tmp_path / "t"))
+    t = VersionedTable(
+        spark, str(tmp_path / "t"), assume_atomic_marker_create=True
+    )
+    t.commit(_mk(spark, [(1, "a")]))
+    assert _rows(t.read()) == {(1, "a")}
+
+
+def test_non_atomic_create_loses_update_hence_the_probe(spark, tmp_path):
+    """THE failure mode the scheme probe exists to prevent: with a
+    check-then-act create (bare S3's emulation) two writers racing for the
+    same version BOTH report success, and the first writer's commit is
+    silently replaced — a lost update no reader can detect. The real
+    (atomic) create turns the same race into ConcurrentWriteError."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "base")]))
+
+    def non_atomic_create_marker(self, version, meta):
+        # HEAD-then-PUT: exists-check, then an unconditional overwrite PUT
+        marker = self._marker(version)
+        self._hfs.mkdirs(marker.getParent())
+        if self._hfs.exists(marker):
+            raise ConcurrentWriteError(f"version {version} taken")
+        import json as _json
+
+        out = self._hfs.create(marker, True)  # blind PUT — NOT create-excl
+        try:
+            out.write(bytearray(_json.dumps(meta, sort_keys=True), "utf-8"))
+        finally:
+            out.close()
+
+    # writer A passes the exists-check... (simulated by committing B first
+    # below, then replaying A's PUT on top)
+    dir_a = t._stage_data(_mk(spark, [(2, "A")]), version=2)
+    dir_b = t._stage_data(_mk(spark, [(2, "B")]), version=2)
+    non_atomic_create_marker(
+        t, 2, {"version": 2, "dir": dir_b, "op": "overwrite"}
+    )
+    # ...and A's delayed blind PUT lands AFTER B's commit: no error, and
+    # B's committed version is silently gone — the lost update
+    marker = t._marker(2)
+    out = t._hfs.create(marker, True)
+    import json as _json
+
+    meta_a = {"version": 2, "dir": dir_a, "op": "overwrite"}
+    try:
+        out.write(bytearray(_json.dumps(meta_a, sort_keys=True), "utf-8"))
+    finally:
+        out.close()
+    assert _rows(t.read()) == {(2, "A")}  # B's commit vanished silently
+
+    # the REAL protocol on an atomic store: the same race raises instead
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.commit(_mk(spark, [(1, "base")]))
+    t2.commit(_mk(spark, [(2, "B")]), at_version=2)
+    with pytest.raises(ConcurrentWriteError):
+        t2.commit(_mk(spark, [(2, "A")]), at_version=2)
+    assert _rows(t2.read()) == {(2, "B")}
+
+
+def test_stalled_writer_marker_steal_surfaces_as_conflict(spark, tmp_path):
+    """ADVICE r04: writer A stalls past MARKER_GRACE_MS between marker
+    create() and the content write (GC pause); a rival judges the 0-byte
+    marker dead, reclaims it, and commits its own v2. A's buffered write
+    then lands on the unlinked inode — WITHOUT the read-back check A would
+    return success for a commit that never became visible. The read-back
+    must turn that into ConcurrentWriteError."""
+    import json as _json
+
+    from enterprise_data_warehouse_spark.sources import versioned as V
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "base")]))
+
+    state = {"raced": False}
+    orig_dumps = _json.dumps
+
+    def stalling_dumps(meta, **kw):
+        # fires inside _create_marker between create() and out.write():
+        # exactly the stall window
+        if (
+            isinstance(meta, dict)
+            and meta.get("version") == 2
+            and not state["raced"]
+        ):
+            state["raced"] = True
+            _age(
+                tmp_path / "t" / "_commits" / "v00000002.json",
+                V.MARKER_GRACE_MS / 1000 + 5,
+            )
+            rival = VersionedTable(spark, str(tmp_path / "t"))
+            rival.merge(_mk(spark, [(9, "rival")]), keys=["id"])
+        return orig_dumps(meta, **kw)
+
+    V.json.dumps = stalling_dumps
+    try:
+        with pytest.raises(ConcurrentWriteError, match="reclaimed"):
+            t.merge(_mk(spark, [(2, "mine")]), keys=["id"])
+    finally:
+        V.json.dumps = orig_dumps
+    assert state["raced"]
+    # the rival's commit is the visible one; A's never surfaced as success
+    assert _rows(t.read()) == {(1, "base"), (9, "rival")}
+
+
+def test_parseable_marker_with_missing_dir_unwedges_writers(spark, tmp_path):
+    """ADVICE r04: a marker that PARSES but references a vanished data dir
+    (external deletion / partial tampering) must not take its version
+    number forever — committed_versions() already treats it as dead, so
+    _reclaim_dead_marker must too (past the same grace), or every merge
+    collides on current+1 until a vacuum happens to run."""
+    import shutil
+
+    from enterprise_data_warehouse_spark.sources import versioned as V
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    t.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    shutil.rmtree(tmp_path / "t" / t._read_marker(2)["dir"])
+    assert t.current_version() == 1  # dirless v2 is not live
+
+    # young: could be a racer between marker create and a pending rename —
+    # spared, so the merge still collides
+    with pytest.raises(ConcurrentWriteError):
+        t.merge(_mk(spark, [(3, "c")]), keys=["id"])
+
+    # past the grace: reclaimed in-line by the next writer, table heals
+    _age(
+        tmp_path / "t" / "_commits" / "v00000002.json",
+        V.MARKER_GRACE_MS / 1000 + 5,
+    )
+    t.merge(_mk(spark, [(3, "c")]), keys=["id"])
+    assert t.current_version() == 2
+    assert _rows(t.read()) == {(1, "a"), (3, "c")}
+
+
+def test_fs_clock_probe_failure_fails_closed(spark, tmp_path, monkeypatch):
+    """ADVICE r04: when the storage-clock probe cannot be written,
+    substituting the LOCAL wall clock would re-enable premature reclaim
+    whenever the local clock runs ahead of the store's. The sentinel (0)
+    must make every artifact read as young — vacuum reclaims nothing that
+    round — and a later round with a working probe reclaims normally."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    orphan = t._stage_data(_mk(spark, [(9, "dead")]), version=2)
+    _age_tree(tmp_path / "t" / orphan, 10_000_000)
+
+    monkeypatch.setattr(VersionedTable, "_fs_now_ms", lambda self: 0)
+    removed = t.vacuum(keep=2)
+    assert removed == {"versions": [], "orphans": [], "markers": []}
+    assert os.path.isdir(tmp_path / "t" / orphan)
+
+    monkeypatch.undo()
+    removed = t.vacuum(keep=2)
+    assert removed["orphans"] == [orphan]
