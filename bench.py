@@ -42,6 +42,12 @@ REGRESSION_WATCH = {
     "scd2_customer_dim",
 }
 
+# r03→r04 counter-movers (moved up against a 1.52× faster round, bodies
+# unchanged — VERDICT r04 #4): best-of-4 plus an interleaved A/B record in
+# SCALING.md so the attribution (host noise vs real regression) is settled
+# by data rather than assertion.
+COUNTER_MOVER_WATCH = {"catalog_fact_sales_daily", "session_metrics_batch"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,7 +66,12 @@ def main() -> None:
 
     for name, spec in bench_queries.items():
         rs = []
-        for _ in range(3 if name in REGRESSION_WATCH else 2):
+        n_runs = (
+            4 if name in COUNTER_MOVER_WATCH
+            else 3 if name in REGRESSION_WATCH
+            else 2
+        )
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             force(spec.fn(spark, sf_dir))
             rs.append(round(time.perf_counter() - t0, 3))

@@ -57,6 +57,7 @@ _OPERATOR_MODULES = [
     "enterprise_data_warehouse_spark.operators.sketches",
     "enterprise_data_warehouse_spark.operators.quality",
     "enterprise_data_warehouse_spark.operators.layout",
+    "enterprise_data_warehouse_spark.operators.timetravel",
     "enterprise_data_warehouse_spark.streaming.queries",
     "enterprise_data_warehouse_spark.streaming.stateful",
 ]
@@ -128,6 +129,9 @@ PRIORITY_ORDER = [
     "hash_sample_unit_price",
     "segment_status_rollup",
     # ---------------- slot 50 boundary (driver budget) ---------------------
+    # -- r05 capability additions (VERDICT r04 #8): front the r06 window ----
+    "time_travel_read",
+    "schema_evolution_merge",
     # -- fresh driver record on file (r02-r04); order retained --------------
     "streaming_hourly_counts",
     "streaming_dedup_events",

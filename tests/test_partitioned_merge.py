@@ -76,6 +76,16 @@ def test_partition_scoped_merge(spark, tmp_path):
         after = _files_with_mtimes(path, parts_v2[p])
         assert after == before, p
 
+    # write volume ∝ touched: v2's staged dir holds ONLY the touched
+    # partition's subdir — untouched partitions were not rewritten anywhere
+    t = VersionedTable(spark, path)
+    v2_dir = t._read_marker(t.current_version())["dir"]
+    staged = [
+        d for d in os.listdir(os.path.join(path, v2_dir))
+        if d.startswith("_pv=")
+    ]
+    assert staged == ["_pv=2024-01-01"]
+
 
 def test_partitioned_merge_idempotent(spark, tmp_path):
     path = str(tmp_path / "fact")

@@ -1,0 +1,131 @@
+"""Protocol scaling probe: evidence that the commit-manifest MERGE/vacuum
+surface itself is O(touched partitions) / O(versions reclaimed) — NOT
+O(table) — measured at sf0.1 vs sf1 (VERDICT r04 #6).
+
+Three claims, each measured:
+
+1. **Partitioned MERGE cost tracks the touched partition, not the table.**
+   A one-day delta against a day-partitioned orders fact (2405 partitions)
+   is merged at sf0.1 (150k rows) and sf1 (1.5M rows). Wall time should be
+   near-FLAT across the decade (the touched day is 62 vs 624 rows — both
+   overhead-dominated) and the bytes written by the merge should be a
+   vanishing fraction of the table.
+
+2. **Vacuum cost tracks versions reclaimed, not table size.** After 12
+   same-day delta merges, vacuum(keep=2) reclaims 10 single-day version
+   dirs; wall time should be near-flat sf0.1 → sf1 (it never lists or
+   touches the protected full-table dir's files).
+
+3. **Vacuum is linear in version count.** At sf0.1, 10× the superseded
+   versions should cost ~10× the vacuum time (and no more).
+
+Usage: python tools/protocol_probe.py   (prints a table; paste → SCALING.md)
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from enterprise_data_warehouse_spark.session import get_spark  # noqa: E402
+from enterprise_data_warehouse_spark.sources.sink import (  # noqa: E402
+    merge_upsert_partitioned,
+)
+from enterprise_data_warehouse_spark.sources.tables import load_table  # noqa: E402
+from enterprise_data_warehouse_spark.sources.versioned import (  # noqa: E402
+    VersionedTable,
+)
+
+SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": "/root/repo/testdata_sf1"}
+DELTA_DAY = "1995-06-17"  # mid-range order date present at both SFs
+WORK = Path("/tmp/protocol_probe")
+
+
+def _du(path: Path) -> int:
+    return sum(f.stat().st_size for f in path.rglob("*") if f.is_file())
+
+
+def _orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").withColumn(
+        "date_key", F.col("o_orderdate").cast("string")
+    )
+
+
+def _delta(orders, bump: int):
+    return orders.where(F.col("date_key") == DELTA_DAY).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(bump)
+    )
+
+
+def probe_sf(spark, sf: str, n_versions: int) -> dict:
+    root = WORK / f"fact_sf{sf.replace('.', '_')}_v{n_versions}"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = _orders(spark, SF_DIRS[sf])
+
+    t0 = time.perf_counter()
+    merge_upsert_partitioned(spark, str(root), orders, ["o_orderkey"], "date_key")
+    build_s = time.perf_counter() - t0
+    table_bytes = _du(root)
+
+    # n_versions same-day delta merges (the streaming-foreachBatch shape)
+    merge_times = []
+    for i in range(n_versions):
+        d = _delta(orders, i + 1)
+        t0 = time.perf_counter()
+        merge_upsert_partitioned(spark, str(root), d, ["o_orderkey"], "date_key")
+        merge_times.append(time.perf_counter() - t0)
+    merge_bytes = _du(root) - table_bytes  # all delta versions combined
+
+    t = VersionedTable(spark, str(root))
+    n_committed = len(t.committed_versions())
+    t0 = time.perf_counter()
+    removed = t.vacuum(keep=2, orphan_grace_ms=0, supersede_grace_ms=0)
+    vacuum_s = time.perf_counter() - t0
+
+    return {
+        "sf": sf,
+        "rows": orders.count(),
+        "partitions": 2405,
+        "build_s": build_s,
+        "table_mb": table_bytes / 1e6,
+        "merge_best_s": min(merge_times),
+        "merge_avg_s": sum(merge_times) / len(merge_times),
+        "merge_mb_per_version": merge_bytes / n_versions / 1e6,
+        "versions_reclaimed": len(removed["versions"]),
+        "vacuum_s": vacuum_s,
+        "n_committed": n_committed,
+    }
+
+
+def main() -> None:
+    # one leg per invocation (each prints immediately):
+    #   python tools/protocol_probe.py 0.1 12
+    #   python tools/protocol_probe.py 1   12     (10× table, same merge/vacuum work)
+    #   python tools/protocol_probe.py 0.1 60     (5× versions, same table)
+    sf = sys.argv[1] if len(sys.argv) > 1 else "0.1"
+    n_versions = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    spark = get_spark("protocol-probe")
+    r = probe_sf(spark, sf, n_versions)
+    print(
+        f"{'probe':<20}{'rows':>9}{'build':>8}{'tableMB':>9}"
+        f"{'merge(best)':>12}{'merge(avg)':>11}{'MB/ver':>8}"
+        f"{'reclaimed':>10}{'vacuum':>8}"
+    )
+    print(
+        f"sf{r['sf']:<4} v={r['n_committed']:<11}{r['rows']:>9}"
+        f"{r['build_s']:>7.1f}s{r['table_mb']:>8.1f}"
+        f"{r['merge_best_s']:>11.2f}s{r['merge_avg_s']:>10.2f}s"
+        f"{r['merge_mb_per_version']:>8.2f}"
+        f"{r['versions_reclaimed']:>10}{r['vacuum_s']:>7.2f}s"
+    )
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
