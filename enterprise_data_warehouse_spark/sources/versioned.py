@@ -135,12 +135,18 @@ class VersionedTable:
 
     def _scheme(self) -> str:
         """The filesystem scheme serving this table root (capability probe
-        input — see _ATOMIC_CREATE_SCHEMES)."""
+        input — see _ATOMIC_CREATE_SCHEMES). An undeterminable scheme
+        reports as 'unknown', which the probe REFUSES without the explicit
+        opt-in — failing open to 'file' here would silently admit a store
+        the probe exists to reject."""
         try:
             return str(self._hfs.getScheme())
         except Exception:
             # older FileSystem impls don't implement getScheme()
-            return str(self._hfs.getUri().getScheme() or "file")
+            try:
+                return str(self._hfs.getUri().getScheme() or "unknown")
+            except Exception:
+                return "unknown"
 
     # -- path helpers ------------------------------------------------------
     def _path(self, rel: str):
@@ -600,7 +606,11 @@ class VersionedTable:
         )
         # one storage-clock read per vacuum — fs-mtime vs fs-mtime ages
         now = self._fs_now_ms() if (grace or sgrace) else 0
-        committed = self.committed_versions()
+        # one marker-content read per version for the WHOLE vacuum: phases
+        # 1-2 reuse these metas (phase 3 re-reads only the versions it
+        # reclaims, as its racing-vacuum guard)
+        metas = {v: self._live_meta(v) for v in self._marker_versions()}
+        committed = [v for v in sorted(metas) if metas[v]]
         live = set(committed[-keep:]) if committed else set()
         # ---- phase 1: DECIDE which non-live versions are reclaimable.
         # A reader (or a lagging writer's re-derive) may have resolved v as
@@ -637,7 +647,7 @@ class VersionedTable:
         for v in committed:
             if v in reclaim:
                 continue
-            meta = self._read_marker(v)
+            meta = metas[v]
             if meta:
                 protected.add(meta["dir"])
                 for rel in (meta.get("parts") or {}).values():

@@ -22,6 +22,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from bench import force  # noqa: E402  (same materialization as the bench)
 from enterprise_data_warehouse_spark.queries import load_registry  # noqa: E402
 from enterprise_data_warehouse_spark.session import get_spark  # noqa: E402
 
@@ -35,10 +36,6 @@ RECORD = {
     "catalog_fact_sales_daily": {"r03": 2.95, "r04": 3.28},
     "session_metrics_batch": {"r03": 0.56, "r04": 0.68},
 }
-
-
-def force(df) -> None:
-    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
