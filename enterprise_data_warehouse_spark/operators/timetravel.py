@@ -92,12 +92,12 @@ SCHEMA_EVOLUTION_ORACLE = """
 WITH target AS (
   SELECT o_orderkey,
          CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents
-  FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
 ), delta AS (
   SELECT o_orderkey,
          CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents,
          o_orderpriority
-  FROM orders WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
 )
 SELECT o_orderkey, total_cents, o_orderpriority FROM delta
 UNION ALL
@@ -113,16 +113,18 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     target lands narrow, the delta arrives with a NEW column, and
     ``merge(evolve_schema=True)`` widens the table — delta rows win on key
     collision, surviving old rows null-fill the new column. The overlap
-    year (1994) is deliberately restated by the wide delta."""
+    year (1998) is deliberately restated by the wide delta (testdata
+    orders span 1995-01-01..2001-08-01, so both the surviving-narrow and
+    restated-wide populations are non-empty at every sf)."""
     o = load_table(spark, sf_dir, "orders")
     target = o.where(
-        F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
     ).select(
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
     )
     delta = o.where(
-        F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
     ).select(
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),

@@ -1,0 +1,47 @@
+"""Time-travel / schema-evolution registry queries (operators/timetravel.py):
+value semantics are oracle-pinned by the driver; these pin the local
+contracts — pinned reads differ from current, evolved merges null-fill,
+and repeated runs reuse one scratch tree instead of leaking mkdtemps."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from enterprise_data_warehouse_spark.queries import load_registry
+
+SF = "/root/testdata/sf0.001"
+REG = load_registry()
+
+
+def test_time_travel_versions_differ_and_are_pinned(spark):
+    df = REG["time_travel_read"].fn(spark, SF)
+    rows = df.collect()
+    v1 = {(r["c_mktsegment"]): r["n_customers"] for r in rows if r["snapshot"] == "v1"}
+    v2 = {(r["c_mktsegment"]): r["n_customers"] for r in rows if r["snapshot"] == "v2"}
+    assert set(v1) == set(v2)  # same segments in both snapshots
+    # v1 was the half-corpus (even custkeys) — strictly fewer per segment
+    assert all(v1[s] < v2[s] for s in v1)
+    assert sum(v2.values()) == 150  # sf0.001 customer count
+
+
+def test_schema_evolution_nullfills_old_rows_only(spark):
+    df = REG["schema_evolution_merge"].fn(spark, SF)
+    # rows restated by the wide delta carry the new column; pre-evolution
+    # survivors null-fill it — and only they
+    n_null = df.where(F.col("o_orderpriority").isNull()).count()
+    n_wide = df.where(F.col("o_orderpriority").isNotNull()).count()
+    assert n_null > 0 and n_wide > 0
+    assert df.count() == n_null + n_wide
+
+
+def test_repeated_runs_reuse_one_scratch_tree(spark):
+    base = os.path.join(tempfile.gettempdir(), "edw_query_work")
+    for _ in range(2):
+        REG["time_travel_read"].fn(spark, SF).collect()
+    trees = [d for d in os.listdir(base) if d.startswith("timetravel_")]
+    # one tree per (query, sf): the previous run's table was removed,
+    # not accumulated (sf0.01 runs from other harnesses may coexist)
+    assert trees.count("timetravel_sf0.001") == 1
