@@ -340,7 +340,8 @@ def test_randomized_op_sequences_match_model(spark, tmp_path):
 
         for step in range(14):
             op = rng.choice(
-                ["commit", "merge", "merge_part", "crash", "dead_marker", "vacuum"]
+                ["commit", "merge", "merge_part", "crash", "dead_marker",
+                 "vacuum", "erase"]
             )
             rows = rand_rows(rng.randint(1, 4))
             # de-dup keys within a batch (upsert source must be key-unique)
@@ -381,6 +382,19 @@ def test_randomized_op_sequences_match_model(spark, tmp_path):
                     orphan_grace_ms=rng.choice([0, None]),
                     supersede_grace_ms=rng.choice([0, None]),
                 )
+            elif op == "erase":
+                # right-to-be-forgotten composes with everything else: the
+                # purge commit + full-history vacuum must leave exactly the
+                # model minus the subjects (and never a missing table)
+                if t.exists() and model:
+                    victim_ids = sorted({k[0] for k in model})[:2]
+                    subjects = spark.createDataFrame(
+                        [(i,) for i in victim_ids], "id int"
+                    )
+                    t.erase(subjects, keys=["id"])
+                    model = {
+                        k: v for k, v in model.items() if k[0] not in victim_ids
+                    }
             if t.exists():
                 got = {
                     (r["id"], r["part"]): r["val"] for r in t.read().collect()
