@@ -65,6 +65,7 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     import gc
 
+    errors: dict[str, str] = {}
     for name, spec in bench_queries.items():
         rs = []
         n_runs = (
@@ -72,10 +73,16 @@ def main() -> None:
             else 3 if name in REGRESSION_WATCH
             else 2
         )
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            force(spec.fn(spark, sf_dir))
-            rs.append(round(time.perf_counter() - t0, 3))
+        try:
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                force(spec.fn(spark, sf_dir))
+                rs.append(round(time.perf_counter() - t0, 3))
+        except Exception as e:  # noqa: BLE001 — one bad query must not
+            # vaporize the whole round's bench record; surface it loudly
+            # in the JSON instead and keep timing the rest
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            continue
         runs[name] = rs
         timings[name] = min(rs)
         # Isolate queries from each other's session residue: iterative
@@ -102,6 +109,7 @@ def main() -> None:
                 # cross-round deltas stay interpretable under host steal.
                 "methodology": "best_of_n_noop_sink_v4",
                 "runs": runs,
+                **({"errors": errors} if errors else {}),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -77,10 +77,13 @@ def main() -> int:
         .getOrCreate()
     )
     con = duckdb.connect()
+    import os
+
     for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):  # Spark-written table dir (e.g. testdata_sf1)
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     n_pass = n_fail = 0
     for name in names:
