@@ -209,6 +209,34 @@ class VersionedTable:
         hot path uses current_version() instead."""
         return [v for v in self._marker_versions() if self._live_meta(v)]
 
+    def history(self) -> list[dict]:
+        """Commit history of the retained (un-vacuumed) versions, newest
+        first — the DESCRIBE HISTORY surface for time travel: one dict per
+        live version with its op, data dir, commit-marker timestamp (the
+        storage clock, same stamp the grace logic uses), and the touched
+        partition count for partition-mapped merges."""
+        out = []
+        for v in self.committed_versions():
+            meta = self._read_marker(v)
+            if meta is None:
+                continue  # vacuumed between the list and this read
+            try:
+                ts = self._hfs.getFileStatus(self._marker(v)).getModificationTime()
+            except Exception:
+                ts = None
+            out.append(
+                {
+                    "version": v,
+                    "op": meta.get("op"),
+                    "dir": meta["dir"],
+                    "committed_at_ms": ts,
+                    "n_partitions": (
+                        len(meta["parts"]) if meta.get("parts") else None
+                    ),
+                }
+            )
+        return sorted(out, key=lambda r: -r["version"])
+
     def current_version(self) -> int | None:
         """Highest live version — walks DOWN from the highest marker
         number, so the common case costs one listStatus + ONE marker read

@@ -870,3 +870,24 @@ def test_fs_clock_probe_failure_fails_closed(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     removed = t.vacuum(keep=2)
     assert removed["orphans"] == [orphan]
+
+
+def test_history_lists_retained_versions_newest_first(spark, tmp_path):
+    """DESCRIBE HISTORY surface: op labels, storage-clock timestamps, and
+    partition counts for the retained versions; vacuumed versions drop
+    out."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+    t.merge(_mk(spark, [(2, "b")]), keys=["id"])
+    mk = lambda rows: spark.createDataFrame(rows, "id int, part string, val string")
+    t2 = VersionedTable(spark, str(tmp_path / "p"))
+    t2.merge_partitioned(mk([(1, "x", "v"), (2, "y", "v")]), ["id", "part"], "part")
+
+    h = t.history()
+    assert [r["version"] for r in h] == [2, 1]
+    assert [r["op"] for r in h] == ["merge", "overwrite"]
+    assert all(r["committed_at_ms"] and r["n_partitions"] is None for r in h)
+    assert t2.history()[0]["n_partitions"] == 2
+
+    t.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+    assert [r["version"] for r in t.history()] == [2]
