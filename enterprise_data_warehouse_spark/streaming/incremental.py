@@ -189,23 +189,31 @@ def stream_mv_merge(
     The MV stores (keys, n, sum_dec DECIMAL(38,10)) plus two constant
     columns — ``_last_batch_id`` and ``_ckpt`` (hash of the checkpoint
     location) — which readers drop; finalize (e.g. dec2dbl) at query time,
-    exactly like mv_rollup_routing.
+    exactly like mv_rollup_routing. Read it back with ``read_table``.
 
-    Failure semantics: "first batch" is decided by an explicit fs.exists
-    probe — a transient read error on the stored MV PROPAGATES and fails
-    the micro-batch (the checkpoint retries it) instead of being mistaken
-    for an empty MV and silently replacing history with one batch's
-    partials. ``_last_batch_id`` makes the merge idempotent per batch_id:
-    a crash between the staged swap and the checkpoint commit replays the
-    batch, sees its id already folded in, and skips — no double-merge.
-    The guard is scoped to ONE checkpoint lineage via ``_ckpt``: batch ids
-    restart from 0 under a fresh checkpoint, so comparing them across
-    checkpoints would silently discard genuinely new data — a different
-    checkpoint's batches always merge."""
+    Failure semantics: each batch's merged MV lands as a NEW VERSION of a
+    commit-manifest table (sources/versioned.py) — marker-last, so a crash
+    at ANY point leaves the previous MV fully readable and the replayed
+    batch re-derives against it. (The pre-r05 staged-swap had a
+    delete-then-rename window: a crash inside it left NO readable MV, and
+    the replay then mistook that for the first batch and silently replaced
+    history with one batch's partials.) "First batch" is decided by the
+    manifest's exists() — a transient read error PROPAGATES and fails the
+    micro-batch (the checkpoint retries it) instead of being mistaken for
+    an empty MV. ``_last_batch_id`` makes the merge idempotent per
+    batch_id: a crash between the version commit and the checkpoint commit
+    replays the batch, sees its id already folded in, and skips — no
+    double-merge. The guard is scoped to ONE checkpoint lineage via
+    ``_ckpt``: batch ids restart from 0 under a fresh checkpoint, so
+    comparing them across checkpoints would silently discard genuinely new
+    data — a different checkpoint's batches always merge. History is
+    vacuumed to 2 versions per batch (the merge_upsert retention
+    rationale: unbounded streams must not accumulate one MV copy per
+    batch)."""
     import hashlib
-    import uuid as _uuid
 
-    from ..sources.sink import fs_handles, staged_swap
+    from ..sources.sink import _adopt_plain
+    from ..sources.versioned import VersionedTable
 
     ckpt_id = hashlib.md5(checkpoint.encode()).hexdigest()[:16]
 
@@ -217,9 +225,10 @@ def stream_mv_merge(
             F.count("*").alias("n"),
             F.sum(F.col(measure_col).cast("decimal(38,10)")).alias("sum_dec"),
         )
-        _, fs, hpath = fs_handles(spark, target_path)
-        if fs.exists(hpath):
-            existing = spark.read.parquet(target_path)
+        _adopt_plain(spark, target_path)  # migrate a legacy plain-parquet MV
+        t = VersionedTable(spark, target_path)
+        if t.exists():
+            existing = t.read()
             if "_last_batch_id" in existing.columns:
                 # Constant columns → one row answers the replay probe.
                 row = existing.select("_last_batch_id", "_ckpt").first()
@@ -241,9 +250,8 @@ def stream_mv_merge(
         merged = merged.withColumn("_last_batch_id", F.lit(batch_id)).withColumn(
             "_ckpt", F.lit(ckpt_id)
         )
-        staged = target_path + "_staged-" + _uuid.uuid4().hex[:8]
-        merged.write.mode("overwrite").parquet(staged)
-        staged_swap(spark, staged, target_path)
+        t.commit(merged, op="mv_merge")
+        t.vacuum(keep=2)
 
     return (
         stream.writeStream.foreachBatch(_merge)

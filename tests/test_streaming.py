@@ -249,7 +249,7 @@ def test_stream_mv_merge_equals_full_recompute(spark, tmp_path):
 
     got = {
         r["o_orderstatus"]: (r["n"], str(r["sum_dec"]))
-        for r in spark.read.parquet(mv).collect()
+        for r in read_table(spark, mv).collect()
     }
     expect = {
         r["o_orderstatus"]: (r["n"], str(r["sum_dec"]))
@@ -274,6 +274,18 @@ def test_stream_mv_merge_equals_full_recompute(spark, tmp_path):
     drain()
     got_after_replay = {
         r["o_orderstatus"]: (r["n"], str(r["sum_dec"]))
-        for r in spark.read.parquet(mv).collect()
+        for r in read_table(spark, mv).collect()
     }
     assert got_after_replay == expect, "replayed batch double-merged into the MV"
+
+    # The MV must live on the commit-manifest protocol: marker-last version
+    # commits mean there is NO delete-then-rename window in which a crash
+    # leaves no readable MV (and a replay would then mistake the missing
+    # table for "first batch" and silently drop history). Retention bounds
+    # the per-batch version accumulation.
+    from enterprise_data_warehouse_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, mv)
+    assert t.exists()
+    assert t.history()[0]["op"] == "mv_merge"
+    assert len(t.committed_versions()) <= 2
