@@ -16,6 +16,7 @@ production target is Delta `MERGE INTO`, same call shape.
 from __future__ import annotations
 
 import os
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -409,9 +410,17 @@ def compact_parquet(
 
     Sizing uses the ACTUAL on-disk byte count (no data read), rewrites via
     a round-robin repartition (even output sizes, no skew by content), and
-    swaps the staged directory in via the atomic-rename staged_swap (the
-    in-place layout is the point of compaction; merge targets get the
-    stronger commit-manifest protocol instead). Returns before/after file
+    swaps the rewritten directory in with TWO RENAMES — current → aside,
+    staged → current, then delete the aside copy (the in-place layout is
+    the point of compaction; merge targets get the stronger
+    commit-manifest protocol instead). Nothing is deleted until the new
+    layout is in place: the unreadable window is two metadata ops, not a
+    recursive delete of the whole table (at 100 TB a delete-then-rename
+    swap leaves the table unreadable for the minutes the delete takes, and
+    a crash inside it destroys the only copy). A crash between the renames
+    leaves the full table under the aside name and the staged copy
+    complete — the next compact_parquet call auto-heals by renaming the
+    aside back before doing anything else. Returns before/after file
     counts for auditability.
 
     Partitioned layout: a round-robin repartition would hand EVERY task
@@ -428,6 +437,7 @@ def compact_parquet(
             "the manifest away. Compact a specific version's data dir, or "
             "rewrite via VersionedTable.commit(read(), ...) instead."
         )
+    _heal_interrupted_compaction(spark, path)
     n_before, total_bytes = _dir_stats(spark, path)
     n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
@@ -452,6 +462,48 @@ def compact_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staged)
-    _fs_swap(spark, staged, path)
+    # two-rename swap: aside the current layout, move the new one in, only
+    # then delete — see the crash-window rationale in the docstring
+    jvm, fs, hpath = fs_handles(spark, path)
+    aside = path.rstrip("/") + "__compact_old-" + uuid.uuid4().hex[:8]
+    haside = jvm.org.apache.hadoop.fs.Path(aside)
+    hstaged = jvm.org.apache.hadoop.fs.Path(staged)
+    if not fs.rename(hpath, haside):
+        fs.delete(hstaged, True)
+        raise RuntimeError(f"compaction aside-rename failed for {path}")
+    if not fs.rename(hstaged, hpath):
+        fs.rename(haside, hpath)  # roll the original straight back
+        fs.delete(hstaged, True)
+        raise RuntimeError(f"compaction swap-rename failed for {path}")
+    fs.delete(haside, True)
     n_after, _ = _dir_stats(spark, path)
     return {"files_before": n_before, "files_after": n_after}
+
+
+def _heal_interrupted_compaction(spark: SparkSession, path: str) -> None:
+    """Recover from a compaction crash between its two renames: the table
+    lives under ``<path>__compact_old-*`` and ``path`` is missing — rename
+    the aside copy back (and drop any leftover staged dir) so the table is
+    readable again before the new run re-stats it. No-op otherwise; if the
+    swap COMPLETED but the aside delete didn't, the aside copy is stale —
+    remove it."""
+    jvm, fs, hpath = fs_handles(spark, path)
+    parent = hpath.getParent()
+    if parent is None or not fs.exists(parent):
+        return
+    base = hpath.getName()
+    asides = [
+        st.getPath()
+        for st in fs.listStatus(parent)
+        if st.getPath().getName().startswith(base + "__compact_old-")
+    ]
+    for haside in asides:
+        if fs.exists(hpath):
+            fs.delete(haside, True)  # swap completed; aside copy is stale
+        else:
+            fs.rename(haside, hpath)
+    staged = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "__compact_staged"
+    )
+    if fs.exists(staged) and fs.exists(hpath):
+        fs.delete(staged, True)

@@ -72,3 +72,39 @@ def test_compact_refuses_versioned_root(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="commit-manifest"):
         compact_parquet(spark, path)
+
+
+def test_interrupted_compaction_heals_and_nothing_is_lost(spark, tmp_path):
+    """Crash between the two swap renames: the table lives under the aside
+    name and `path` is missing. The next compact_parquet must rename it
+    back BEFORE doing anything else (no reliance on the staged copy), then
+    compact normally — and a stale aside left by a crash AFTER the swap
+    must be garbage-collected, not renamed over the fresh layout."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    orders = load_table(spark, SF, "orders")
+    orders.repartition(8).write.parquet(path)
+    rows = spark.read.parquet(path).count()
+
+    # simulate the mid-swap crash: current layout renamed aside, staged
+    # copy complete, path missing
+    shutil.move(path, path + "__compact_old-deadbeef")
+    orders.repartition(2).write.parquet(path + "__compact_staged")
+    assert not os.path.exists(path)
+
+    stats = compact_parquet(spark, path)
+    assert stats["files_before"] == 8 and stats["files_after"] == 1
+    assert spark.read.parquet(path).count() == rows
+    assert not os.path.exists(path + "__compact_old-deadbeef")
+    assert not os.path.exists(path + "__compact_staged")
+    leftovers = [d for d in os.listdir(tmp_path) if "__compact" in d]
+    assert leftovers == []
+
+    # crash AFTER the swap (aside delete lost): stale aside next to a live
+    # table is removed, the live table untouched
+    shutil.copytree(path, path + "__compact_old-cafecafe")
+    stats = compact_parquet(spark, path)
+    assert spark.read.parquet(path).count() == rows
+    assert not os.path.exists(path + "__compact_old-cafecafe")
