@@ -7,6 +7,10 @@ Commands:
   oracle <query>            — the query's DuckDB oracle SQL
   sql "<statement>" [--sf DIR] — ad-hoc ANSI SQL over the warehouse tables
   docs                      — markdown data dictionary from the catalog
+  table-history <path>      — commit history of a versioned table
+  table-vacuum <path> [--keep N]
+                            — reclaim old versions/orphans (writer+reader
+                              graces stay at their safe defaults)
 """
 
 from __future__ import annotations
@@ -27,7 +31,28 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("statement")
     p.add_argument("--sf", default=None)
     sub.add_parser("docs")
+    p = sub.add_parser("table-history")
+    p.add_argument("path")
+    p = sub.add_parser("table-vacuum")
+    p.add_argument("path")
+    p.add_argument("--keep", type=int, default=2)
     args = ap.parse_args(argv)
+
+    if args.cmd in ("table-history", "table-vacuum"):
+        import json
+
+        from .session import get_spark
+        from .sources.versioned import VersionedTable
+
+        spark = get_spark("edw-table-ops")
+        t = VersionedTable(spark, args.path)
+        if args.cmd == "table-history":
+            for row in t.history():
+                print(json.dumps(row, sort_keys=True))
+        else:
+            print(json.dumps(t.vacuum(keep=args.keep), sort_keys=True))
+        spark.stop()
+        return 0
 
     if args.cmd == "docs":
         import os
