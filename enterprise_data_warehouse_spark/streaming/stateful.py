@@ -40,9 +40,17 @@ def _update_ewma(key, pdfs: Iterator, state: GroupState):
     ewma, ewmvar, n, anomalies = (
         state.get if state.exists else (0.0, 0.0, 0, 0)
     )
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        for v in pdf["value"]:
+    # Concatenate BEFORE sorting: the iterator hands the group's batch rows
+    # in arbitrary chunks, and a chunk-local sort folds a multi-chunk group
+    # out of ts-order — the EWMA (and the order-sensitive anomaly counter)
+    # must see one globally ts-sorted pass per batch, matching the
+    # ewma_fold_sql batch twin's ORDER BY.
+    chunks = list(pdfs)
+    batch = (
+        pd.concat(chunks).sort_values("ts") if chunks else pd.DataFrame()
+    )
+    if len(batch):
+        for v in batch["value"]:
             v = float(v)
             if n == 0:
                 ewma, ewmvar = v, 0.0
