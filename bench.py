@@ -57,15 +57,20 @@ def main() -> None:
     registry = load_registry()
     bench_queries = {n: s for n, s in registry.items() if s.bench}
 
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # engine, not first-touch classloading.
-    force(bench_queries[next(iter(bench_queries))].fn(spark, sf_dir))
+    import gc
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    import gc
-
     errors: dict[str, str] = {}
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # engine, not first-touch classloading. Resilient like the loop below:
+    # a broken first query must not vaporize the whole round's record.
+    try:
+        force(bench_queries[next(iter(bench_queries))].fn(spark, sf_dir))
+    except Exception as e:  # noqa: BLE001
+        errors["_warmup"] = f"{type(e).__name__}: {e}"[:200]
+
     for name, spec in bench_queries.items():
         rs = []
         n_runs = (
@@ -78,21 +83,23 @@ def main() -> None:
                 t0 = time.perf_counter()
                 force(spec.fn(spark, sf_dir))
                 rs.append(round(time.perf_counter() - t0, 3))
+            runs[name] = rs
+            timings[name] = min(rs)
         except Exception as e:  # noqa: BLE001 — one bad query must not
             # vaporize the whole round's bench record; surface it loudly
             # in the JSON instead and keep timing the rest
             errors[name] = f"{type(e).__name__}: {e}"[:200]
-            continue
-        runs[name] = rs
-        timings[name] = min(rs)
-        # Isolate queries from each other's session residue: iterative
-        # queries localCheckpoint intermediate RDDs which linger on the
-        # heap until the ContextCleaner notices the dropped references —
-        # measured to inflate LATER queries' timings by several× in a
-        # 29-query session. Dropping caches + forcing a driver GC cycle
-        # between queries makes each number measure that query alone.
-        spark.catalog.clearCache()
-        gc.collect()
+        finally:
+            # Isolate queries from each other's session residue: iterative
+            # queries localCheckpoint intermediate RDDs which linger on the
+            # heap until the ContextCleaner notices the dropped references —
+            # measured to inflate LATER queries' timings by several× in a
+            # 29-query session. Dropping caches + forcing a driver GC cycle
+            # between queries makes each number measure that query alone —
+            # ESPECIALLY after a failed query, whose residue would otherwise
+            # distort every later timing.
+            spark.catalog.clearCache()
+            gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(

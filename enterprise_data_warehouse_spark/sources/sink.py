@@ -9,8 +9,11 @@ protocol (sources/versioned.py) by DEFAULT: data lands in immutable
 version dirs and only becomes visible via atomic marker creation —
 kill-safe on HDFS AND object stores, with optimistic concurrency. Use
 ``read_table`` to read merge targets. The staged-swap rename remains only
-for sinks where in-place layout matters (compaction, streaming MV store);
-production target is Delta `MERGE INTO`, same call shape.
+for restartable derived-data sinks (backfill partitions, the query result
+cache) where a crash loses nothing a re-run can't rebuild; compaction
+swaps via a healing two-rename and the streaming MV store commits through
+the manifest protocol. Production target is Delta `MERGE INTO`, same call
+shape.
 """
 
 from __future__ import annotations
@@ -18,6 +21,11 @@ from __future__ import annotations
 import os
 import uuid
 from collections.abc import Sequence
+
+# Schemes whose FileSystem.rename moves a DIRECTORY as one metadata op —
+# what compact_parquet's two-rename swap and crash heal depend on. Bare
+# s3a/gs emulate rename with per-object copy+delete: NOT atomic.
+_ATOMIC_RENAME_SCHEMES = frozenset({"file", "hdfs", "viewfs", "abfs", "abfss"})
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,11 +77,6 @@ def staged_swap(
         fs.delete(hstaged, True)
         return False
     return True
-
-
-def _fs_swap(spark: SparkSession, staged: str, path: str) -> None:
-    """Swap staged dir into place (see staged_swap)."""
-    staged_swap(spark, staged, path)
 
 
 def _versioned(spark: SparkSession, path: str):
@@ -400,6 +403,7 @@ def compact_parquet(
     path: str,
     target_file_bytes: int = 128 << 20,
     partition_by: Sequence[str] | None = None,
+    assume_atomic_rename: bool = False,
 ) -> dict[str, int]:
     """Table maintenance: rewrite a parquet directory's many small files
     into ~target-size files (default 128 MB — one HDFS block / one scan
@@ -429,7 +433,37 @@ def compact_parquet(
     Instead we shuffle on the partition columns plus a bounded hash salt
     (≤ files_per_partition distinct values), so each output directory gets
     at most files_per_partition ~target-size files.
+
+    STORAGE REQUIREMENT — atomic directory rename. Both the two-rename
+    swap and the crash heal reason "path and aside cannot BOTH hold live
+    rows": true when rename moves the directory as one metadata op (local/
+    HDFS/viewfs, ABFS hierarchical namespace), FALSE on bare s3a/gs where
+    rename is a client-side per-object copy+delete — a crash mid-rename
+    splits the rows across both names and the heal would then delete live
+    data. The probe refuses such schemes up front (pass
+    ``assume_atomic_rename=True`` only if the store provides the
+    guarantee); on object stores, compact via
+    ``VersionedTable.commit(read(), ...)`` instead — the manifest protocol
+    needs no renames at all.
     """
+    from .versioned import UnsupportedStoreError, _fs
+
+    _, fs_probe = _fs(spark, path)
+    try:
+        scheme = str(fs_probe.getScheme())
+    except Exception:
+        try:
+            scheme = str(fs_probe.getUri().getScheme() or "unknown")
+        except Exception:
+            scheme = "unknown"
+    if scheme not in _ATOMIC_RENAME_SCHEMES and not assume_atomic_rename:
+        raise UnsupportedStoreError(
+            f"filesystem scheme {scheme!r} for {path} does not rename "
+            "directories atomically, so compaction's swap (and its crash "
+            "heal) could split or delete live rows. Compact via "
+            "VersionedTable.commit(read(), ...) on such stores, or pass "
+            "assume_atomic_rename=True if the store guarantees it."
+        )
     if _versioned(spark, path).exists():
         raise ValueError(
             f"{path} is a commit-manifest (versioned) table: compacting the "
@@ -486,7 +520,9 @@ def _heal_interrupted_compaction(spark: SparkSession, path: str) -> None:
     the aside copy back (and drop any leftover staged dir) so the table is
     readable again before the new run re-stats it. No-op otherwise; if the
     swap COMPLETED but the aside delete didn't, the aside copy is stale —
-    remove it."""
+    remove it. SOUND ONLY under atomic directory rename (path-or-aside,
+    never rows split across both) — which compact_parquet's scheme probe
+    guarantees before any swap can have happened."""
     jvm, fs, hpath = fs_handles(spark, path)
     parent = hpath.getParent()
     if parent is None or not fs.exists(parent):

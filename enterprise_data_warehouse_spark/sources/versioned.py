@@ -213,13 +213,16 @@ class VersionedTable:
         """Commit history of the retained (un-vacuumed) versions, newest
         first — the DESCRIBE HISTORY surface for time travel: one dict per
         live version with its op, data dir, commit-marker timestamp (the
-        storage clock, same stamp the grace logic uses), and the touched
-        partition count for partition-mapped merges."""
+        storage clock, same stamp the grace logic uses), and — for
+        partition-mapped merges — BOTH partition counts: ``n_touched``
+        (this commit's blast radius) and ``n_mapped`` (the cumulative map,
+        table-wide state carried forward from prior versions; do not read
+        it as per-commit work)."""
         out = []
-        for v in self.committed_versions():
-            meta = self._read_marker(v)
+        for v in self._marker_versions():
+            meta = self._live_meta(v)  # one content read per version
             if meta is None:
-                continue  # vacuumed between the list and this read
+                continue  # dead marker, or vacuumed mid-listing
             try:
                 ts = self._hfs.getFileStatus(self._marker(v)).getModificationTime()
             except Exception:
@@ -230,7 +233,10 @@ class VersionedTable:
                     "op": meta.get("op"),
                     "dir": meta["dir"],
                     "committed_at_ms": ts,
-                    "n_partitions": (
+                    "n_touched": (
+                        len(meta["touched"]) if meta.get("touched") else None
+                    ),
+                    "n_mapped": (
                         len(meta["parts"]) if meta.get("parts") else None
                     ),
                 }
@@ -521,6 +527,7 @@ class VersionedTable:
                 "version": version,
                 "dir": dirname,
                 "parts": parts,
+                "touched": touched,  # this commit's blast radius (history())
                 "op": "merge_partitioned",
             },
         )

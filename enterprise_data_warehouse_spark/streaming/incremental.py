@@ -227,8 +227,9 @@ def stream_mv_merge(
         )
         _adopt_plain(spark, target_path)  # migrate a legacy plain-parquet MV
         t = VersionedTable(spark, target_path)
-        if t.exists():
-            existing = t.read()
+        cur = t.current_version()
+        if cur is not None:
+            existing = t.read(version=cur)
             if "_last_batch_id" in existing.columns:
                 # Constant columns → one row answers the replay probe.
                 row = existing.select("_last_batch_id", "_ckpt").first()
@@ -250,7 +251,13 @@ def stream_mv_merge(
         merged = merged.withColumn("_last_batch_id", F.lit(batch_id)).withColumn(
             "_ckpt", F.lit(ckpt_id)
         )
-        t.commit(merged, op="mv_merge")
+        # pinned to read_version+1: a rival (zombie driver after failover, a
+        # manual backfill merge) committing between our read and our commit
+        # collides on the marker and fails THIS micro-batch for a clean
+        # checkpoint retry — an unpinned commit would land one version
+        # higher with state derived from the stale read and silently revert
+        # the rival's batches (versioned.commit's RMW contract)
+        t.commit(merged, op="mv_merge", at_version=(cur or 0) + 1)
         t.vacuum(keep=2)
 
     return (

@@ -108,3 +108,25 @@ def test_interrupted_compaction_heals_and_nothing_is_lost(spark, tmp_path):
     stats = compact_parquet(spark, path)
     assert spark.read.parquet(path).count() == rows
     assert not os.path.exists(path + "__compact_old-cafecafe")
+
+
+def test_compaction_refuses_non_atomic_rename_stores(spark, tmp_path, monkeypatch):
+    """The two-rename swap and its heal are sound only under atomic
+    directory rename; on copy+delete emulations (bare s3a) a crash
+    mid-rename splits rows across path and aside and the heal would delete
+    live data — so the probe must refuse up front, with an explicit
+    opt-in."""
+    import pytest as _pytest
+
+    from enterprise_data_warehouse_spark.sources import sink as S
+    from enterprise_data_warehouse_spark.sources.versioned import (
+        UnsupportedStoreError,
+    )
+
+    path = str(tmp_path / "t")
+    load_table(spark, SF, "orders").repartition(4).write.parquet(path)
+    monkeypatch.setattr(S, "_ATOMIC_RENAME_SCHEMES", frozenset())
+    with _pytest.raises(UnsupportedStoreError, match="rename"):
+        compact_parquet(spark, path)
+    stats = compact_parquet(spark, path, assume_atomic_rename=True)
+    assert stats["files_after"] <= stats["files_before"]

@@ -886,8 +886,13 @@ def test_history_lists_retained_versions_newest_first(spark, tmp_path):
     h = t.history()
     assert [r["version"] for r in h] == [2, 1]
     assert [r["op"] for r in h] == ["merge", "overwrite"]
-    assert all(r["committed_at_ms"] and r["n_partitions"] is None for r in h)
-    assert t2.history()[0]["n_partitions"] == 2
+    assert all(r["committed_at_ms"] and r["n_mapped"] is None for r in h)
+    assert t2.history()[0]["n_mapped"] == 2
+    # blast radius vs table-wide map: a one-partition delta touches 1 but
+    # the cumulative parts map still covers both partitions
+    t2.merge_partitioned(mk([(1, "x", "v2")]), ["id", "part"], "part")
+    top = t2.history()[0]
+    assert top["n_touched"] == 1 and top["n_mapped"] == 2
 
     t.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
     assert [r["version"] for r in t.history()] == [2]
