@@ -156,17 +156,82 @@ def audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- decode / feature-extraction stubs (Arrow boundary) ----------------------
 
 
-def _decode_image_real(payload: bytes, width: int, height: int):
-    """The real decode path — requires PIL, absent in this container.
+def decode_bmp(payload: bytes):
+    """REAL image decode for uncompressed 24-bit BMP — pure numpy, no
+    external codec. Parses the BITMAPFILEHEADER/BITMAPINFOHEADER, strips
+    the 4-byte row padding, flips the bottom-up row order, and returns an
+    (H, W, 3) uint8 array in RGB. Compressed formats (JPEG/PNG) stay
+    behind the PIL gate in _decode_image_real — this covers the
+    uncompressed interchange format end-to-end in-container."""
+    import struct
 
-    At deploy time: ``Image.open(io.BytesIO(payload)).resize((width,
-    height))`` → numpy array. Kept import-gated so the pipeline degrades to
-    the deterministic fake rather than crashing."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<IiI", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP (got bpp={bpp}, "
+                         f"compression={compression})")
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    raw = np.frombuffer(payload, np.uint8, count=row_bytes * height,
+                        offset=data_off)
+    rows = raw.reshape(height, row_bytes)[:, : width * 3]
+    img = rows.reshape(height, width, 3)[::-1, :, ::-1]  # bottom-up, BGR→RGB
+    return np.ascontiguousarray(img)
+
+
+def decode_wav(payload: bytes):
+    """REAL audio decode for PCM WAV — pure numpy RIFF parsing. Returns
+    (sample_rate, n_channels, samples) with samples shaped (n_frames,
+    n_channels) as int16. Compressed codecs (MP3/AAC) remain gated on an
+    external decoder — this covers the uncompressed interchange format."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, n_ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        chunk_id, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = pos + 8
+        if chunk_id == b"fmt ":
+            fmt, n_ch, rate = struct.unpack_from("<HHI", payload, body)
+            bits = struct.unpack_from("<H", payload, body + 14)[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"only PCM16 WAV (got fmt={fmt}, bits={bits})")
+        elif chunk_id == b"data":
+            data = payload[body:body + size]
+        pos = body + size + (size & 1)  # chunks pad to even offsets
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, np.int16).reshape(-1, n_ch)
+    return rate, n_ch, samples
+
+
+def _decode_image_real(payload: bytes, width: int, height: int):
+    """The real decode path. Uncompressed 24-bit BMP decodes IN-CONTAINER
+    via decode_bmp (pure numpy) with a nearest-neighbor resize; compressed
+    formats require PIL, absent here, and stay import-gated so the
+    pipeline degrades to the deterministic fake rather than crashing."""
+    if payload[:2] == b"BM":
+        import numpy as np
+
+        img = decode_bmp(payload)
+        h, w = img.shape[:2]
+        ys = (np.arange(height) * h // height).clip(0, h - 1)
+        xs = (np.arange(width) * w // width).clip(0, w - 1)
+        return img[ys][:, xs]
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "image decode requires pillow; deterministic fake used instead"
+            "compressed-image decode requires pillow; deterministic fake "
+            "used instead (uncompressed BMP decodes natively — decode_bmp)"
         ) from exc
     raise NotImplementedError("real decode wired at deploy time")
 

@@ -55,3 +55,98 @@ def test_image_features_deterministic(spark):
 def test_real_decode_is_gated():
     with pytest.raises(NotImplementedError):
         mm._decode_image_real(b"\x00", 4, 4)
+
+
+def _make_bmp(img) -> bytes:
+    """Serialize an (H, W, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (bottom-up, BGR, 4-byte row padding) — the format under test."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = img[y, :, ::-1].astype(np.uint8).tobytes()  # RGB→BGR
+        body += row + b"\x00" * (row_bytes - len(row))
+    data_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return bytes(header + info + body)
+
+
+def _make_wav(samples, rate: int) -> bytes:
+    """Serialize an (n_frames, n_ch) int16 array as a PCM16 RIFF/WAVE."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    n_ch = samples.shape[1]
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_bmp_decode_roundtrips_real_pixels():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # odd width → padding
+    decoded = mm.decode_bmp(_make_bmp(img))
+    assert decoded.shape == (5, 7, 3)
+    assert (decoded == img).all()
+    # the real-decode gate routes BMP through decode_bmp with a resize
+    resized = mm._decode_image_real(_make_bmp(img), width=14, height=10)
+    assert resized.shape == (10, 14, 3)
+    assert (resized[0, 0] == img[0, 0]).all()  # nearest-neighbor corners
+    # compressed formats stay gated in this container
+    with pytest.raises(NotImplementedError):
+        mm._decode_image_real(b"\x89PNG...", 4, 4)
+
+
+def test_wav_decode_roundtrips_real_samples():
+    import numpy as np
+
+    t = np.arange(160)
+    stereo = np.stack(
+        [(1000 * np.sin(t / 5)).astype(np.int16),
+         (np.linspace(-3000, 3000, 160)).astype(np.int16)], axis=1
+    )
+    rate, n_ch, out = mm.decode_wav(_make_wav(stereo, 16000))
+    assert (rate, n_ch) == (16000, 2)
+    assert out.shape == (160, 2)
+    assert (out == stereo).all()
+
+
+def test_bmp_decode_through_spark_arrow_boundary(spark):
+    """The decoder running where it runs in production: inside a
+    mapInPandas batch over a binary payload column."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8) for _ in range(3)]
+    df = spark.createDataFrame(
+        [(i, bytearray(_make_bmp(img))) for i, img in enumerate(imgs)],
+        "img_id int, payload binary",
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            arrs = [mm.decode_bmp(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "img_id": pdf["img_id"],
+                    "mean_px": [float(a.mean()) for a in arrs],
+                    "h": [a.shape[0] for a in arrs],
+                    "w": [a.shape[1] for a in arrs],
+                }
+            )
+
+    got = {r["img_id"]: r for r in
+           df.mapInPandas(decode, "img_id int, mean_px double, h int, w int").collect()}
+    for i, img in enumerate(imgs):
+        assert got[i]["h"] == 4 and got[i]["w"] == 4
+        assert abs(got[i]["mean_px"] - float(img.mean())) < 1e-9
