@@ -66,7 +66,11 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:]
     registry = load_registry()
-    if not names:
+    if names == ["--bench"]:
+        # the 28 oracle-paired bench queries — the set SCALING.md's sf1
+        # correctness sweep runs: `verify_local.py /root/repo/testdata_sf1 --bench`
+        names = [n for n, s in registry.items() if s.bench and s.oracle]
+    elif not names:
         names = [n for n, s in registry.items() if s.oracle is not None]
 
     spark = (
