@@ -74,112 +74,84 @@ _OPERATOR_MODULES = [
 # oldest D1-only greens whose last record predates three rounds of code
 # movement. Everything after slot 50 already has a fresh driver record.
 PRIORITY_ORDER = [
-    # -- never driver-recorded, oracle-paired (33) — final debt tranche ----
-    "length_bucket_stats",
-    "line_dedup_reconstruct",
-    "bipartite_pagerank",
-    "mv_incremental_maintenance",
-    "countmin_heavy_hitters",
-    "hll_distinct_users",
-    "ewma_fold_sql",
-    "stratum_topk_sample",
-    "hll_sliding_distinct",
-    "pit_feature_snapshot",
-    "scd2_temporal_join",
-    "dsir_importance_weights",
-    "perplexity_buckets",
-    "training_order_shards",
-    "hard_negative_mining",
-    "prefix_filter_jaccard_pairs",
-    "corpus_ingest_stats",
-    "incremental_ivf_assign",
-    "salted_skew_join",
-    "target_encoding",
-    "feature_hashing",
-    "association_rules",
-    "forecast_baseline_daily",
-    "copurchase_triangles",
-    "multitouch_attribution",
-    "mv_rollup_routing",
-    "trigram_lm_counts",
-    "densify_daily_revenue",
-    "segment_revenue_share",
-    "abc_part_classification",
-    "fulfillment_lead_time",
-    "ts_features_pandas",
-    "score_customers_pandas",
-    # -- never driver-recorded, rows-only by design (3) --------------------
-    "minhash_lsh_candidates",
-    "simhash_signatures",
-    "ann_lsh_buckets",
-    # -- re-confirmation: formerly driver-red array outputs (green r04) ----
-    "embedding_centroids",
-    "embedding_quantize",
-    "pq_encode",
-    # -- re-confirmation: oldest D1-only greens (last record = r01) --------
-    "scd2_customer_dim",
-    "incremental_fact_merge",
-    "staging_customer_cleanse",
-    "customer_rfm",
-    "pricing_summary",
-    "quality_rollup",
-    "top_customers",
-    "shipping_priority_topk",
-    "union_order_sets",
-    "hash_sample_unit_price",
-    "segment_status_rollup",
-    # ---------------- slot 50 boundary (driver budget) ---------------------
-    # -- r05 capability additions (VERDICT r04 #8): front the r06 window ----
+    # Round-6 curation (VERDICT r05 items 1/2). The driver records exactly
+    # the first 50 each round; this front closes the board at 211/211 and
+    # refreshes the stalest records. Slots 1-2: the only never-driver-
+    # recorded queries (r05 capability additions, judge-green in r05).
     "time_travel_read",
     "schema_evolution_merge",
-    # -- fresh driver record on file (r02-r04); order retained --------------
-    "streaming_hourly_counts",
-    "streaming_dedup_events",
-    "streaming_session_metrics",
-    "streaming_segment_counts",
-    "streaming_view_click_join",
-    "stateful_user_ewma",
-    "ttl_feature_cache",
-    "streaming_corpus_ingest",
-    "feature_vector_conform",
-    "train_test_split",
-    "video_frame_sample_plan",
-    "audio_chunk_plan",
-    "sliding_hourly_counts",
-    "segment_hourly_counts",
-    "view_click_within_30m",
-    "semantic_dedup",
-    "pq_adc_topk",
-    "catalog_fact_customer_behavior",
-    "catalog_fact_inventory_daily",
-    "catalog_dim_product",
-    "catalog_dim_employee",
-    "catalog_dim_geography",
-    "catalog_fact_financial",
-    "catalog_fact_employee_perf",
-    "catalog_fact_marketing",
-    "catalog_dim_date",
-    "catalog_quality_suite",
-    "zorder_keys",
-    "inverted_index_topk",
-    "mad_outliers",
-    "weighted_doc_sample",
-    "corpus_temperature_mix",
-    "gopher_quality_filters",
-    "dedup_representatives",
-    "record_linkage_pairs",
-    "lineitem_measure_unpivot",
-    "funnel_conversion",
-    "cohort_retention",
-    "order_price_percentiles",
-    "masked_customer_view",
-    "cdc_apply",
-    "part_hierarchy_rollup",
-    "ngram_novelty_scores",
-    "vocab_growth_buckets",
-    "pca_power_iteration",
-    "orders_column_profile",
-    "token_budget_mix",
+    # -- slots 3-16: the 14 queries whose newest driver record is r01 ------
+    "local_supplier_volume",
+    "returned_customer_ranking",
+    "order_priority_counts",
+    "customers_without_orders",
+    "customers_with_finished_orders",
+    "order_age_rollup",
+    "retained_customers_intersect",
+    "churned_orders_except_all",
+    "customer_peak_orders",
+    "customer_order_id_lists",
+    "nullsafe_bucket_join",
+    "order_ranking",
+    "customer_rfm_scalable",
+    "corr_quantity_price",
+    # -- slots 17-50: r02-only cohort refresh (34 of 50) --------------------
+    "conditional_agg_orders",
+    "active_weeks",
+    "duplicate_detection",
+    "mode_per_user",
+    "daily_view_click_alignment",
+    "json_prop_filter",
+    "event_time_features",
+    "salted_event_rollup",
+    "approx_distinct_users",
+    "event_props_kv_rollup",
+    "latest_event_per_user",
+    "session_gap_detection",
+    "frequency_encoding",
+    "rolling_1h_features",
+    "value_zscore_outliers",
+    "rolling_feature_matrix",
+    "forward_fill_values",
+    "feature_descriptive_stats",
+    "categorical_profile",
+    "regr_slope_per_user",
+    "psi_value_drift",
+    "ks_value_drift",
+    "chi2_category_drift",
+    "median_imputation",
+    "language_id",
+    "doc_fingerprint",
+    "corpus_pipeline",
+    "token_count_profile",
+    "repetition_scores",
+    "minhash_lsh_verified",
+    "embedding_near_dup",
+    "ann_lsh_verified",
+    "feature_fetch_inlist",
+    "training_dataset",
+    # ---------------- slot 50 boundary (driver budget) ---------------------
+    # -- deferred r02 cohort (16) = r07's front. 11 run in bench.py every
+    # round (run-clean + timing signal); the other 5 have adjacent judge-
+    # green (r05) or pytest stream==batch parity coverage. All 16 verified
+    # locally green via tools/verify_local.py this round (COVERAGE.md).
+    "star_revenue_rollup",
+    "text_quality_scores",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "simhash_hamming_pairs",
+    "cosine_topk",
+    "asof_click_attribution",
+    "doc_chunks_native",
+    "catalog_fact_sales_daily",
+    "media_manifest",
+    "session_metrics_batch",
+    "tumbling_hourly_counts",
+    "quality_check_suite",
+    "median_price_udaf",
+    "order_cube",
+    "shared_chunk_fingerprints",
+    # -- newest record r03 (48) — refresh after the deferred 16 -------------
     "volume_shipping",
     "market_share",
     "product_profit",
@@ -228,70 +200,105 @@ PRIORITY_ORDER = [
     "referential_integrity",
     "date_dimension",
     "freshness_rollup",
-    "star_revenue_rollup",
-    "local_supplier_volume",
-    "returned_customer_ranking",
-    "order_priority_counts",
-    "conditional_agg_orders",
-    "active_weeks",
-    "duplicate_detection",
-    "mode_per_user",
-    "customers_without_orders",
-    "customers_with_finished_orders",
-    "daily_view_click_alignment",
-    "json_prop_filter",
-    "event_time_features",
-    "order_age_rollup",
-    "salted_event_rollup",
-    "retained_customers_intersect",
-    "churned_orders_except_all",
-    "approx_distinct_users",
-    "customer_peak_orders",
-    "event_props_kv_rollup",
-    "customer_order_id_lists",
-    "nullsafe_bucket_join",
-    "latest_event_per_user",
-    "session_gap_detection",
-    "frequency_encoding",
-    "rolling_1h_features",
-    "order_ranking",
-    "value_zscore_outliers",
-    "customer_rfm_scalable",
-    "rolling_feature_matrix",
-    "forward_fill_values",
-    "feature_descriptive_stats",
-    "categorical_profile",
-    "regr_slope_per_user",
-    "psi_value_drift",
-    "ks_value_drift",
-    "chi2_category_drift",
-    "median_imputation",
-    "corr_quantity_price",
-    "text_quality_scores",
-    "language_id",
-    "doc_fingerprint",
-    "corpus_pipeline",
-    "token_count_profile",
-    "repetition_scores",
-    "exact_dedup",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_verified",
-    "simhash_hamming_pairs",
-    "cosine_topk",
-    "embedding_near_dup",
-    "ann_lsh_verified",
-    "asof_click_attribution",
-    "order_cube",
-    "doc_chunks_native",
-    "shared_chunk_fingerprints",
-    "catalog_fact_sales_daily",
-    "feature_fetch_inlist",
-    "training_dataset",
-    "median_price_udaf",
-    "media_manifest",
-    "quality_check_suite",
-    "tumbling_hourly_counts",
-    "session_metrics_batch",
+    # -- newest record r04 (47) ---------------------------------------------
+    "streaming_hourly_counts",
+    "streaming_dedup_events",
+    "streaming_session_metrics",
+    "streaming_segment_counts",
+    "streaming_view_click_join",
+    "stateful_user_ewma",
+    "ttl_feature_cache",
+    "streaming_corpus_ingest",
+    "feature_vector_conform",
+    "train_test_split",
+    "video_frame_sample_plan",
+    "audio_chunk_plan",
+    "sliding_hourly_counts",
+    "segment_hourly_counts",
+    "view_click_within_30m",
+    "semantic_dedup",
+    "pq_adc_topk",
+    "catalog_fact_customer_behavior",
+    "catalog_fact_inventory_daily",
+    "catalog_dim_product",
+    "catalog_dim_employee",
+    "catalog_dim_geography",
+    "catalog_fact_financial",
+    "catalog_fact_employee_perf",
+    "catalog_fact_marketing",
+    "catalog_dim_date",
+    "catalog_quality_suite",
+    "zorder_keys",
+    "inverted_index_topk",
+    "mad_outliers",
+    "weighted_doc_sample",
+    "corpus_temperature_mix",
+    "gopher_quality_filters",
+    "dedup_representatives",
+    "record_linkage_pairs",
+    "lineitem_measure_unpivot",
+    "funnel_conversion",
+    "cohort_retention",
+    "order_price_percentiles",
+    "masked_customer_view",
+    "cdc_apply",
+    "part_hierarchy_rollup",
+    "ngram_novelty_scores",
+    "vocab_growth_buckets",
+    "pca_power_iteration",
+    "orders_column_profile",
+    "token_budget_mix",
+    # -- newest record r05 (50) ---------------------------------------------
+    "length_bucket_stats",
+    "line_dedup_reconstruct",
+    "bipartite_pagerank",
+    "mv_incremental_maintenance",
+    "countmin_heavy_hitters",
+    "hll_distinct_users",
+    "ewma_fold_sql",
+    "stratum_topk_sample",
+    "hll_sliding_distinct",
+    "pit_feature_snapshot",
+    "scd2_temporal_join",
+    "dsir_importance_weights",
+    "perplexity_buckets",
+    "training_order_shards",
+    "hard_negative_mining",
+    "prefix_filter_jaccard_pairs",
+    "corpus_ingest_stats",
+    "incremental_ivf_assign",
+    "salted_skew_join",
+    "target_encoding",
+    "feature_hashing",
+    "association_rules",
+    "forecast_baseline_daily",
+    "copurchase_triangles",
+    "multitouch_attribution",
+    "mv_rollup_routing",
+    "trigram_lm_counts",
+    "densify_daily_revenue",
+    "segment_revenue_share",
+    "abc_part_classification",
+    "fulfillment_lead_time",
+    "ts_features_pandas",
+    "score_customers_pandas",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "ann_lsh_buckets",
+    "embedding_centroids",
+    "embedding_quantize",
+    "pq_encode",
+    "scd2_customer_dim",
+    "incremental_fact_merge",
+    "staging_customer_cleanse",
+    "customer_rfm",
+    "pricing_summary",
+    "quality_rollup",
+    "top_customers",
+    "shipping_priority_topk",
+    "union_order_sets",
+    "hash_sample_unit_price",
+    "segment_status_rollup",
 ]
 
 
