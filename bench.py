@@ -46,8 +46,13 @@ REGRESSION_WATCH = {
 # r03→r04 counter-movers (moved up against a 1.52× faster round, bodies
 # unchanged — VERDICT r04 #4): best-of-4 plus an interleaved A/B record in
 # SCALING.md so the attribution (host noise vs real regression) is settled
-# by data rather than assertion.
-COUNTER_MOVER_WATCH = {"catalog_fact_sales_daily", "session_metrics_batch"}
+# by data rather than assertion. scd2_customer_dim joined in r06 (the one
+# above-noise r05 mover, 0.72→0.97 s — VERDICT r05 #3).
+COUNTER_MOVER_WATCH = {
+    "catalog_fact_sales_daily",
+    "session_metrics_batch",
+    "scd2_customer_dim",
+}
 
 
 def main() -> None:
@@ -87,8 +92,13 @@ def main() -> None:
             timings[name] = min(rs)
         except Exception as e:  # noqa: BLE001 — one bad query must not
             # vaporize the whole round's bench record; surface it loudly
-            # in the JSON instead and keep timing the rest
+            # in the JSON instead and keep timing the rest. Runs that DID
+            # complete before the failure are kept (a flaky run k>1 must
+            # not erase the query's record).
             errors[name] = f"{type(e).__name__}: {e}"[:200]
+            if rs:
+                runs[name] = rs
+                timings[name] = min(rs)
         finally:
             # Isolate queries from each other's session residue: iterative
             # queries localCheckpoint intermediate RDDs which linger on the

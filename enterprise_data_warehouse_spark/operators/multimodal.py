@@ -170,17 +170,29 @@ def decode_bmp(payload: bytes):
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_off = struct.unpack_from("<I", payload, 10)[0]
-    hdr_size, width, height = struct.unpack_from("<IiI", payload, 14)
+    # biHeight is SIGNED: negative means top-down row order (legal BMP)
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
     if bpp != 24 or compression != 0:
         raise ValueError(f"only uncompressed 24-bit BMP (got bpp={bpp}, "
                          f"compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
     row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if data_off + row_bytes * height > len(payload):
+        raise ValueError(
+            f"BMP pixel data truncated: needs {row_bytes * height} bytes at "
+            f"offset {data_off}, payload is {len(payload)}"
+        )
     raw = np.frombuffer(payload, np.uint8, count=row_bytes * height,
                         offset=data_off)
     rows = raw.reshape(height, row_bytes)[:, : width * 3]
-    img = rows.reshape(height, width, 3)[::-1, :, ::-1]  # bottom-up, BGR→RGB
+    img = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR→RGB
+    if not top_down:
+        img = img[::-1]  # bottom-up storage → flip to natural order
     return np.ascontiguousarray(img)
 
 
@@ -204,11 +216,24 @@ def decode_wav(payload: bytes):
             bits = struct.unpack_from("<H", payload, body + 14)[0]
             if fmt != 1 or bits != 16:
                 raise ValueError(f"only PCM16 WAV (got fmt={fmt}, bits={bits})")
+            if n_ch < 1:
+                raise ValueError(f"invalid WAV channel count {n_ch}")
         elif chunk_id == b"data":
+            if body + size > len(payload):
+                raise ValueError(
+                    f"WAV data chunk declares {size} bytes but only "
+                    f"{len(payload) - body} remain in the payload"
+                )
             data = payload[body:body + size]
         pos = body + size + (size & 1)  # chunks pad to even offsets
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    frame = 2 * n_ch
+    if len(data) % frame:
+        raise ValueError(
+            f"WAV data chunk truncated mid-frame: {len(data)} bytes is not "
+            f"a multiple of the {frame}-byte frame ({n_ch} ch × 16-bit)"
+        )
     samples = np.frombuffer(data, np.int16).reshape(-1, n_ch)
     return rate, n_ch, samples
 

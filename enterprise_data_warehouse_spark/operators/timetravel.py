@@ -28,16 +28,37 @@ from ..sources.versioned import VersionedTable
 
 
 def _work_dir(kind: str, sf_dir: str) -> str:
-    """Reusable scratch root per (query, sf): the PREVIOUS run's tree is
-    removed before rebuilding, so repeated driver/bench/test executions
-    hold at most one tree per query instead of leaking a fresh mkdtemp
-    each call. (The returned DataFrame reads these files lazily — the
-    caller must collect before re-invoking the same query, which every
-    driver/test harness does.)"""
+    """Reusable scratch root per (query, sf, PROCESS): this run's previous
+    tree is removed before rebuilding, so repeated driver/bench/test
+    executions hold at most one tree per query per process instead of
+    leaking a fresh mkdtemp each call. The PID suffix keeps concurrent
+    harness processes (e.g. bench and verify_local on the same sf) from
+    rmtree'ing each other's live tables mid-query; stale trees from dead
+    peer processes are reaped by age. (The returned DataFrame reads these
+    files lazily — the caller must collect before re-invoking the same
+    query in the same process, which every driver/test harness does.)"""
+    import time
+
     base = os.path.join(tempfile.gettempdir(), "edw_query_work")
-    root = os.path.join(base, f"{kind}_{os.path.basename(sf_dir.rstrip('/'))}")
+    stem = f"{kind}_{os.path.basename(sf_dir.rstrip('/'))}"
+    root = os.path.join(base, f"{stem}_pid{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
+    # Reap peers' trees only when provably stale (>1h untouched): a live
+    # concurrent harness keeps its tree younger than that for any sane run.
+    cutoff = time.time() - 3600
+    try:
+        for name in os.listdir(base):
+            peer = os.path.join(base, name)
+            if peer == root or not name.startswith(f"{stem}_pid"):
+                continue
+            try:
+                if os.path.getmtime(peer) < cutoff:
+                    shutil.rmtree(peer, ignore_errors=True)
+            except OSError:
+                pass
+    except OSError:
+        pass
     return root
 
 

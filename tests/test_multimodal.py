@@ -150,3 +150,64 @@ def test_bmp_decode_through_spark_arrow_boundary(spark):
     for i, img in enumerate(imgs):
         assert got[i]["h"] == 4 and got[i]["w"] == 4
         assert abs(got[i]["mean_px"] - float(img.mean())) < 1e-9
+
+
+def test_bmp_top_down_negative_height_decodes():
+    """biHeight is signed; negative means top-down row storage (legal BMP).
+    A top-down serialization of the same pixels must decode identically."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    h, w = img.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h):  # top-down: natural row order
+        row = img[y, :, ::-1].astype(np.uint8).tobytes()
+        body += row + b"\x00" * (row_bytes - len(row))
+    data_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    decoded = mm.decode_bmp(bytes(header + info + body))
+    assert (decoded == img).all()
+
+
+def test_bmp_truncated_pixel_data_raises_clearly():
+    import numpy as np
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    payload = _make_bmp(img)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_bmp(payload[:-8])
+
+
+def test_wav_malformed_payloads_raise_clearly():
+    import struct
+
+    import numpy as np
+
+    stereo = np.zeros((8, 2), dtype=np.int16)
+    good = _make_wav(stereo, 8000)
+
+    # n_ch = 0 must be a clear format error, not a reshape crash
+    zero_ch = bytearray(good)
+    fmt_body = good.index(b"fmt ") + 8
+    struct.pack_into("<H", zero_ch, fmt_body + 2, 0)
+    with pytest.raises(ValueError, match="channel count"):
+        mm.decode_wav(bytes(zero_ch))
+
+    # data size field exceeding the payload must not silently truncate
+    oversize = bytearray(good)
+    data_hdr = good.index(b"data") + 4
+    struct.pack_into("<I", oversize, data_hdr, 10_000)
+    with pytest.raises(ValueError, match="declares"):
+        mm.decode_wav(bytes(oversize))
+
+    # payload cut mid-frame (odd sample split across channels)
+    cut = bytearray(good[:-2])
+    struct.pack_into("<I", cut, data_hdr, len(stereo.tobytes()) - 2)
+    with pytest.raises(ValueError, match="mid-frame"):
+        mm.decode_wav(bytes(cut))

@@ -45,3 +45,29 @@ def test_repeated_runs_reuse_one_scratch_tree(spark):
     # one tree per (query, sf): the previous run's table was removed,
     # not accumulated (sf0.01 runs from other harnesses may coexist)
     assert trees.count("timetravel_sf0.001") == 1
+
+def test_work_dir_is_per_process_and_reaps_only_stale_peers(tmp_path, monkeypatch):
+    """Concurrent harness processes (bench + verify_local on the same sf)
+    must not rmtree each other's live versioned tables: the scratch root is
+    PID-suffixed, and peer trees are reaped only when >1h untouched."""
+    import os
+    import time
+
+    import enterprise_data_warehouse_spark.operators.timetravel as tt
+
+    monkeypatch.setattr("tempfile.gettempdir", lambda: str(tmp_path))
+    root = tt._work_dir("tt", "/root/testdata/sf0.01")
+    assert f"pid{os.getpid()}" in root
+
+    base = os.path.dirname(root)
+    fresh_peer = os.path.join(base, "tt_sf0.01_pid99998")
+    stale_peer = os.path.join(base, "tt_sf0.01_pid99999")
+    os.makedirs(fresh_peer)
+    os.makedirs(stale_peer)
+    old = time.time() - 7200
+    os.utime(stale_peer, (old, old))
+
+    root2 = tt._work_dir("tt", "/root/testdata/sf0.01")
+    assert root2 == root
+    assert os.path.isdir(fresh_peer), "live peer must survive"
+    assert not os.path.exists(stale_peer), "stale peer must be reaped"
