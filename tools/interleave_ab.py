@@ -1,16 +1,23 @@
-"""Interleaved A/B for the r03→r04 bench counter-movers (VERDICT r04 #4).
+"""Interleaved A/B attribution for bench counter-movers.
 
-`catalog_fact_sales_daily` (2.95→3.28 s) and `session_metrics_batch`
-(0.56→0.68 s) moved UP against a round that got 1.52× faster overall, with
-query bodies unchanged (git-verified). This probe settles host-noise vs
-real regression: four rounds of [control, A, B] interleaved in ONE warm
-session at sf0.1, where the control (`pricing_summary`, also unchanged) has
-a known r04 best of 1.93 s. If the counter-movers land back at/below their
-r03 numbers while the control matches its record, the r04 readings were
-host steal; if they stay high while the control is on-record, something
-real regressed.
+Whenever a bench query moves UP above the noise band in a round where its
+body is git-unchanged, this probe settles host-noise vs real regression:
+ROUNDS passes of [control, movers...] interleaved in ONE warm session at
+sf0.1, where the control (`pricing_summary`, also unchanged) has a known
+recorded best. If the movers land back at/below their prior numbers while
+the control matches its record, the reading was host steal; if they stay
+high while the control is on-record, something real regressed.
 
-Usage: python tools/interleave_ab.py   (paste output into SCALING.md)
+r04 case (VERDICT r04 #4): catalog_fact_sales_daily 2.95→3.28 s and
+session_metrics_batch 0.56→0.68 s — attributed to steal (SCALING.md
+"Round-5 counter-mover attribution").
+r06 case (VERDICT r05 #3): scd2_customer_dim 0.72→0.97 s best-of-3 with
+an untouched body (operators/scd2.py unchanged in r05; the query performs
+no VersionedTable commits, so the r05 commit-hardening cannot be on its
+path — git log + code read).
+
+Usage: python tools/interleave_ab.py [mover ...]
+       (default movers = the current watch case; paste output into SCALING.md)
 """
 
 from __future__ import annotations
@@ -28,20 +35,22 @@ from enterprise_data_warehouse_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 CONTROL = "pricing_summary"
-MOVERS = ["catalog_fact_sales_daily", "session_metrics_batch"]
+DEFAULT_MOVERS = ["scd2_customer_dim"]
 ROUNDS = 4
-# recorded bests for context
+# recorded bests for context (from BENCH_r{N}.json)
 RECORD = {
-    "pricing_summary": {"r03": 3.37, "r04": 1.93},
-    "catalog_fact_sales_daily": {"r03": 2.95, "r04": 3.28},
-    "session_metrics_batch": {"r03": 0.56, "r04": 0.68},
+    "pricing_summary": {"prior": 1.93, "latest": 1.97},
+    "catalog_fact_sales_daily": {"prior": 2.95, "latest": 2.88},
+    "session_metrics_batch": {"prior": 0.56, "latest": 0.57},
+    "scd2_customer_dim": {"prior": 0.72, "latest": 0.97},
 }
 
 
 def main() -> None:
+    movers = sys.argv[1:] or DEFAULT_MOVERS
     spark = get_spark("interleave-ab")
     reg = load_registry()
-    names = [CONTROL] + MOVERS
+    names = [CONTROL] + movers
     force(reg[CONTROL].fn(spark, SF_DIR))  # JVM/footer warmup
     runs: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(ROUNDS):
@@ -51,12 +60,12 @@ def main() -> None:
             runs[n].append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
             gc.collect()
-    print(f"{'query':<28}{'best':>7}{'runs':>34}{'r03':>7}{'r04':>7}")
+    print(f"{'query':<28}{'best':>7}{'runs':>34}{'prior':>7}{'latest':>7}")
     for n in names:
-        rec = RECORD[n]
+        rec = RECORD.get(n, {"prior": float("nan"), "latest": float("nan")})
         print(
             f"{n:<28}{min(runs[n]):>7.2f}{str(runs[n]):>34}"
-            f"{rec['r03']:>7.2f}{rec['r04']:>7.2f}"
+            f"{rec['prior']:>7.2f}{rec['latest']:>7.2f}"
         )
     spark.stop()
 
