@@ -196,6 +196,90 @@ def decode_bmp(payload: bytes):
     return np.ascontiguousarray(img)
 
 
+def decode_png(payload: bytes):
+    """REAL image decode for 8-bit non-interlaced PNG — stdlib zlib +
+    numpy, no external codec. Walks the chunk stream (IHDR/IDAT/IEND),
+    inflates the concatenated IDAT bodies, reverses the per-row filters
+    (None/Sub/Up/Average/Paeth per the PNG spec §9), and returns an
+    (H, W, C) uint8 array with C=3 (RGB), 4 (RGBA), or 1 (grayscale).
+    Palette, 16-bit, and Adam7-interlaced PNGs are rejected with a clear
+    error; JPEG stays behind the PIL gate in _decode_image_real."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        size, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = pos + 8
+        if body + size > len(payload):
+            raise ValueError(f"PNG chunk {ctype!r} overruns the payload")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack_from(">IIBBBBB", payload, body)
+        elif ctype == b"IDAT":
+            idat += payload[body:body + size]
+        elif ctype == b"IEND":
+            break
+        pos = body + size + 4  # skip the CRC
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if bit_depth != 8 or channels is None or comp != 0 or filt != 0:
+        raise ValueError(
+            f"only 8-bit gray/RGB/RGBA PNG (got depth={bit_depth}, "
+            f"color_type={color_type})"
+        )
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid PNG dimensions {width}x{height}")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    stride = width * bpp
+    if raw.size != height * (stride + 1):
+        raise ValueError(
+            f"PNG pixel stream is {raw.size} bytes, expected "
+            f"{height * (stride + 1)}"
+        )
+    rows = raw.reshape(height, stride + 1)
+    out = np.zeros((height, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(height):
+        ftype, row = int(rows[y, 0]), rows[y, 1:].copy()
+        if ftype == 0:  # None
+            recon = row
+        elif ftype == 1:  # Sub: + left → modular cumsum along x per lane
+            recon = np.add.accumulate(
+                row.reshape(width, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif ftype == 2:  # Up: + above (uint8 wrap is the spec's mod 256)
+            recon = row + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential along x
+            recon = row
+            p = prev.astype(np.int32)
+            r = recon.astype(np.int32)
+            for i in range(stride):
+                a = int(r[i - bpp]) if i >= bpp else 0
+                b = int(p[i])
+                if ftype == 3:
+                    r[i] = (r[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(p[i - bpp]) if i >= bpp else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    r[i] = (r[i] + pred) & 0xFF
+            recon = r.astype(np.uint8)
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = recon
+        prev = out[y]
+    return out.reshape(height, width, bpp)
+
+
 def decode_wav(payload: bytes):
     """REAL audio decode for PCM WAV — pure numpy RIFF parsing. Returns
     (sample_rate, n_channels, samples) with samples shaped (n_frames,
@@ -239,14 +323,19 @@ def decode_wav(payload: bytes):
 
 
 def _decode_image_real(payload: bytes, width: int, height: int):
-    """The real decode path. Uncompressed 24-bit BMP decodes IN-CONTAINER
-    via decode_bmp (pure numpy) with a nearest-neighbor resize; compressed
-    formats require PIL, absent here, and stay import-gated so the
-    pipeline degrades to the deterministic fake rather than crashing."""
+    """The real decode path. Uncompressed 24-bit BMP (decode_bmp) and
+    8-bit non-interlaced PNG (decode_png, stdlib zlib) decode
+    IN-CONTAINER with a nearest-neighbor resize; JPEG requires PIL,
+    absent here, and stays import-gated so the pipeline degrades to the
+    deterministic fake rather than crashing."""
+    img = None
     if payload[:2] == b"BM":
+        img = decode_bmp(payload)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        img = decode_png(payload)
+    if img is not None:
         import numpy as np
 
-        img = decode_bmp(payload)
         h, w = img.shape[:2]
         ys = (np.arange(height) * h // height).clip(0, h - 1)
         xs = (np.arange(width) * w // width).clip(0, w - 1)
@@ -255,8 +344,9 @@ def _decode_image_real(payload: bytes, width: int, height: int):
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "compressed-image decode requires pillow; deterministic fake "
-            "used instead (uncompressed BMP decodes natively — decode_bmp)"
+            "JPEG decode requires pillow; deterministic fake used instead "
+            "(uncompressed BMP and 8-bit PNG decode natively — decode_bmp/"
+            "decode_png)"
         ) from exc
     raise NotImplementedError("real decode wired at deploy time")
 

@@ -211,3 +211,150 @@ def test_wav_malformed_payloads_raise_clearly():
     struct.pack_into("<I", cut, data_hdr, len(stereo.tobytes()) - 2)
     with pytest.raises(ValueError, match="mid-frame"):
         mm.decode_wav(bytes(cut))
+
+
+def _make_png(img, filters=None) -> bytes:
+    """Serialize an (H, W, C) uint8 array as an 8-bit non-interlaced PNG,
+    applying the given per-row filter types (cycling 0..4 by default) so
+    the decoder's filter-reversal paths are all exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    filters = filters or [y % 5 for y in range(h)]
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    flat = img.reshape(h, w * c).astype(np.int32)
+    stream = bytearray()
+    prev = np.zeros(w * c, np.int32)
+    for y in range(h):
+        row, ftype = flat[y], filters[y]
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(c, np.int32), row[:-c]])
+            filt = row - left
+        elif ftype == 2:
+            filt = row - prev
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(c, np.int32), row[:-c]])
+            filt = row - ((left + prev) >> 1)
+        else:
+            filt = row.copy()
+            for i in range(w * c):
+                a = int(row[i - c]) if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                filt[i] = row[i] - pred
+        stream += bytes([ftype]) + (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_roundtrips_all_filter_types():
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    # ≥5 rows so every filter type (None/Sub/Up/Average/Paeth) appears
+    for channels in (1, 3, 4):
+        img = rng.integers(0, 256, size=(6, 5, channels), dtype=np.uint8)
+        decoded = mm.decode_png(_make_png(img))
+        assert decoded.shape == img.shape
+        assert (decoded == img).all(), f"channels={channels}"
+    # each filter type alone, on a gradient image where predictions matter
+    grad = (np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3) * 7)
+    for f in range(5):
+        decoded = mm.decode_png(_make_png(grad, filters=[f] * 6))
+        assert (decoded == grad).all(), f"filter={f}"
+
+
+def test_png_decode_through_real_gate_with_resize():
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    resized = mm._decode_image_real(_make_png(img), width=8, height=8)
+    assert resized.shape == (8, 8, 3)
+    assert (resized[0, 0] == img[0, 0]).all()
+
+
+def test_png_unsupported_variants_raise_clearly():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = _make_png(img)
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"JFIF....")
+
+    # 16-bit depth
+    deep = bytearray(good)
+    deep[8 + 8 + 8] = 16  # IHDR bit_depth byte
+    with pytest.raises(ValueError, match="only 8-bit"):
+        mm.decode_png(bytes(deep))
+
+    # palette color type
+    pal = bytearray(good)
+    pal[8 + 8 + 9] = 3  # IHDR color_type byte
+    with pytest.raises(ValueError, match="only 8-bit"):
+        mm.decode_png(bytes(pal))
+
+    # Adam7 interlace
+    lace = bytearray(good)
+    lace[8 + 8 + 12] = 1  # IHDR interlace byte
+    with pytest.raises(ValueError, match="interlaced"):
+        mm.decode_png(bytes(lace))
+
+    # truncated pixel stream: fewer rows than IHDR declares
+    short_stream = zlib.compress(b"\x00" + b"\x00" * 6)  # 1 row, IHDR says 2
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    broken = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+              + chunk(b"IDAT", short_stream) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="expected"):
+        mm.decode_png(broken)
+
+
+def test_png_decode_through_spark_arrow_boundary(spark):
+    """decode_png where it runs in production: inside mapInPandas over a
+    binary payload column."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    imgs = [rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8) for _ in range(3)]
+    df = spark.createDataFrame(
+        [(i, bytearray(_make_png(img))) for i, img in enumerate(imgs)],
+        "img_id int, payload binary",
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            arrs = [mm.decode_png(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "img_id": pdf["img_id"],
+                    "mean_px": [float(a.mean()) for a in arrs],
+                }
+            )
+
+    got = {r["img_id"]: r["mean_px"] for r in
+           df.mapInPandas(decode, "img_id int, mean_px double").collect()}
+    for i, img in enumerate(imgs):
+        assert abs(got[i] - float(img.mean())) < 1e-9
