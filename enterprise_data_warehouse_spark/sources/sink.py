@@ -157,6 +157,7 @@ def merge_upsert(
     keys: Sequence[str],
     evolve_schema: bool = False,
     retain_versions: int | None = None,
+    max_retries: int = 3,
 ) -> None:
     """S9: MERGE semantics on parquet — source rows win on key collision.
 
@@ -178,8 +179,12 @@ def merge_upsert(
     Lost commit races self-heal: a concurrent writer winning the version
     marker raises ConcurrentWriteError inside the protocol; this wrapper
     re-derives the merge against the NEW current version and retries (the
-    documented optimistic-concurrency loop, Delta-on-S3 stance) up to 3
-    times before surfacing the conflict.
+    documented optimistic-concurrency loop, Delta-on-S3 stance) up to
+    ``max_retries`` times before surfacing the conflict. Every loss means
+    a rival COMMITTED, so with only merge writers N-1 retries suffice; a
+    concurrent maintenance loop (compact/vacuum-with-commit) adds rival
+    commits beyond that bound — size max_retries to the total rival
+    commits possible in the contention window.
 
     ``retain_versions=N`` vacuums down to the last N versions after a
     successful merge (young orphans of live racers are grace-spared).
@@ -192,12 +197,12 @@ def merge_upsert(
 
     _adopt_plain(spark, path)
     t = _versioned(spark, path)
-    for attempt in range(3):
+    for attempt in range(max_retries):
         try:
             t.merge(src, keys, evolve_schema=evolve_schema)
             break
         except ConcurrentWriteError:
-            if attempt == 2:
+            if attempt == max_retries - 1:
                 raise
     if retain_versions is not None:
         t.vacuum(keep=retain_versions)
@@ -210,6 +215,7 @@ def merge_upsert_partitioned(
     keys: Sequence[str],
     partition_col: str,
     retain_versions: int | None = None,
+    max_retries: int = 3,
 ) -> None:
     """S9 at scale: MERGE that only reads and rewrites the partitions the
     delta touches (SURVEY.md §7.4a mitigation). A day's delta against a
@@ -227,12 +233,12 @@ def merge_upsert_partitioned(
 
     _adopt_plain(spark, path)
     t = _versioned(spark, path)
-    for attempt in range(3):
+    for attempt in range(max_retries):
         try:
             t.merge_partitioned(src, keys, partition_col)
             break
         except ConcurrentWriteError:
-            if attempt == 2:
+            if attempt == max_retries - 1:
                 raise
     # retention note: see merge_upsert — mandatory for high-frequency loops
     if retain_versions is not None:

@@ -586,6 +586,57 @@ class VersionedTable:
         }
 
     # -- maintenance -------------------------------------------------------
+    def compact(self, target_file_bytes: int = 128 << 20,
+                max_retries: int = 3) -> dict[str, int]:
+        """Table maintenance on the manifest protocol: rewrite the CURRENT
+        version's many small files (the residue of high-frequency merges)
+        into ~target-size files as a NEW pinned commit — no renames, no
+        unreadable window, works on object stores (unlike compact_parquet's
+        in-place two-rename swap, which needs atomic directory rename).
+
+        The rewrite is PINNED to read_version+1 (see commit): a merge
+        landing in the read→commit window raises ConcurrentWriteError and
+        the compaction re-derives against the new current — a compaction
+        can therefore never silently erase a racing merge (the lost-update
+        footgun of an unpinned ``commit(read())``). Content is
+        byte-identical to the source version; only the file layout
+        changes. Old versions remain time-travelable until vacuumed.
+
+        Returns {"version", "files_before", "files_after", "bytes"}."""
+        from .sink import _dir_stats  # sizing helper shared with compact_parquet
+
+        last_err: Exception | None = None
+        for _ in range(max_retries):
+            current = self.current_version()
+            if current is None:
+                raise FileNotFoundError(f"no committed version under {self.root}")
+            meta = self._read_marker(current) or {}
+            rels = (sorted(meta["parts"].values())
+                    if meta.get("parts") else [meta["dir"]])
+            files_before = n_bytes = 0
+            for rel in set(rels):
+                files, size = _dir_stats(self.spark, f"{self.root}/{rel}")
+                files_before += files
+                n_bytes += size
+            n_files = max(1, -(-n_bytes // max(1, target_file_bytes)))
+            df = self.read(version=current).repartition(n_files)
+            try:
+                version = self.commit(df, op="compact", at_version=current + 1)
+            except ConcurrentWriteError as e:
+                last_err = e
+                continue
+            new_meta = self._read_marker(version)
+            files_after, _ = _dir_stats(
+                self.spark, f"{self.root}/{new_meta['dir']}"
+            )
+            return {
+                "version": version,
+                "files_before": files_before,
+                "files_after": files_after,
+                "bytes": n_bytes,
+            }
+        raise last_err  # every retry lost its race — surface the conflict
+
     def _newest_mtime_ms(self, path) -> int | None:
         """Newest FILE mtime under ``path`` (recursive), or None if it
         holds no files. Orphan-dir age must come from the files, not the

@@ -896,3 +896,167 @@ def test_history_lists_retained_versions_newest_first(spark, tmp_path):
 
     t.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
     assert [r["version"] for r in t.history()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# compact() — pinned layout rewrite on the manifest protocol
+# ---------------------------------------------------------------------------
+
+
+def test_compact_rewrites_layout_preserving_content_and_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = VersionedTable(spark, path)
+    rows = [(i, f"v{i}") for i in range(1, 41)]
+    t.commit(_mk(spark, rows).repartition(8))
+    stats = t.compact()
+    assert stats["version"] == 2
+    assert stats["files_before"] == 8
+    assert stats["files_after"] == 1  # tiny table → one target-size file
+    assert _rows(t.read()) == set(rows)
+    # the pre-compact version stays time-travelable
+    assert _rows(t.read(version=1)) == set(rows)
+    assert t.current_version() == 2
+
+
+def test_compact_retries_lost_commit_race_and_preserves_rival_merge(
+    spark, tmp_path
+):
+    """A merge landing in compact's read→commit window must surface as
+    ConcurrentWriteError on the pinned commit and be re-derived — the
+    rival's rows survive the compaction (the lost-update footgun of an
+    unpinned commit(read()))."""
+    from enterprise_data_warehouse_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    t = VersionedTable(spark, path)
+    t.commit(_mk(spark, [(1, "base")]).repartition(4))
+
+    real_commit = t.commit
+    raced = {"done": False}
+
+    def racing_commit(df, *a, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            # rival merge lands first at the version compact pinned
+            VersionedTable(spark, path).merge(_mk(spark, [(2, "rival")]), ["id"])
+        return real_commit(df, *a, **kw)
+
+    t.commit = racing_commit  # interpose on this handle only
+    try:
+        stats = t.compact()
+    finally:
+        t.commit = real_commit
+    assert stats["version"] == 3  # re-derived on top of the rival's v2
+    assert _rows(t.read()) == {(1, "base"), (2, "rival")}
+
+
+def test_compact_on_empty_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        VersionedTable(spark, str(tmp_path / "missing")).compact()
+
+
+def test_mixed_op_soak_under_concurrency(spark, tmp_path):
+    """Mixed-op protocol soak (VERDICT r05 #6): concurrent merge writers,
+    a compactor, a vacuum loop, and invariant-checking readers hammer ONE
+    table. Under the documented grace contract (defaults spare everything
+    young), every read must see a consistent committed snapshot — unique
+    keys, well-formed values, monotone history — and at the end the table
+    must hold the base plus every writer's last value, through a final
+    quiesced full vacuum."""
+    import re
+    import threading
+
+    from enterprise_data_warehouse_spark.sources.sink import merge_upsert
+
+    path = str(tmp_path / "t")
+    t = VersionedTable(spark, path)
+    t.commit(_mk(spark, [(0, "base")]))
+
+    N_WRITERS, N_MERGES, N_COMPACTS, N_VACUUMS = 3, 5, 3, 5
+    errors: list[str] = []
+    writers_done = threading.Event()
+    val_re = re.compile(r"^(base|w\d+s\d+|v\d+)$")
+
+    def writer(i: int) -> None:
+        try:
+            for step in range(N_MERGES):
+                # each writer owns keys {i*10+1 .. i*10+2}: overlapping
+                # steps exercise upsert, disjoint ranges make the final
+                # state deterministic per writer
+                # retry budget ≥ total rival commits possible in the whole
+                # soak (15 merges + 3 compactions) — sufficiency is then
+                # by construction, since every lost race means a rival
+                # committed
+                merge_upsert(
+                    spark, path,
+                    _mk(spark, [(i * 10 + 1 + (step % 2), f"w{i}s{step}")]),
+                    ["id"], max_retries=20,
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"writer{i}: {type(e).__name__}: {e}")
+
+    def compactor() -> None:
+        try:
+            for _ in range(N_COMPACTS):
+                t.compact(max_retries=20)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"compactor: {type(e).__name__}: {e}")
+
+    def vacuumer() -> None:
+        try:
+            for _ in range(N_VACUUMS):
+                # default graces: must spare every young version/orphan —
+                # the invariant checked here is NON-interference
+                t.vacuum(keep=2)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"vacuum: {type(e).__name__}: {e}")
+
+    def reader() -> None:
+        try:
+            while not writers_done.is_set():
+                rows = t.read().collect()
+                ids = [r["id"] for r in rows]
+                if len(ids) != len(set(ids)):
+                    errors.append(f"reader: duplicate keys in snapshot {ids}")
+                    return
+                bad = [r["val"] for r in rows if not val_re.match(r["val"])]
+                if bad:
+                    errors.append(f"reader: malformed values {bad}")
+                    return
+                hist = [h["version"] for h in t.history()]
+                if hist != sorted(hist, reverse=True):
+                    errors.append(f"reader: history not descending {hist}")
+                    return
+                if len(hist) > 1:  # a superseded version is still readable
+                    t.read(version=hist[1]).count()
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"reader: {type(e).__name__}: {e}")
+
+    threads = (
+        [threading.Thread(target=writer, args=(i,)) for i in range(N_WRITERS)]
+        + [threading.Thread(target=compactor), threading.Thread(target=vacuumer)]
+        + [threading.Thread(target=reader) for _ in range(2)]
+    )
+    for th in threads:
+        th.start()
+    for th in threads[:N_WRITERS]:
+        th.join()
+    writers_done.set()
+    for th in threads[N_WRITERS:]:
+        th.join()
+    assert not errors, errors
+
+    # final state: base + each writer's LAST value on its two keys
+    expect = {(0, "base")}
+    last = N_MERGES - 1
+    for i in range(N_WRITERS):
+        expect.add((i * 10 + 1 + (last % 2), f"w{i}s{last}"))
+        expect.add((i * 10 + 1 + ((last - 1) % 2), f"w{i}s{last - 1}"))
+    assert _rows(t.read()) == expect
+    # every merge and compaction produced its own committed version
+    assert t.current_version() == 1 + N_WRITERS * N_MERGES + N_COMPACTS
+
+    # quiesced full vacuum: reclaim everything but current, content intact
+    res = t.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+    assert t.committed_versions() == [t.current_version()]
+    assert _rows(t.read()) == expect
