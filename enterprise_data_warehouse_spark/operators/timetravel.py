@@ -156,3 +156,68 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.commit(target)
     t.merge(delta, keys=["o_orderkey"], evolve_schema=True)
     return t.read().select("o_orderkey", "total_cents", "o_orderpriority")
+
+
+ZERO_COPY_CLONE_ORACLE = """
+WITH half AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents
+  FROM customer WHERE c_custkey % 2 = 0 GROUP BY c_mktsegment
+), main AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents
+  FROM customer GROUP BY c_mktsegment
+), dev_delta AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents
+  FROM customer
+  WHERE c_acctbal > 0 AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY c_mktsegment
+)
+SELECT 'main' AS branch, main.* FROM main
+UNION ALL
+SELECT 'dev' AS branch, dev_delta.* FROM dev_delta
+UNION ALL
+SELECT 'dev' AS branch, half.* FROM half
+WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY')
+"""
+
+
+@query("zero_copy_clone", oracle=ZERO_COPY_CLONE_ORACLE)
+def zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake-style zero-copy CLONE (VERDICT r05 #8): branch the table
+    at v1, let MAIN overwrite to the full-corpus rollup while the DEV
+    branch merges its own delta — the dev branch's untouched segments are
+    still read zero-copy from the PARENT's immutable v1 dir (hard-ref
+    pinned against parent vacuum), while its touched segments come from
+    the clone's copy-on-write commit. Returns both branches' current
+    states. Reference parity: Snowflake CREATE TABLE ... CLONE, the
+    mechanism the reference's dbt project gets dev environments from."""
+    c = load_table(spark, sf_dir, "customer")
+    root = _work_dir("clone", sf_dir)
+    main = VersionedTable(spark, f"{root}/main")
+    main.commit(_segment_rollup(c.where(F.col("c_custkey") % 2 == 0)))
+    dev = main.clone(f"{root}/dev")
+    # main evolves past the branch point; a vacuum here must spare the
+    # cloned v1 dir (the hard ref is what keeps the dev branch readable)
+    main.commit(_segment_rollup(c))
+    main.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+    dev.merge(
+        _segment_rollup(
+            c.where(
+                (F.col("c_acctbal") > 0)
+                & F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            )
+        ),
+        keys=["c_mktsegment"],
+    )
+    return (
+        main.read().select(F.lit("main").alias("branch"), "*")
+        .unionByName(dev.read().select(F.lit("dev").alias("branch"), "*"))
+    )

@@ -74,12 +74,15 @@ _OPERATOR_MODULES = [
 # oldest D1-only greens whose last record predates three rounds of code
 # movement. Everything after slot 50 already has a fresh driver record.
 PRIORITY_ORDER = [
-    # Round-6 curation (VERDICT r05 items 1/2). The driver records exactly
-    # the first 50 each round; this front closes the board at 211/211 and
-    # refreshes the stalest records. Slots 1-2: the only never-driver-
-    # recorded queries (r05 capability additions, judge-green in r05).
+    # Round-6 curation (VERDICT r05 items 1/2/8). The driver records exactly
+    # the first 50 each round; this front closes the board (no never-
+    # recorded queries remain after r06) and refreshes the stalest
+    # records. Slots 1-3: the two r05 capability additions (judge-green in
+    # r05) plus this round's sanctioned addition, zero_copy_clone
+    # (VERDICT r05 #8; registry 211 -> 212 <= 213).
     "time_travel_read",
     "schema_evolution_merge",
+    "zero_copy_clone",
     # -- slots 3-16: the 14 queries whose newest driver record is r01 ------
     "local_supplier_volume",
     "returned_customer_ranking",
@@ -95,7 +98,7 @@ PRIORITY_ORDER = [
     "order_ranking",
     "customer_rfm_scalable",
     "corr_quantity_price",
-    # -- slots 17-50: r02-only cohort refresh (34 of 50) --------------------
+    # -- slots 18-50: r02-only cohort refresh (33 of 50) --------------------
     "conditional_agg_orders",
     "active_weeks",
     "duplicate_detection",
@@ -125,16 +128,18 @@ PRIORITY_ORDER = [
     "corpus_pipeline",
     "token_count_profile",
     "repetition_scores",
-    "minhash_lsh_verified",
     "embedding_near_dup",
     "ann_lsh_verified",
     "feature_fetch_inlist",
     "training_dataset",
     # ---------------- slot 50 boundary (driver budget) ---------------------
-    # -- deferred r02 cohort (16) = r07's front. 11 run in bench.py every
-    # round (run-clean + timing signal); the other 5 have adjacent judge-
-    # green (r05) or pytest stream==batch parity coverage. All 16 verified
-    # locally green via tools/verify_local.py this round (COVERAGE.md).
+    # -- deferred r02 cohort (17) = r07's front. 11 run in bench.py every
+    # round (run-clean + timing signal); the rest have adjacent judge-
+    # green (r05), pytest stream==batch parity, or adjacent-family bench
+    # coverage (minhash_lsh_verified rides the same candidate pipeline as
+    # bench's minhash_lsh_candidates). All 17 verified locally green via
+    # tools/verify_local.py this round (COVERAGE.md).
+    "minhash_lsh_verified",
     "star_revenue_rollup",
     "text_quality_scores",
     "exact_dedup",

@@ -152,6 +152,18 @@ class VersionedTable:
     def _path(self, rel: str):
         return self._jvm.org.apache.hadoop.fs.Path(f"{self.root}/{rel}")
 
+    def _is_local(self, rel: str) -> bool:
+        """Marker dir/parts entries are root-relative by default; CLONE
+        markers store ABSOLUTE source paths (leading '/' or a URI scheme)
+        pointing into the parent table's storage."""
+        return not (rel.startswith("/") or "://" in rel)
+
+    def _abs(self, rel: str) -> str:
+        return rel if not self._is_local(rel) else f"{self.root}/{rel}"
+
+    def _anypath(self, rel: str):
+        return self._jvm.org.apache.hadoop.fs.Path(self._abs(rel))
+
     def _marker(self, version: int):
         return self._path(f"_commits/v{version:08d}.json")
 
@@ -187,7 +199,7 @@ class VersionedTable:
         its referenced data dir exists (the data-dir check makes vacuum's
         marker-then-data delete order crash-safe too)."""
         meta = self._read_marker(version)
-        if meta and self._hfs.exists(self._path(meta["dir"])):
+        if meta and self._hfs.exists(self._anypath(meta["dir"])):
             return meta
         return None
 
@@ -281,9 +293,9 @@ class VersionedTable:
             reader = reader.option("mergeSchema", "true")
         if meta.get("parts"):
             return reader.parquet(
-                *[f"{self.root}/{rel}" for rel in sorted(meta["parts"].values())]
+                *[self._abs(rel) for rel in sorted(meta["parts"].values())]
             )
-        return reader.parquet(f"{self.root}/{meta['dir']}")
+        return reader.parquet(self._abs(meta["dir"]))
 
     def read_partitions(self, values: Sequence[str]) -> DataFrame | None:
         """Read ONLY the named partitions of the current (partition-mapped)
@@ -308,7 +320,7 @@ class VersionedTable:
         hit = [parts[v] for v in values if v in parts]
         if not hit:
             return None
-        return self.spark.read.parquet(*[f"{self.root}/{rel}" for rel in hit])
+        return self.spark.read.parquet(*[self._abs(rel) for rel in hit])
 
     # -- write side --------------------------------------------------------
     def _stage_data(self, df: DataFrame, version: int,
@@ -401,7 +413,7 @@ class VersionedTable:
         if not self._hfs.exists(marker):
             return True
         meta = self._read_marker(version)
-        if meta is not None and self._hfs.exists(self._path(meta["dir"])):
+        if meta is not None and self._hfs.exists(self._anypath(meta["dir"])):
             return False  # fully-written live commit — genuine conflict
         try:
             stat = self._hfs.getFileStatus(marker)
@@ -500,7 +512,7 @@ class VersionedTable:
             existing_rel = [parts[p] for p in touched if p in parts]
             if existing_rel:
                 target = self.spark.read.parquet(
-                    *[f"{self.root}/{rel}" for rel in existing_rel]
+                    *[self._abs(rel) for rel in existing_rel]
                 )
                 survivors = target.join(
                     src.select(*keys).distinct(), list(keys), "left_anti"
@@ -566,6 +578,20 @@ class VersionedTable:
         audit dict {version, n_erased, purged_versions} for the
         compliance log (reference: governance retention policies,
         governance/data_catalog.yml defaults)."""
+        refs = self.clone_refs()
+        if refs:
+            # Erasure must leave NO readable copy of the subject's rows —
+            # but a clone's hard ref pins this table's data dirs (vacuum
+            # would spare them) and the clone itself still reads them.
+            # Deleting through the refs would silently destroy the clones;
+            # sparing them would silently fail compliance. Fail loudly.
+            dests = sorted(r.get("dest", "?") for r in refs)
+            raise RuntimeError(
+                f"cannot erase {self.root}: {len(refs)} zero-copy clone(s) "
+                f"still reference its data ({', '.join(dests)}). Erase or "
+                "drop each clone (release_parent_ref after a local rewrite, "
+                "or delete the clone) first, then re-run the erase."
+            )
         current = self.current_version()
         target = self.read(version=current)
         keyset = subject_keys.select(*keys).distinct()
@@ -584,6 +610,182 @@ class VersionedTable:
             "n_erased": n_before - n_after,
             "purged_versions": purged["versions"],
         }
+
+    # -- zero-copy clone ----------------------------------------------------
+    def clone_refs(self) -> list[dict]:
+        """Registered clone hard-refs ({token, dest, version, dirs}) —
+        the dirs each live clone pins in THIS table's storage. Unreadable
+        ref files are treated as live (fail closed: vacuum must not
+        reclaim what it cannot prove unreferenced)."""
+        refs_dir = self._path("_refs")
+        if not self._hfs.exists(refs_dir):
+            return []
+        out = []
+        for st in self._hfs.listStatus(refs_dir):
+            name = st.getPath().getName()
+            if not name.endswith(".json"):
+                continue
+            token = name[:-5]
+            try:
+                stream = self._hfs.open(st.getPath())
+                try:
+                    reader = self._jvm.java.io.BufferedReader(
+                        self._jvm.java.io.InputStreamReader(stream, "UTF-8")
+                    )
+                    lines = []
+                    line = reader.readLine()
+                    while line is not None:
+                        lines.append(line)
+                        line = reader.readLine()
+                finally:
+                    stream.close()
+                meta = json.loads("\n".join(lines))
+            except Exception:
+                meta = {}  # unreadable → fail closed with no dirs known...
+            if not meta.get("dirs"):
+                # ...which would protect nothing — so an unparseable ref
+                # pins EVERYTHING by protecting every current top-level dir
+                meta = {"dirs": ["*"], "dest": meta.get("dest", "?")}
+            meta["token"] = token
+            out.append(meta)
+        return out
+
+    def clone(self, dest_root: str, version: int | None = None,
+              **dest_kwargs) -> "VersionedTable":
+        """Snowflake-style ZERO-COPY CLONE: branch this table at a pinned
+        version into a new root without copying data. The clone's v1
+        marker references this table's immutable dirs by ABSOLUTE path;
+        its own later commits write into its own root (copy-on-write), so
+        parent and clone diverge freely from the branch point.
+
+        Safety against parent vacuum: BEFORE the clone becomes visible, a
+        hard ref lands in the parent's ``_refs/`` recording exactly which
+        top-level dirs the clone pins — parent vacuum protects those dirs
+        for as long as the ref exists, and parent erase refuses while any
+        ref is live. Ref-then-validate ordering closes the race with a
+        concurrent vacuum: the pinned version is re-checked LIVE after the
+        ref is durable; if a vacuum reclaimed it in the window, the ref is
+        withdrawn and the clone fails cleanly.
+
+        Release the pin with ``clone.release_parent_ref()`` once no
+        retained clone version references parent storage (e.g. after
+        ``clone.compact()`` rewrote the data locally).
+
+        Reference parity: Snowflake CREATE TABLE ... CLONE (the backend
+        the reference's dbt project gets zero-copy dev environments from).
+        """
+        src_version = self.current_version() if version is None else version
+        meta = self._live_meta(src_version) if src_version is not None else None
+        if meta is None:
+            raise FileNotFoundError(
+                f"version {version} not committed (or vacuumed) under {self.root}"
+            )
+        rels = (sorted(set(meta["parts"].values())) if meta.get("parts")
+                else [meta["dir"]])
+        top_dirs = sorted({
+            (r[len(self.root) + 1:] if r.startswith(f"{self.root}/") else r)
+            .split("/", 1)[0]
+            for r in rels if self._is_local(r)
+        })
+        token = uuid.uuid4().hex
+        ref_path = self._path(f"_refs/{token}.json")
+        self._hfs.mkdirs(ref_path.getParent())
+        ref_meta = {
+            "dest": dest_root.rstrip("/"),
+            "version": src_version,
+            "dirs": top_dirs,
+        }
+        out = self._hfs.create(ref_path, False)
+        try:
+            out.write(bytearray(json.dumps(ref_meta, sort_keys=True), "utf-8"))
+        finally:
+            out.close()
+        # validate AFTER the ref is durable: a vacuum that reclaimed the
+        # pinned version before our ref landed must fail the clone, not
+        # yield a clone of missing data
+        if self._live_meta(src_version) is None:
+            self._hfs.delete(ref_path, False)
+            raise FileNotFoundError(
+                f"version {src_version} of {self.root} was vacuumed while "
+                "cloning — re-run against a retained version"
+            )
+        dest = VersionedTable(self.spark, dest_root, **dest_kwargs)
+        if dest.exists():
+            self._hfs.delete(ref_path, False)
+            raise ValueError(f"clone destination {dest.root} already exists")
+        clone_meta = {
+            "version": 1,
+            "op": "clone",
+            "dir": self._abs(meta["dir"]),
+            "source": self.root,
+            "source_version": src_version,
+            "ref": token,
+        }
+        if meta.get("parts"):
+            clone_meta["parts"] = {
+                k: self._abs(rel) for k, rel in meta["parts"].items()
+            }
+        try:
+            dest._create_marker(1, clone_meta)
+            # root-level linkage survives vacuuming the v1 clone marker —
+            # release_parent_ref needs (source, ref) for the clone's whole
+            # lifetime, not just while v1 is retained
+            link = dest._path("_clone.json")
+            out = dest._hfs.create(link, True)
+            try:
+                out.write(bytearray(
+                    json.dumps({"source": self.root, "ref": token},
+                               sort_keys=True),
+                    "utf-8",
+                ))
+            finally:
+                out.close()
+        except Exception:
+            self._hfs.delete(ref_path, False)
+            raise
+        return dest
+
+    def release_parent_ref(self) -> bool:
+        """Drop this CLONE's hard ref on its parent once safe: refuses
+        while any retained version of the clone still references parent
+        storage (vacuum old clone versions, or compact() to rewrite the
+        data locally, first). Returns True if a ref was released."""
+        still_shared = []
+        for v in self._marker_versions():
+            meta = self._live_meta(v)
+            if meta is None:
+                continue
+            rels = list((meta.get("parts") or {}).values()) + [meta["dir"]]
+            if any(not self._is_local(r) for r in rels):
+                still_shared.append(v)
+        if still_shared:
+            raise ValueError(
+                f"clone {self.root} still reads parent storage in retained "
+                f"version(s) {still_shared} — vacuum them (after a local "
+                "rewrite such as compact()) before releasing the ref"
+            )
+        link_path = self._path("_clone.json")
+        if not self._hfs.exists(link_path):
+            return False  # not a clone, or the ref was already released
+        stream = self._hfs.open(link_path)
+        try:
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+        finally:
+            stream.close()
+        link = json.loads("\n".join(lines))
+        source, token = link["source"], link["ref"]
+        _, src_fs = _fs(self.spark, source)
+        ref = self._jvm.org.apache.hadoop.fs.Path(f"{source}/_refs/{token}.json")
+        released = bool(src_fs.delete(ref, False))
+        self._hfs.delete(link_path, False)  # linkage spent either way
+        return released
 
     # -- maintenance -------------------------------------------------------
     def compact(self, target_file_bytes: int = 128 << 20,
@@ -615,7 +817,7 @@ class VersionedTable:
                     if meta.get("parts") else [meta["dir"]])
             files_before = n_bytes = 0
             for rel in set(rels):
-                files, size = _dir_stats(self.spark, f"{self.root}/{rel}")
+                files, size = _dir_stats(self.spark, self._abs(rel))
                 files_before += files
                 n_bytes += size
             n_files = max(1, -(-n_bytes // max(1, target_file_bytes)))
@@ -730,14 +932,37 @@ class VersionedTable:
         # must be known BEFORE any deletion: a reclaimed version's own dir
         # may be exactly such a shared dir.
         protected: set[str] = set()
+
+        def _protect(rel: str) -> None:
+            # only LOCAL top-level dirs are subject to local deletion; a
+            # clone marker's absolute entries live in the PARENT's storage
+            # (protected there by the clone's hard ref, see clone())
+            if rel.startswith(f"{self.root}/"):
+                rel = rel[len(self.root) + 1:]
+            if self._is_local(rel):
+                protected.add(rel.split("/", 1)[0])
+
         for v in committed:
             if v in reclaim:
                 continue
             meta = metas[v]
             if meta:
-                protected.add(meta["dir"])
+                _protect(meta["dir"])
                 for rel in (meta.get("parts") or {}).values():
-                    protected.add(rel.split("/", 1)[0])
+                    _protect(rel)
+        # every dir a registered CLONE references is protected too — the
+        # hard ref (clone()) is what makes parent vacuum clone-safe. An
+        # unparseable ref reports dirs=["*"]: pin EVERY data dir (fail
+        # closed) until the operator repairs or removes the ref.
+        for ref in self.clone_refs():
+            for d in ref.get("dirs", []):
+                if d == "*":
+                    for st in self._hfs.listStatus(self._path("")):
+                        name = st.getPath().getName()
+                        if _DIR_RE.match(name):
+                            protected.add(name)
+                else:
+                    _protect(d)
         # ---- phase 3: delete (marker first, then unprotected data dir)
         removed_versions: list[int] = []
         removed_orphans: list[str] = []
@@ -746,7 +971,12 @@ class VersionedTable:
             if meta is None:
                 continue  # a racing vacuum got here first
             self._hfs.delete(self._marker(v), False)
-            if meta["dir"] not in protected:
+            # never delete data OUTSIDE this root (a clone marker's
+            # absolute source dirs belong to the parent table)
+            if (
+                self._is_local(meta["dir"])
+                and meta["dir"].split("/", 1)[0] not in protected
+            ):
                 self._hfs.delete(self._path(meta["dir"]), True)
             removed_versions.append(v)
         # after the loop above, every dir still listed that no surviving

@@ -1060,3 +1060,148 @@ def test_mixed_op_soak_under_concurrency(spark, tmp_path):
     res = t.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
     assert t.committed_versions() == [t.current_version()]
     assert _rows(t.read()) == expect
+
+
+# ---------------------------------------------------------------------------
+# zero-copy clone (Snowflake CREATE TABLE ... CLONE parity)
+# ---------------------------------------------------------------------------
+
+
+def test_clone_reads_pinned_version_without_copying_data(spark, tmp_path):
+    parent = VersionedTable(spark, str(tmp_path / "p"))
+    parent.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    parent.merge(_mk(spark, [(2, "b2"), (3, "c")]), ["id"])
+
+    clone = parent.clone(str(tmp_path / "dev"), version=1)
+    assert _rows(clone.read()) == {(1, "a"), (2, "b")}
+    # zero-copy: the clone root holds ONLY metadata, no parquet data
+    import os
+
+    data = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(tmp_path / "dev")
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert data == [], data
+    # parent keeps evolving without affecting the branch
+    parent.merge(_mk(spark, [(1, "a3")]), ["id"])
+    assert _rows(clone.read()) == {(1, "a"), (2, "b")}
+    assert clone.history()[0]["op"] == "clone"
+
+
+def test_clone_diverges_copy_on_write(spark, tmp_path):
+    parent = VersionedTable(spark, str(tmp_path / "p"))
+    parent.commit(_mk(spark, [(1, "a"), (2, "b")]))
+    clone = parent.clone(str(tmp_path / "dev"))
+    clone.merge(_mk(spark, [(2, "dev-b"), (9, "dev-new")]), ["id"])
+    # divergence is two-way invisible
+    assert _rows(clone.read()) == {(1, "a"), (2, "dev-b"), (9, "dev-new")}
+    assert _rows(parent.read()) == {(1, "a"), (2, "b")}
+    # the clone's v1 is still the zero-copy snapshot (time travel works)
+    assert _rows(clone.read(version=1)) == {(1, "a"), (2, "b")}
+
+
+def test_parent_vacuum_spares_dirs_a_clone_references(spark, tmp_path):
+    parent = VersionedTable(spark, str(tmp_path / "p"))
+    parent.commit(_mk(spark, [(1, "v1")]))
+    clone = parent.clone(str(tmp_path / "dev"), version=1)
+    parent.commit(_mk(spark, [(1, "v2")]))
+    parent.commit(_mk(spark, [(1, "v3")]))
+    # full-strength vacuum: without the hard ref this reclaims v1's dir
+    parent.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+    assert parent.committed_versions() == [3]
+    assert _rows(clone.read()) == {(1, "v1")}, "clone must survive parent vacuum"
+
+
+def test_clone_of_partition_mapped_version_and_partitioned_cow(spark, tmp_path):
+    parent = VersionedTable(spark, str(tmp_path / "p"))
+
+    def mkp(rows):
+        return spark.createDataFrame(rows, "id int, part string, val string")
+
+    def prows(df):
+        return {(r["id"], r["part"], r["val"]) for r in df.collect()}
+
+    parent.merge_partitioned(
+        mkp([(1, "p1", "a"), (2, "p2", "b")]), keys=["id", "part"],
+        partition_col="part",
+    )
+    clone = parent.clone(str(tmp_path / "dev"))
+    assert prows(clone.read()) == {(1, "p1", "a"), (2, "p2", "b")}
+    # partition-scoped merge on the clone: touched partition rewrites
+    # locally, untouched partition keeps reading the PARENT's dir
+    clone.merge_partitioned(
+        mkp([(1, "p1", "dev")]), keys=["id", "part"], partition_col="part"
+    )
+    assert prows(clone.read()) == {(1, "p1", "dev"), (2, "p2", "b")}
+    assert prows(parent.read()) == {(1, "p1", "a"), (2, "p2", "b")}
+
+
+def test_erase_refuses_while_clones_reference_parent(spark, tmp_path):
+    parent = VersionedTable(spark, str(tmp_path / "p"))
+    parent.commit(_mk(spark, [(1, "secret"), (2, "keep")]))
+    clone = parent.clone(str(tmp_path / "dev"))
+    with pytest.raises(RuntimeError, match="zero-copy clone"):
+        parent.erase(spark.createDataFrame([(1,)], "id int"), keys=["id"])
+
+    # localize the clone, release the pin, then erasure proceeds
+    clone.compact()
+    clone.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+    assert clone.release_parent_ref() is True
+    res = parent.erase(spark.createDataFrame([(1,)], "id int"), keys=["id"])
+    assert res["n_erased"] == 1
+    assert _rows(parent.read()) == {(2, "keep")}
+    # the clone kept its own (now local) copy — separate table, separate data
+    assert _rows(clone.read()) == {(1, "secret"), (2, "keep")}
+
+
+def test_release_parent_ref_refuses_while_still_shared(spark, tmp_path):
+    parent = VersionedTable(spark, str(tmp_path / "p"))
+    parent.commit(_mk(spark, [(1, "a")]))
+    clone = parent.clone(str(tmp_path / "dev"))
+    with pytest.raises(ValueError, match="still reads parent storage"):
+        clone.release_parent_ref()
+    # after a local rewrite the v1 clone marker STILL references the parent
+    clone.compact()
+    with pytest.raises(ValueError, match="still reads parent storage"):
+        clone.release_parent_ref()
+    clone.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+    assert clone.release_parent_ref() is True
+    assert parent.clone_refs() == []
+    # released: parent vacuum may now reclaim freely
+    parent.commit(_mk(spark, [(1, "b")]))
+    parent.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+    assert parent.committed_versions() == [2]
+
+
+def test_clone_rejects_existing_dest_and_vacuumed_version(spark, tmp_path):
+    parent = VersionedTable(spark, str(tmp_path / "p"))
+    parent.commit(_mk(spark, [(1, "a")]))
+    parent.commit(_mk(spark, [(1, "b")]))
+    parent.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+    with pytest.raises(FileNotFoundError):
+        parent.clone(str(tmp_path / "dev"), version=1)
+    occupied = VersionedTable(spark, str(tmp_path / "occupied"))
+    occupied.commit(_mk(spark, [(9, "x")]))
+    with pytest.raises(ValueError, match="already exists"):
+        parent.clone(str(tmp_path / "occupied"))
+    # both failures must not leak a ref that would pin the parent forever
+    assert parent.clone_refs() == []
+
+
+def test_unparseable_clone_ref_pins_everything(spark, tmp_path):
+    parent = VersionedTable(spark, str(tmp_path / "p"))
+    parent.commit(_mk(spark, [(1, "v1")]))
+    parent.commit(_mk(spark, [(1, "v2")]))
+    refs = tmp_path / "p" / "_refs"
+    refs.mkdir()
+    (refs / "deadbeef.json").write_bytes(b"{truncated")
+    parent.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+    # v1's MARKER may go, but no data dir may be deleted under a ref that
+    # cannot prove what it pins
+    assert _rows(parent.read()) == {(1, "v2")}
+    import os
+
+    dirs = [d for d in os.listdir(tmp_path / "p") if d.startswith("v0000000")]
+    assert len(dirs) == 2, dirs
