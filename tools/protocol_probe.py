@@ -103,11 +103,50 @@ def probe_sf(spark, sf: str, n_versions: int) -> dict:
     }
 
 
+def probe_clone(spark, sf: str) -> None:
+    """Clone is METADATA-ONLY: wall time must be flat across the 10×
+    table decade (one ref write + one marker write — zero data I/O), and
+    compact() throughput should track table bytes (it IS a rewrite)."""
+    root = WORK / f"clone_src_sf{sf.replace('.', '_')}"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = _orders(spark, SF_DIRS[sf])
+    t = VersionedTable(spark, str(root))
+    t.commit(orders)
+    rows = orders.count()
+    table_mb = _du(root) / 1e6
+
+    clone_times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        c = t.clone(str(WORK / f"clone_dst_sf{sf.replace('.', '_')}_{i}"))
+        clone_times.append(time.perf_counter() - t0)
+        assert c.read().count() == rows  # zero-copy branch reads the data
+
+    t0 = time.perf_counter()
+    stats = c.compact()
+    compact_s = time.perf_counter() - t0
+    print(
+        f"sf{sf:<5}{rows:>9}{table_mb:>9.1f}"
+        f"{min(clone_times) * 1000:>12.0f}ms"
+        f"{compact_s:>10.2f}s{table_mb / compact_s:>9.1f}MB/s"
+        f"  files {stats['files_before']}->{stats['files_after']}"
+    )
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
 def main() -> None:
     # one leg per invocation (each prints immediately):
     #   python tools/protocol_probe.py 0.1 12
     #   python tools/protocol_probe.py 1   12     (10× table, same merge/vacuum work)
     #   python tools/protocol_probe.py 0.1 60     (5× versions, same table)
+    #   python tools/protocol_probe.py clone 0.1  (zero-copy clone leg)
+    if len(sys.argv) > 1 and sys.argv[1] == "clone":
+        sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
+        spark = get_spark("protocol-probe")
+        print(f"{'probe':<7}{'rows':>9}{'tableMB':>9}{'clone(best)':>14}"
+              f"{'compact':>10}{'rate':>12}")
+        probe_clone(spark, sf)
+        return
     sf = sys.argv[1] if len(sys.argv) > 1 else "0.1"
     n_versions = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     spark = get_spark("protocol-probe")
