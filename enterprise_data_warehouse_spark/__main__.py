@@ -11,6 +11,14 @@ Commands:
   table-vacuum <path> [--keep N]
                             — reclaim old versions/orphans (writer+reader
                               graces stay at their safe defaults)
+  table-clone <path> <dest> [--version N]
+                            — zero-copy branch at a pinned version (hard-ref
+                              pinned against parent vacuum)
+  table-compact <path>      — rewrite the current version's small files as
+                              a new pinned commit (object-store safe)
+  table-release-ref <path>  — drop a clone's pin on its parent (refuses
+                              while any retained version still reads
+                              parent storage)
 """
 
 from __future__ import annotations
@@ -36,9 +44,21 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("table-vacuum")
     p.add_argument("path")
     p.add_argument("--keep", type=int, default=2)
+    p = sub.add_parser("table-clone")
+    p.add_argument("path")
+    p.add_argument("dest")
+    p.add_argument("--version", type=int, default=None)
+    p = sub.add_parser("table-compact")
+    p.add_argument("path")
+    p = sub.add_parser("table-release-ref")
+    p.add_argument("path")
     args = ap.parse_args(argv)
 
-    if args.cmd in ("table-history", "table-vacuum"):
+    table_cmds = (
+        "table-history", "table-vacuum", "table-clone", "table-compact",
+        "table-release-ref",
+    )
+    if args.cmd in table_cmds:
         import json
 
         from .session import get_spark
@@ -49,8 +69,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "table-history":
             for row in t.history():
                 print(json.dumps(row, sort_keys=True))
-        else:
+        elif args.cmd == "table-vacuum":
             print(json.dumps(t.vacuum(keep=args.keep), sort_keys=True))
+        elif args.cmd == "table-clone":
+            c = t.clone(args.dest, version=args.version)
+            print(json.dumps(
+                {"dest": c.root, "version": c.current_version()}, sort_keys=True
+            ))
+        elif args.cmd == "table-compact":
+            print(json.dumps(t.compact(), sort_keys=True))
+        else:
+            print(json.dumps({"released": t.release_parent_ref()}))
         spark.stop()
         return 0
 
