@@ -804,6 +804,12 @@ class VersionedTable:
         byte-identical to the source version; only the file layout
         changes. Old versions remain time-travelable until vacuumed.
 
+        A partition-mapped current version is collapsed into a single
+        plain dir (the parts map does not survive compaction); the next
+        merge_partitioned re-establishes the map via its documented
+        one-time full conversion. Compact a partition-mapped fact only
+        when small files, not partition pruning, are the bottleneck.
+
         Returns {"version", "files_before", "files_after", "bytes"}."""
         from .sink import _dir_stats  # sizing helper shared with compact_parquet
 

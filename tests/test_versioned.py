@@ -341,7 +341,7 @@ def test_randomized_op_sequences_match_model(spark, tmp_path):
         for step in range(14):
             op = rng.choice(
                 ["commit", "merge", "merge_part", "crash", "dead_marker",
-                 "vacuum", "erase"]
+                 "vacuum", "erase", "compact"]
             )
             rows = rand_rows(rng.randint(1, 4))
             # de-dup keys within a batch (upsert source must be key-unique)
@@ -373,6 +373,10 @@ def test_randomized_op_sequences_match_model(spark, tmp_path):
             elif op == "crash":
                 if t.exists():
                     t._stage_data(mkdf(rows), version=t.current_version() + 1)
+            elif op == "compact":
+                # layout-only rewrite: the model must be unchanged
+                if t.exists():
+                    t.compact()
             elif op == "vacuum":
                 # grace 0 (no live writers here) half the time so orphan
                 # reclaim composes with the other ops; default-grace the
