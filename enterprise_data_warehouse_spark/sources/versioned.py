@@ -682,6 +682,19 @@ class VersionedTable:
             )
         rels = (sorted(set(meta["parts"].values())) if meta.get("parts")
                 else [meta["dir"]])
+        foreign = sorted(r for r in rels if not self._is_local(r))
+        if foreign:
+            # Clone-of-a-clone: the pinned version reads dirs owned by a
+            # GRANDPARENT table. A ref registered here would pin nothing
+            # there — if this table later released its own ref, the
+            # grandparent could vacuum dirs the new clone still reads
+            # (silent data loss). Refuse until the chain is broken.
+            raise ValueError(
+                f"version {src_version} of {self.root} still reads another "
+                f"table's storage ({foreign[0]}, ...) — localize it first "
+                "(compact() then clone that version), or clone the original "
+                "table directly"
+            )
         top_dirs = sorted({
             (r[len(self.root) + 1:] if r.startswith(f"{self.root}/") else r)
             .split("/", 1)[0]
@@ -710,6 +723,15 @@ class VersionedTable:
                 "cloning — re-run against a retained version"
             )
         dest = VersionedTable(self.spark, dest_root, **dest_kwargs)
+        if dest._scheme() != self._scheme():
+            self._hfs.delete(ref_path, False)
+            raise ValueError(
+                f"clone destination scheme {dest._scheme()!r} differs from "
+                f"the source's {self._scheme()!r} — zero-copy references "
+                "and liveness checks require one filesystem; copy the data "
+                "(dest.commit(source.read(version=...))) across stores "
+                "instead"
+            )
         if dest.exists():
             self._hfs.delete(ref_path, False)
             raise ValueError(f"clone destination {dest.root} already exists")

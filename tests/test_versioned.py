@@ -1209,3 +1209,21 @@ def test_unparseable_clone_ref_pins_everything(spark, tmp_path):
 
     dirs = [d for d in os.listdir(tmp_path / "p") if d.startswith("v0000000")]
     assert len(dirs) == 2, dirs
+
+
+def test_clone_of_a_clone_refused_until_localized(spark, tmp_path):
+    """A clone's v1 reads the PARENT's dirs — cloning it again would
+    register a ref that pins nothing in the grandparent (silent data loss
+    once the middle table releases its own ref). Refused until the chain
+    is broken by a local rewrite; after compact()+vacuum the re-clone is
+    an ordinary single-hop clone."""
+    grand = VersionedTable(spark, str(tmp_path / "g"))
+    grand.commit(_mk(spark, [(1, "a")]))
+    mid = grand.clone(str(tmp_path / "mid"))
+    with pytest.raises(ValueError, match="another\ntable's storage|another table's storage|localize"):
+        mid.clone(str(tmp_path / "leaf"))
+    assert mid.clone_refs() == []  # the failed clone must not leak a ref
+    mid.compact()
+    mid.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+    leaf = mid.clone(str(tmp_path / "leaf"))
+    assert _rows(leaf.read()) == {(1, "a")}
