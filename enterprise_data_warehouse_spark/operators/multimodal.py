@@ -169,6 +169,10 @@ def decode_bmp(payload: bytes):
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 34:
+        raise ValueError(
+            f"BMP header truncated: {len(payload)} bytes, need >= 34"
+        )
     data_off = struct.unpack_from("<I", payload, 10)[0]
     # biHeight is SIGNED: negative means top-down row order (legal BMP)
     hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
@@ -218,6 +222,8 @@ def decode_png(payload: bytes):
         if body + size > len(payload):
             raise ValueError(f"PNG chunk {ctype!r} overruns the payload")
         if ctype == b"IHDR":
+            if size < 13:
+                raise ValueError(f"PNG IHDR chunk truncated ({size} bytes)")
             ihdr = struct.unpack_from(">IIBBBBB", payload, body)
         elif ctype == b"IDAT":
             idat += payload[body:body + size]
@@ -237,13 +243,26 @@ def decode_png(payload: bytes):
         raise ValueError("Adam7-interlaced PNG not supported")
     if width <= 0 or height <= 0:
         raise ValueError(f"invalid PNG dimensions {width}x{height}")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
     bpp = channels  # bytes per pixel at depth 8
     stride = width * bpp
-    if raw.size != height * (stride + 1):
+    expected = height * (stride + 1)
+    # bounded inflate: a crafted IDAT can expand a few KB into tens of GB,
+    # so never materialize more than the dimensions declare (+1 byte to
+    # detect overflow) — the bomb fails HERE, not in an executor OOM
+    inflater = zlib.decompressobj()
+    try:
+        inflated = inflater.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT stream is not valid zlib: {exc}") from exc
+    if len(inflated) > expected or inflater.unconsumed_tail:
         raise ValueError(
-            f"PNG pixel stream is {raw.size} bytes, expected "
-            f"{height * (stride + 1)}"
+            f"PNG pixel stream inflates past the {expected} bytes its "
+            f"declared {width}x{height}x{channels} dimensions allow"
+        )
+    raw = np.frombuffer(inflated, np.uint8)
+    if raw.size != expected:
+        raise ValueError(
+            f"PNG pixel stream is {raw.size} bytes, expected {expected}"
         )
     rows = raw.reshape(height, stride + 1)
     out = np.zeros((height, stride), np.uint8)
@@ -258,21 +277,29 @@ def decode_png(payload: bytes):
             ).reshape(stride)
         elif ftype == 2:  # Up: + above (uint8 wrap is the spec's mod 256)
             recon = row + prev
-        elif ftype in (3, 4):  # Average / Paeth: sequential along x
-            recon = row
-            p = prev.astype(np.int32)
-            r = recon.astype(np.int32)
-            for i in range(stride):
-                a = int(r[i - bpp]) if i >= bpp else 0
-                b = int(p[i])
-                if ftype == 3:
-                    r[i] = (r[i] + ((a + b) >> 1)) & 0xFF
-                else:
-                    c = int(p[i - bpp]) if i >= bpp else 0
-                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+        elif ftype in (3, 4):  # Average / Paeth: sequential along x.
+            # The left-pixel recurrence forces a serial pass; plain Python
+            # ints over list buffers run ~10× faster than per-element
+            # numpy scalar indexing here (at deploy scale compressed decode
+            # routes through PIL anyway — this keeps the pure-python path
+            # usable for real images, not just fixtures).
+            r = row.tolist()
+            p = prev.tolist()
+            if ftype == 3:
+                for i in range(stride):
+                    a = r[i - bpp] if i >= bpp else 0
+                    r[i] = (r[i] + ((a + p[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = r[i - bpp] if i >= bpp else 0
+                    b = p[i]
+                    c = p[i - bpp] if i >= bpp else 0
+                    pa = abs(b - c)
+                    pb = abs(a - c)
+                    pc = abs(a + b - 2 * c)
                     pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                     r[i] = (r[i] + pred) & 0xFF
-            recon = r.astype(np.uint8)
+            recon = np.asarray(r, np.uint8)
         else:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y] = recon
@@ -296,6 +323,11 @@ def decode_wav(payload: bytes):
         chunk_id, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = pos + 8
         if chunk_id == b"fmt ":
+            if size < 16 or body + 16 > len(payload):
+                raise ValueError(
+                    f"WAV fmt chunk truncated ({size} declared bytes, "
+                    f"{len(payload) - body} remain)"
+                )
             fmt, n_ch, rate = struct.unpack_from("<HHI", payload, body)
             bits = struct.unpack_from("<H", payload, body + 14)[0]
             if fmt != 1 or bits != 16:

@@ -45,18 +45,33 @@ def _work_dir(kind: str, sf_dir: str) -> str:
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     # Reap peers' trees only when provably stale (>1h untouched): a live
-    # concurrent harness keeps its tree younger than that for any sane run.
+    # concurrent harness keeps its tree younger than that for any sane
+    # run. Staleness is the NEWEST mtime anywhere in the tree — the root
+    # dir's own mtime freezes at query start (subdir creation), so keying
+    # on it would reap a peer whose long-running query is still writing
+    # versions deep inside.
     cutoff = time.time() - 3600
+
+    def newest_mtime(tree: str) -> float:
+        newest = 0.0
+        for dirpath, _, files in os.walk(tree):
+            try:
+                newest = max(newest, os.path.getmtime(dirpath))
+                for f in files:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, f))
+                    )
+            except OSError:
+                return float("inf")  # fail closed: unknown age reads young
+        return newest
+
     try:
         for name in os.listdir(base):
             peer = os.path.join(base, name)
             if peer == root or not name.startswith(f"{stem}_pid"):
                 continue
-            try:
-                if os.path.getmtime(peer) < cutoff:
-                    shutil.rmtree(peer, ignore_errors=True)
-            except OSError:
-                pass
+            if newest_mtime(peer) < cutoff:
+                shutil.rmtree(peer, ignore_errors=True)
     except OSError:
         pass
     return root

@@ -179,12 +179,13 @@ def merge_upsert(
     Lost commit races self-heal: a concurrent writer winning the version
     marker raises ConcurrentWriteError inside the protocol; this wrapper
     re-derives the merge against the NEW current version and retries (the
-    documented optimistic-concurrency loop, Delta-on-S3 stance) up to
-    ``max_retries`` times before surfacing the conflict. Every loss means
-    a rival COMMITTED, so with only merge writers N-1 retries suffice; a
+    documented optimistic-concurrency loop, Delta-on-S3 stance).
+    ``max_retries`` is the TOTAL attempt count (must be >= 1; the default
+    3 allows 2 re-derives). Every loss means a rival COMMITTED, so with
+    only merge writers N total attempts suffice for N writers; a
     concurrent maintenance loop (compact/vacuum-with-commit) adds rival
-    commits beyond that bound — size max_retries to the total rival
-    commits possible in the contention window.
+    commits beyond that bound — size max_retries to one plus the total
+    rival commits possible in the contention window.
 
     ``retain_versions=N`` vacuums down to the last N versions after a
     successful merge (young orphans of live racers are grace-spared).
@@ -195,6 +196,9 @@ def merge_upsert(
     merge."""
     from .versioned import ConcurrentWriteError
 
+    if max_retries < 1:
+        raise ValueError("max_retries must be >= 1 (it is the total attempt "
+                         "count; 0 would silently skip the merge)")
     _adopt_plain(spark, path)
     t = _versioned(spark, path)
     for attempt in range(max_retries):
@@ -231,6 +235,9 @@ def merge_upsert_partitioned(
     version, same as merge_upsert."""
     from .versioned import ConcurrentWriteError
 
+    if max_retries < 1:
+        raise ValueError("max_retries must be >= 1 (it is the total attempt "
+                         "count; 0 would silently skip the merge)")
     _adopt_plain(spark, path)
     t = _versioned(spark, path)
     for attempt in range(max_retries):

@@ -605,6 +605,20 @@ class VersionedTable:
         # orphan staging dirs and reader-retained superseded versions
         # included — the caller owns quiescing writers AND readers first
         purged = self.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+        # a clone() racing this erase may have registered its ref after the
+        # up-front check — its pinned dirs were then spared by the vacuum,
+        # so the purge is INCOMPLETE: surface that as a failure (the data
+        # is intact for the clone; compliance just hasn't happened yet)
+        late_refs = self.clone_refs()
+        if late_refs:
+            dests = sorted(r.get("dest", "?") for r in late_refs)
+            raise RuntimeError(
+                f"erase of {self.root} left pinned history: clone(s) "
+                f"registered during the erase ({', '.join(dests)}). The "
+                "subject rows were removed from the live version but "
+                "cloned snapshots may retain them — resolve the clones and "
+                "re-run the erase."
+            )
         return {
             "version": version,
             "n_erased": n_before - n_after,
@@ -713,28 +727,37 @@ class VersionedTable:
             out.write(bytearray(json.dumps(ref_meta, sort_keys=True), "utf-8"))
         finally:
             out.close()
-        # validate AFTER the ref is durable: a vacuum that reclaimed the
-        # pinned version before our ref landed must fail the clone, not
-        # yield a clone of missing data
-        if self._live_meta(src_version) is None:
+        # EVERYTHING after the ref write runs under one cleanup umbrella:
+        # any failure (including the dest constructor's own scheme probe
+        # raising) must withdraw the ref, or an orphan ref would pin the
+        # parent's vacuum — and block its erase — forever.
+        try:
+            # validate AFTER the ref is durable: the vacuum side re-reads
+            # refs between deleting a reclaimed version's MARKER and its
+            # data dirs, so if the marker is still live here our ref is
+            # guaranteed visible to any racing vacuum before it deletes —
+            # and if the marker is already gone, we fail cleanly.
+            if self._live_meta(src_version) is None:
+                raise FileNotFoundError(
+                    f"version {src_version} of {self.root} was vacuumed "
+                    "while cloning — re-run against a retained version"
+                )
+            dest = VersionedTable(self.spark, dest_root, **dest_kwargs)
+            if dest._scheme() != self._scheme():
+                raise ValueError(
+                    f"clone destination scheme {dest._scheme()!r} differs "
+                    f"from the source's {self._scheme()!r} — zero-copy "
+                    "references and liveness checks require one filesystem; "
+                    "copy the data (dest.commit(source.read(version=...))) "
+                    "across stores instead"
+                )
+            if dest.exists():
+                raise ValueError(
+                    f"clone destination {dest.root} already exists"
+                )
+        except Exception:
             self._hfs.delete(ref_path, False)
-            raise FileNotFoundError(
-                f"version {src_version} of {self.root} was vacuumed while "
-                "cloning — re-run against a retained version"
-            )
-        dest = VersionedTable(self.spark, dest_root, **dest_kwargs)
-        if dest._scheme() != self._scheme():
-            self._hfs.delete(ref_path, False)
-            raise ValueError(
-                f"clone destination scheme {dest._scheme()!r} differs from "
-                f"the source's {self._scheme()!r} — zero-copy references "
-                "and liveness checks require one filesystem; copy the data "
-                "(dest.commit(source.read(version=...))) across stores "
-                "instead"
-            )
-        if dest.exists():
-            self._hfs.delete(ref_path, False)
-            raise ValueError(f"clone destination {dest.root} already exists")
+            raise
         clone_meta = {
             "version": 1,
             "op": "clone",
@@ -835,19 +858,35 @@ class VersionedTable:
         Returns {"version", "files_before", "files_after", "bytes"}."""
         from .sink import _dir_stats  # sizing helper shared with compact_parquet
 
+        if max_retries < 1:
+            raise ValueError("compact max_retries must be >= 1")
         last_err: Exception | None = None
         for _ in range(max_retries):
             current = self.current_version()
             if current is None:
                 raise FileNotFoundError(f"no committed version under {self.root}")
-            meta = self._read_marker(current) or {}
+            meta = self._read_marker(current)
+            if meta is None or "dir" not in meta:
+                # a racing erase/vacuum reclaimed the marker between
+                # current_version() and here — re-resolve and retry
+                last_err = ConcurrentWriteError(
+                    f"version {current} of {self.root} vanished mid-compact"
+                )
+                continue
             rels = (sorted(meta["parts"].values())
                     if meta.get("parts") else [meta["dir"]])
-            files_before = n_bytes = 0
-            for rel in set(rels):
-                files, size = _dir_stats(self.spark, self._abs(rel))
-                files_before += files
-                n_bytes += size
+            try:
+                files_before = n_bytes = 0
+                for rel in set(rels):
+                    files, size = _dir_stats(self.spark, self._abs(rel))
+                    files_before += files
+                    n_bytes += size
+            except Exception as e:  # dir reclaimed under us — retry
+                last_err = ConcurrentWriteError(
+                    f"version {current} of {self.root} was reclaimed "
+                    f"mid-compact ({type(e).__name__})"
+                )
+                continue
             n_files = max(1, -(-n_bytes // max(1, target_file_bytes)))
             df = self.read(version=current).repartition(n_files)
             try:
@@ -994,11 +1033,33 @@ class VersionedTable:
         # ---- phase 3: delete (marker first, then unprotected data dir)
         removed_versions: list[int] = []
         removed_orphans: list[str] = []
+        # 3a: delete ALL reclaimed markers first, then 3b: re-read clone
+        # refs ONCE, then 3c: delete data dirs. This ordering closes the
+        # clone-vs-vacuum race soundly: clone() writes its ref and then
+        # validates the pinned version's MARKER is live. If that
+        # validation passed, the marker still existed — i.e. it ran
+        # before 3a deleted it, so the ref was durable before 3b's
+        # re-read and 3c spares the dirs. If the validation failed, the
+        # clone withdrew its ref and raised — no clone exists to protect.
+        reclaim_metas: dict[int, dict] = {}
         for v in sorted(reclaim):
             meta = self._read_marker(v)
             if meta is None:
                 continue  # a racing vacuum got here first
             self._hfs.delete(self._marker(v), False)
+            reclaim_metas[v] = meta
+            removed_versions.append(v)
+        if reclaim_metas:
+            for ref in self.clone_refs():  # 3b: late refs from racing clones
+                for d in ref.get("dirs", []):
+                    if d == "*":
+                        for st in self._hfs.listStatus(self._path("")):
+                            name = st.getPath().getName()
+                            if _DIR_RE.match(name):
+                                protected.add(name)
+                    else:
+                        _protect(d)
+        for v, meta in reclaim_metas.items():  # 3c
             # never delete data OUTSIDE this root (a clone marker's
             # absolute source dirs belong to the parent table)
             if (
@@ -1006,7 +1067,6 @@ class VersionedTable:
                 and meta["dir"].split("/", 1)[0] not in protected
             ):
                 self._hfs.delete(self._path(meta["dir"]), True)
-            removed_versions.append(v)
         # after the loop above, every dir still listed that no surviving
         # version references is an orphan (crashed or race-losing writer) —
         # unless it is younger than the grace, in which case it may be a

@@ -358,3 +358,57 @@ def test_png_decode_through_spark_arrow_boundary(spark):
            df.mapInPandas(decode, "img_id int, mean_px double").collect()}
     for i, img in enumerate(imgs):
         assert abs(got[i] - float(img.mean())) < 1e-9
+
+
+def test_png_decompression_bomb_rejected_before_allocation():
+    """A small IDAT that inflates far past the declared dimensions must be
+    rejected by the bounded inflate, never fully materialized."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    # declares 2x2 RGB (expected 14 bytes) but inflates to ~50 MB
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (50 << 20), 9)  # ~50 KB compressed
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="inflates past"):
+        mm.decode_png(payload)
+
+    # a legitimate image of the same dimensions still decodes
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert mm.decode_png(_make_png(img)).shape == (2, 2, 3)
+
+
+def test_truncated_headers_raise_value_error_not_struct_error():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # BMP cut inside the info header
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="header truncated"):
+        mm.decode_bmp(_make_bmp(img)[:20])
+
+    # PNG IHDR declaring fewer than 13 bytes
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    short_ihdr = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00" * 8)
+                  + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IHDR chunk truncated"):
+        mm.decode_png(short_ihdr)
+
+    # WAV payload ending inside the fmt body
+    stereo = np.zeros((4, 2), dtype=np.int16)
+    good = _make_wav(stereo, 8000)
+    cut_in_fmt = good[: good.index(b"fmt ") + 8 + 6]
+    with pytest.raises(ValueError, match="fmt chunk truncated"):
+        mm.decode_wav(cut_in_fmt)

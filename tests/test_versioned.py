@@ -1227,3 +1227,64 @@ def test_clone_of_a_clone_refused_until_localized(spark, tmp_path):
     mid.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
     leaf = mid.clone(str(tmp_path / "leaf"))
     assert _rows(leaf.read()) == {(1, "a")}
+
+
+def test_merge_and_compact_reject_zero_retry_budget(spark, tmp_path):
+    """max_retries=0 must be an error, not a silent no-op merge."""
+    from enterprise_data_warehouse_spark.sources.sink import merge_upsert
+
+    path = str(tmp_path / "t")
+    t = VersionedTable(spark, path)
+    t.commit(_mk(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="max_retries"):
+        merge_upsert(spark, path, _mk(spark, [(2, "b")]), ["id"], max_retries=0)
+    assert _rows(t.read()) == {(1, "a")}  # nothing was silently skipped
+    with pytest.raises(ValueError, match="max_retries"):
+        t.compact(max_retries=0)
+
+
+def test_clone_withdraws_ref_when_dest_constructor_raises(spark, tmp_path):
+    """An orphan ref would pin parent vacuum (and block erase) forever —
+    every post-ref failure, including the dest VersionedTable constructor
+    itself raising, must withdraw it."""
+    parent = VersionedTable(spark, str(tmp_path / "p"))
+    parent.commit(_mk(spark, [(1, "a")]))
+    with pytest.raises(Exception):
+        parent.clone("bogus-scheme://nowhere/dev")
+    assert parent.clone_refs() == []
+
+
+def test_erase_fails_loudly_when_clone_races_past_the_check(spark, tmp_path):
+    """A clone registering its ref AFTER erase's up-front check has its
+    dirs spared by the vacuum — erase must then report the incomplete
+    purge instead of returning a clean audit."""
+    import json as _json
+
+    path = tmp_path / "p"
+    parent = VersionedTable(spark, str(path))
+    parent.commit(_mk(spark, [(1, "secret")]))
+    parent.commit(_mk(spark, [(1, "secret"), (2, "keep")]))
+
+    real_vacuum = parent.vacuum
+
+    def racing_vacuum(*a, **kw):
+        refs = path / "_refs"
+        refs.mkdir(exist_ok=True)
+        (refs / "racer.json").write_text(_json.dumps(
+            {"dest": str(tmp_path / "dev"), "version": 1,
+             "dirs": [parent._read_marker(1)["dir"]]}
+        ))
+        return real_vacuum(*a, **kw)
+
+    parent.vacuum = racing_vacuum
+    try:
+        with pytest.raises(RuntimeError, match="left pinned history"):
+            parent.erase(spark.createDataFrame([(1,)], "id int"), keys=["id"])
+    finally:
+        parent.vacuum = real_vacuum
+    # the racer's pinned dir survived the purge attempt (data intact for
+    # the clone; the operator was told the erase is incomplete)
+    import os
+
+    dirs = [d for d in os.listdir(path) if d.startswith("v0000000")]
+    assert len(dirs) >= 2, dirs
