@@ -24,15 +24,39 @@ from pyspark.sql import functions as F
 DEC = "decimal(38,10)"
 
 
-OUT_SCALE = 4  # final round scale: keeps unscaled decimal < 2^53 so the
-# decimal→double conversion is exact (single-rounding) in BOTH engines —
-# DuckDB converts via hugeint→double→÷10^scale, which double-rounds when the
-# unscaled value exceeds 2^53.
+OUT_SCALE = 4  # final round scale before the double conversion.
+# CONVERSION IS SPLIT, NOT DIRECT: a direct CAST(decimal(.., 4) AS DOUBLE)
+# is engine-DEPENDENT once the unscaled value exceeds 2^53 — DuckDB
+# converts hugeint→double→÷10^scale (two roundings) while Spark's
+# BigDecimal.doubleValue single-rounds. Measured: 901/4000 adversarial
+# sums in the >2^53 regime convert to different doubles (and this is what
+# made corr_quantity_price diverge in the last ULP at sf1, r06). The fix
+# converts the integer part and the fraction part separately:
+#   i = FLOOR(r)   — decimal scale 0; scale-0→double is a SINGLE correctly
+#                    rounded conversion in both engines (0/4000 mismatches
+#                    measured up to 10^28)
+#   f = r − i      — exact decimal in [0, 1), unscaled ≤ 9999 < 2^53, so
+#                    its conversion is exact, and f/10^4 is one correctly
+#                    rounded division in both engines
+#   double(r) := double(i) + double(f)   — IEEE add, identical everywhere.
+# The result can differ from the true single-rounded value of r by 1 ULP,
+# but it differs IDENTICALLY in both engines — which is the actual
+# contract the value-hash gate needs.
+
+
+def dec2dbl_s(c: Column, scale: int) -> Column:
+    """decimal → double at an explicit round scale, engine-independent at
+    ANY magnitude (split integer/fraction conversion — see OUT_SCALE
+    note). SQL mirror: ``sql_split_dbl(f"ROUND({expr}, {scale})")``."""
+    r = F.round(c, scale)
+    i = F.floor(r)
+    return i.cast("double") + (r - i).cast("double")
 
 
 def dec2dbl(c: Column) -> Column:
-    """decimal → double with engine-independent rounding (see OUT_SCALE)."""
-    return F.round(c, OUT_SCALE).cast("double")
+    """decimal → double, engine-independent at ANY magnitude (split
+    integer/fraction conversion — see OUT_SCALE note)."""
+    return dec2dbl_s(c, OUT_SCALE)
 
 
 def dsum(col: Column | str, alias: str | None = None) -> Column:
@@ -93,8 +117,15 @@ def dzscore_parts(col: Column | str) -> tuple[Column, Column]:
 
 # --- SQL-text builders for oracle mirrors -------------------------------
 
+def sql_split_dbl(expr: str) -> str:
+    """SQL mirror of dec2dbl's split conversion for a decimal expression
+    already rounded to OUT_SCALE."""
+    return (f"(CAST(FLOOR({expr}) AS DOUBLE)"
+            f" + CAST({expr} - FLOOR({expr}) AS DOUBLE))")
+
+
 def sql_dsum(x: str) -> str:
-    return f"CAST(ROUND(SUM(CAST(({x}) AS DECIMAL(38,10))), 4) AS DOUBLE)"
+    return sql_split_dbl(f"ROUND(SUM(CAST(({x}) AS DECIMAL(38,10))), 4)")
 
 
 def sql_davg(x: str) -> str:

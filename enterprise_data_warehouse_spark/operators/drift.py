@@ -21,6 +21,7 @@ from ..functions.deterministic import (
     DEC,
     davg,
     dec2dbl,
+    dec2dbl_s,
     dstd_samp,
     sql_davg,
     sql_dstd_samp,
@@ -195,7 +196,7 @@ WITH binned AS (
     (CAST(cur_cnt AS DOUBLE) + 0.5) / (SUM(cur_cnt) OVER () + 0.5 * COUNT(*) OVER ()) AS p_cur
   FROM counts
 )
-SELECT CAST(ROUND(SUM(CAST((p_cur - p_ref) * LN(p_cur / p_ref) AS DECIMAL(38,10))), 6) AS DOUBLE) AS psi,
+SELECT (CAST(FLOOR(ROUND(SUM(CAST((p_cur - p_ref) * LN(p_cur / p_ref) AS DECIMAL(38,10))), 6)) AS DOUBLE) + CAST(ROUND(SUM(CAST((p_cur - p_ref) * LN(p_cur / p_ref) AS DECIMAL(38,10))), 6) - FLOOR(ROUND(SUM(CAST((p_cur - p_ref) * LN(p_cur / p_ref) AS DECIMAL(38,10))), 6)) AS DOUBLE)) AS psi,
        COUNT(*) AS n_bins
 FROM props
 """
@@ -230,7 +231,7 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     props = counts.select(p_ref.alias("p_ref"), p_cur.alias("p_cur"))
     psi_term = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
     return props.agg(
-        F.round(F.sum(psi_term.cast(DEC)), 6).cast("double").alias("psi"),
+        dec2dbl_s(F.sum(psi_term.cast(DEC)), 6).alias("psi"),
         F.count("*").alias("n_bins"),
     )
 
@@ -307,8 +308,10 @@ WITH counts AS (
     CAST(ref_cnt AS DOUBLE) * (SUM(cur_cnt) OVER () / CAST(SUM(ref_cnt) OVER () AS DOUBLE)) AS expected
   FROM counts
 )
-SELECT CAST(ROUND(SUM(CAST((observed - expected) * (observed - expected) / expected
-            AS DECIMAL(38,10))), 6) AS DOUBLE) AS chi2_stat,
+SELECT (CAST(FLOOR(ROUND(SUM(CAST((observed - expected) * (observed - expected) / expected
+            AS DECIMAL(38,10))), 6)) AS DOUBLE) + CAST(ROUND(SUM(CAST((observed - expected) * (observed - expected) / expected
+            AS DECIMAL(38,10))), 6) - FLOOR(ROUND(SUM(CAST((observed - expected) * (observed - expected) / expected
+            AS DECIMAL(38,10))), 6)) AS DOUBLE)) AS chi2_stat,
        COUNT(*) - 1 AS dof
 FROM scaled
 """
@@ -340,7 +343,7 @@ def chi2_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # decimal-route the cross-partition sum of double terms (order-independent)
     return scaled.agg(
-        F.round(F.sum(term.cast(DEC)), 6).cast("double").alias("chi2_stat"),
+        dec2dbl_s(F.sum(term.cast(DEC)), 6).alias("chi2_stat"),
         (F.count("*") - 1).alias("dof"),
     )
 
@@ -505,12 +508,12 @@ def _psum(x, power: int):
     prod = c
     for _ in range(power - 1):
         prod = prod * c
-    return F.round(F.sum(prod.cast(DEC)), 0).cast("double")
+    return dec2dbl_s(F.sum(prod.cast(DEC)), 0)
 
 
 def _sql_psum(x: str, power: int) -> str:
     prod = "*".join([x] * power)
-    return f"CAST(ROUND(SUM(CAST(({prod}) AS DECIMAL(38,10))), 0) AS DOUBLE)"
+    return f"(CAST(FLOOR(ROUND(SUM(CAST(({prod}) AS DECIMAL(38,10))), 0)) AS DOUBLE) + CAST(ROUND(SUM(CAST(({prod}) AS DECIMAL(38,10))), 0) - FLOOR(ROUND(SUM(CAST(({prod}) AS DECIMAL(38,10))), 0)) AS DOUBLE))"
 
 
 MOMENTS_ORACLE = f"""

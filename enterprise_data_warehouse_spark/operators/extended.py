@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.deterministic import davg, sql_davg, sql_dsum
+from ..functions.deterministic import dec2dbl_s
 from ..queries import query
 from ..sources.tables import load_table
 
@@ -181,9 +182,7 @@ SELECT o_orderkey, o_custkey, o_orderdate,
   LAST_VALUE(o_totalprice)
     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
-  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
-    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+  (CAST(FLOOR(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) - FLOOR(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)) AS DOUBLE))
     AS running_spend,
   RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
   DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_rank
@@ -212,9 +211,9 @@ def order_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_totalprice").over(seq).alias("next_price"),
         F.first("o_totalprice").over(seq).alias("first_price"),
         F.last("o_totalprice").over(full).alias("last_price"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(run), 4)
-        .cast("double")
-        .alias("running_spend"),
+        dec2dbl_s(
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(run), 4
+        ).alias("running_spend"),
         F.rank()
         .over(Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice")))
         .cast("bigint")

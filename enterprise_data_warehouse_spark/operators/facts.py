@@ -399,7 +399,7 @@ SELECT
   CAST(DATE_TRUNC('day', ts) AS DATE) AS date_key,
   user_id AS user_key,
   event_type AS event_type_key,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_value,
+  (CAST(FLOOR(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4)) AS DOUBLE)) AS total_value,
   MAX(value) AS max_value,
   COUNT(event_id) AS n_events,
   COUNT(*) AS row_count
@@ -843,10 +843,12 @@ SELECT
   CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS ship_month,
   l_returnflag,
   COUNT(*) AS n_rows,
-  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE)
+  (CAST(FLOOR(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4)) AS DOUBLE))
     AS sum_qty,
-  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-    AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_revenue
+  (CAST(FLOOR(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+    AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+    AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+    AS DECIMAL(38,10))), 4)) AS DOUBLE)) AS sum_revenue
 FROM lineitem
 GROUP BY 1, 2
 """

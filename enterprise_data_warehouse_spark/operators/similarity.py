@@ -567,7 +567,7 @@ WITH ex AS (
   FROM embeddings, unnest(range(1, {DIM + 1})) AS t(i)
 )
 SELECT label, CAST(pos AS INT) AS pos,
-  CAST(ROUND(SUM(CAST(x AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT(x)
+  (CAST(FLOOR(ROUND(SUM(CAST(x AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(x AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST(x AS DECIMAL(38,10))), 4)) AS DOUBLE)) / COUNT(x)
     AS component,
   COUNT(x) AS n_vectors
 FROM ex GROUP BY label, pos
@@ -642,8 +642,7 @@ def _sql_recenter(assign: str) -> str:
     return f"""
   SELECT cluster_id, list(comp ORDER BY pos) AS c FROM (
     SELECT cluster_id, i AS pos,
-      CAST(ROUND(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,10))), 4)
-           AS DOUBLE) / COUNT(*) AS comp
+      (CAST(FLOOR(ROUND(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,10))), 4)) AS DOUBLE)) / COUNT(*) AS comp
     FROM {assign}, unnest(range(1, {DIM + 1})) AS t(i)
     GROUP BY cluster_id, i
   ) GROUP BY cluster_id
@@ -1178,12 +1177,13 @@ def _sql_pca_step(vtab: str) -> str:
     return f"""
   SELECT list(comp / SQRT(n2) ORDER BY pos) AS v FROM (
     SELECT pos, comp,
-      CAST(ROUND(SUM(CAST(comp * comp AS DECIMAL(38,10))) OVER (), 4)
-        AS DOUBLE) AS n2
+      (CAST(FLOOR(ROUND(SUM(CAST(comp * comp AS DECIMAL(38,10))) OVER (), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(comp * comp AS DECIMAL(38,10))) OVER (), 4) - FLOOR(ROUND(SUM(CAST(comp * comp AS DECIMAL(38,10))) OVER (), 4)) AS DOUBLE)) AS n2
     FROM (
       SELECT i - 1 AS pos,
-        CAST(ROUND(SUM(CAST(({_PCA_DOT_V}) * CAST(e.embedding[i] AS DOUBLE)
-          AS DECIMAL(38,10))), 4) AS DOUBLE) AS comp
+        (CAST(FLOOR(ROUND(SUM(CAST(({_PCA_DOT_V}) * CAST(e.embedding[i] AS DOUBLE)
+          AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(({_PCA_DOT_V}) * CAST(e.embedding[i] AS DOUBLE)
+          AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST(({_PCA_DOT_V}) * CAST(e.embedding[i] AS DOUBLE)
+          AS DECIMAL(38,10))), 4)) AS DOUBLE)) AS comp
       FROM embeddings e CROSS JOIN {vtab} v, unnest(range(1, {DIM + 1})) AS t(i)
       GROUP BY i
     )

@@ -96,7 +96,7 @@ MARKET_SHARE_ORACLE = f"""
 SELECT ship_year,
        CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_5'
                       THEN CAST(volume AS DECIMAL(38,10)) ELSE 0 END), 4) AS DOUBLE)
-       / CAST(ROUND(SUM(CAST(volume AS DECIMAL(38,10))), 4) AS DOUBLE) AS mkt_share
+       / (CAST(FLOOR(ROUND(SUM(CAST(volume AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(volume AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST(volume AS DECIMAL(38,10))), 4)) AS DOUBLE)) AS mkt_share
 FROM (
   SELECT CAST(YEAR(o_orderdate) AS INT) AS ship_year,
          {DISC_REV} AS volume, sn.n_name AS supp_nation
@@ -253,7 +253,7 @@ PROMO_REVENUE_ORACLE = f"""
 SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
        100.0 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
                     THEN CAST({DISC_REV} AS DECIMAL(38,10)) ELSE 0 END), 4) AS DOUBLE)
-             / CAST(ROUND(SUM(CAST({DISC_REV} AS DECIMAL(38,10))), 4) AS DOUBLE)
+             / (CAST(FLOOR(ROUND(SUM(CAST({DISC_REV} AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST({DISC_REV} AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST({DISC_REV} AS DECIMAL(38,10))), 4)) AS DOUBLE))
          AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY ship_year
@@ -446,10 +446,10 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DORMANT_CUSTOMERS_ORACLE = """
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
-       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))), 4) AS DOUBLE) AS totacctbal
+       (CAST(FLOOR(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))), 4)) AS DOUBLE)) AS totacctbal
 FROM customer
 WHERE c_acctbal > (
-  SELECT CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))), 4) AS DOUBLE)
+  SELECT (CAST(FLOOR(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))), 4)) AS DOUBLE))
          / COUNT(c_acctbal)
   FROM customer WHERE c_acctbal > 0.0
 )
@@ -486,8 +486,7 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q6: forecast revenue change ----------------------------------------------
 
 FORECAST_REVENUE_ORACLE = """
-SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 4)
-       AS DOUBLE) AS revenue
+SELECT (CAST(FLOOR(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 4)) AS DOUBLE)) AS revenue
 FROM lineitem
 WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
@@ -651,11 +650,11 @@ EXCESS_MULT = 3.0  # "excess" = a supplier ships >3× its fair share of a part
 EXCESS_SHIPPED_ORACLE = f"""
 WITH supplier_part_qty AS (
   SELECT l_suppkey, l_partkey,
-         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS supp_qty
+         (CAST(FLOOR(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4)) AS DOUBLE)) AS supp_qty
   FROM lineitem GROUP BY l_suppkey, l_partkey
 ), part_qty AS (
   SELECT l_partkey,
-         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_qty,
+         (CAST(FLOOR(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4)) AS DOUBLE)) AS total_qty,
          CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
   FROM lineitem GROUP BY l_partkey
 )

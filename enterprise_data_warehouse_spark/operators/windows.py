@@ -105,7 +105,7 @@ def frequency_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLING_ORACLE = f"""
 SELECT event_id, user_id, ts,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))) OVER w, 4) AS DOUBLE) AS value_sum_1h,
+  (CAST(FLOOR(ROUND(SUM(CAST(value AS DECIMAL(38,10))) OVER w, 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))) OVER w, 4) - FLOOR(ROUND(SUM(CAST(value AS DECIMAL(38,10))) OVER w, 4)) AS DOUBLE)) AS value_sum_1h,
   COUNT(*) OVER w AS events_1h,
   CAST(MAX(value) OVER w AS DOUBLE) AS value_max_1h
 FROM events
@@ -364,10 +364,18 @@ def customer_rfm_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MATRIX_WINDOWS = {"1h": 3600, "24h": 86400, "7d": 604800}
 
+def _matrix_sum_sql(name: str) -> str:
+    from ..functions.deterministic import sql_split_dbl
+
+    return sql_split_dbl(
+        f"ROUND(SUM(CAST(value AS DECIMAL(38,10))) OVER w_{name}, 4)"
+    )
+
+
 _MATRIX_COLS_SQL = ",\n  ".join(
-    f"""CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))) OVER w_{name}, 4) AS DOUBLE) AS value_sum_{name},
+    f"""{_matrix_sum_sql(name)} AS value_sum_{name},
   COUNT(*) OVER w_{name} AS events_{name},
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))) OVER w_{name}, 4) AS DOUBLE)
+  {_matrix_sum_sql(name)}
     / COUNT(*) OVER w_{name} AS value_mean_{name}"""
     for name in MATRIX_WINDOWS
 )

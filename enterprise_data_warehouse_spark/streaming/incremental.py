@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..functions.deterministic import dec2dbl_s
 from ..sources.sink import merge_upsert
 
 
@@ -86,7 +87,7 @@ def tumbling_counts(
         src.groupBy(F.window(ts_col, window_len), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,10)")).cast("double").alias("total_value"),
+            dec2dbl_s(F.sum(F.col("value").cast("decimal(38,10)")), 4).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -134,7 +135,7 @@ def session_metrics(
         src.groupBy(F.session_window(F.col(ts_col), gap), F.col("user_id"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,10)")).cast("double").alias("session_value"),
+            dec2dbl_s(F.sum(F.col("value").cast("decimal(38,10)")), 4).alias("session_value"),
             F.min(ts_col).alias("first_event"),
             F.max(ts_col).alias("last_event"),
         )

@@ -16,6 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.deterministic import dec2dbl_s
 from ..queries import query
 from ..sources.tables import load_table
 from .incremental import (
@@ -60,7 +61,7 @@ SELECT
   DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
   event_type,
   COUNT(*) AS n_events,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_value
+  (CAST(FLOOR(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4)) AS DOUBLE)) AS total_value
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -73,7 +74,7 @@ def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     out = tumbling_counts(e)
     return out.withColumn(
-        "total_value", F.round(F.col("total_value").cast("decimal(38,10)"), 4).cast("double")
+        "total_value", dec2dbl_s(F.col("total_value").cast("decimal(38,10)"), 4)
     )
 
 
@@ -98,7 +99,7 @@ SELECT user_id,
   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
   DATEDIFF('second', MIN(ts), MAX(ts)) AS active_seconds,
   COUNT(*) AS n_events,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS session_value,
+  (CAST(FLOOR(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4)) AS DOUBLE)) AS session_value,
   (COUNT(*) = 1) AS is_bounce
 FROM numbered
 GROUP BY user_id, session_seq
@@ -119,7 +120,7 @@ def session_metrics_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     out = session_metrics(e)
     return out.withColumn(
-        "session_value", F.round(F.col("session_value").cast("decimal(38,10)"), 4).cast("double")
+        "session_value", dec2dbl_s(F.col("session_value").cast("decimal(38,10)"), 4)
     )
 
 
@@ -196,7 +197,7 @@ def streaming_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     check (real stream)."""
     out = session_metrics(event_stream(spark, sf_dir)).withColumn(
         "session_value",
-        F.round(F.col("session_value").cast("decimal(38,10)"), 4).cast("double"),
+        dec2dbl_s(F.col("session_value").cast("decimal(38,10)"), 4),
     )
     name = "stream_sessions_" + uuid.uuid4().hex[:8]
     return run_stream_to_memory(spark, out, name)

@@ -83,3 +83,42 @@ def test_ts_features_null_values_skip_not_crash(spark, tmp_path):
         tuple(str(v) for v in r) for r in con.execute(spec.oracle).fetchall()
     )
     assert srows == drows and len(srows) > 0
+
+
+def test_dec2dbl_split_conversion_is_engine_identical(spark):
+    """The r06 found-and-fixed contract: decimal→double must convert to
+    THE SAME double in Spark and DuckDB at any magnitude. The direct
+    CAST(decimal(38,4) AS DOUBLE) provably is not (DuckDB double-rounds
+    via hugeint→double→÷10^scale once the unscaled value exceeds 2^53 —
+    901/4000 adversarial mismatches measured); the split conversion
+    (floor→scale-0 + exact fraction) must be. This pins dec2dbl/sql_dsum
+    against regression to the direct cast."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from enterprise_data_warehouse_spark.functions.deterministic import (
+        dec2dbl_s,
+        sql_split_dbl,
+    )
+
+    rng = random.Random(20260815)
+    vals = []
+    for _ in range(400):
+        mag = rng.choice([10**12, 10**14, 10**16, 10**19, 10**24])
+        vals.append(f"{rng.randint(0, mag)}.{rng.randint(0, 9999):04d}")
+
+    sp = (
+        spark.createDataFrame([(v,) for v in vals], "s string")
+        .select(dec2dbl_s(F.col("s").cast("decimal(38,4)"), 4).alias("x"))
+        .collect()
+    )
+    con = duckdb.connect()
+    mism = 0
+    for v, row in zip(vals, sp):
+        expr = sql_split_dbl(f"ROUND(CAST('{v}' AS DECIMAL(38,4)), 4)")
+        dd = con.execute(f"SELECT {expr}").fetchone()[0]
+        if dd != row["x"]:
+            mism += 1
+    assert mism == 0, f"{mism}/{len(vals)} cross-engine conversion mismatches"
