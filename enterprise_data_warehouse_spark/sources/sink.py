@@ -74,18 +74,33 @@ def staged_swap(
     if parent is not None:
         fs.mkdirs(parent)
     if not fs.rename(hstaged, hpath):
-        fs.delete(hstaged, True)
-        return False
+        # distinguish "lost a race" (destination appeared — a rival's
+        # output is in place, our copy is redundant) from a genuine rename
+        # failure (destination still absent — deleting the staged copy
+        # here would destroy the ONLY copy, since the old target was
+        # already removed above): clean up only in the race case
+        if fs.exists(hpath):
+            fs.delete(hstaged, True)
+            return False
+        raise IOError(
+            f"rename {staged} -> {path} failed with no rival output in "
+            f"place; staged data left at {staged} for manual recovery"
+        )
     return True
 
 
-def _versioned(spark: SparkSession, path: str):
+def _versioned(spark: SparkSession, path: str,
+               assume_atomic_marker_create: bool = False):
     from .versioned import VersionedTable
 
-    return VersionedTable(spark, path)
+    return VersionedTable(
+        spark, path,
+        assume_atomic_marker_create=assume_atomic_marker_create,
+    )
 
 
-def _adopt_plain(spark: SparkSession, path: str) -> None:
+def _adopt_plain(spark: SparkSession, path: str,
+                 assume_atomic_marker_create: bool = False) -> None:
     """One-time migration: a pre-existing PLAIN parquet table at ``path``
     (flat or hive-partitioned — either way the read yields every column)
     becomes v1 of the commit-manifest layout, then the plain files are
@@ -97,7 +112,7 @@ def _adopt_plain(spark: SparkSession, path: str) -> None:
     on its first run."""
     from .versioned import _DIR_RE
 
-    t = _versioned(spark, path)
+    t = _versioned(spark, path, assume_atomic_marker_create)
     if t.exists() or not _target_exists(spark, path):
         return
     jvm, fs, hpath = fs_handles(spark, path)
@@ -141,8 +156,8 @@ def read_table(spark: SparkSession, path: str, merge_schema: bool = False) -> Da
     """Read a sink-managed table: commit-manifest layout when present
     (the default merge path), plain parquet otherwise (write_table
     output)."""
-    t = _versioned(spark, path)
-    if t.exists():
+    t = _versioned(spark, path, assume_atomic_marker_create=True)
+    if t.exists():  # read-only: the create-capability probe is irrelevant
         return t.read(merge_schema=merge_schema)
     reader = spark.read
     if merge_schema:
@@ -158,6 +173,7 @@ def merge_upsert(
     evolve_schema: bool = False,
     retain_versions: int | None = None,
     max_retries: int = 3,
+    assume_atomic_marker_create: bool = False,
 ) -> None:
     """S9: MERGE semantics on parquet — source rows win on key collision.
 
@@ -199,8 +215,8 @@ def merge_upsert(
     if max_retries < 1:
         raise ValueError("max_retries must be >= 1 (it is the total attempt "
                          "count; 0 would silently skip the merge)")
-    _adopt_plain(spark, path)
-    t = _versioned(spark, path)
+    _adopt_plain(spark, path, assume_atomic_marker_create)
+    t = _versioned(spark, path, assume_atomic_marker_create)
     for attempt in range(max_retries):
         try:
             t.merge(src, keys, evolve_schema=evolve_schema)
@@ -220,6 +236,7 @@ def merge_upsert_partitioned(
     partition_col: str,
     retain_versions: int | None = None,
     max_retries: int = 3,
+    assume_atomic_marker_create: bool = False,
 ) -> None:
     """S9 at scale: MERGE that only reads and rewrites the partitions the
     delta touches (SURVEY.md §7.4a mitigation). A day's delta against a
@@ -238,8 +255,8 @@ def merge_upsert_partitioned(
     if max_retries < 1:
         raise ValueError("max_retries must be >= 1 (it is the total attempt "
                          "count; 0 would silently skip the merge)")
-    _adopt_plain(spark, path)
-    t = _versioned(spark, path)
+    _adopt_plain(spark, path, assume_atomic_marker_create)
+    t = _versioned(spark, path, assume_atomic_marker_create)
     for attempt in range(max_retries):
         try:
             t.merge_partitioned(src, keys, partition_col)
@@ -477,7 +494,7 @@ def compact_parquet(
             "VersionedTable.commit(read(), ...) on such stores, or pass "
             "assume_atomic_rename=True if the store guarantees it."
         )
-    if _versioned(spark, path).exists():
+    if _versioned(spark, path, assume_atomic_marker_create=True).exists():
         raise ValueError(
             f"{path} is a commit-manifest (versioned) table: compacting the "
             "root would read every version's dir as one dataset and swap "

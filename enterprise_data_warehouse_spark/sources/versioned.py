@@ -167,31 +167,41 @@ class VersionedTable:
     def _marker(self, version: int):
         return self._path(f"_commits/v{version:08d}.json")
 
-    def _read_marker(self, version: int) -> dict | None:
-        marker = self._marker(version)
-        if not self._hfs.exists(marker):
-            return None
-        stream = self._hfs.open(marker)
+    def _read_json(self, hpath) -> dict | None:
+        """Read+parse a small JSON metadata file (marker / clone ref /
+        clone linkage) — None when absent, unreadable, or unparseable.
+        One implementation so encoding/close/error handling can't drift
+        between the three metadata kinds."""
+        try:
+            if not self._hfs.exists(hpath):
+                return None
+            stream = self._hfs.open(hpath)
+        except Exception:
+            return None  # deleted (or unreadable) under us
         try:
             reader = self._jvm.java.io.BufferedReader(
                 self._jvm.java.io.InputStreamReader(stream, "UTF-8")
             )
-            parts = []
+            lines = []
             line = reader.readLine()
             while line is not None:
-                parts.append(line)
+                lines.append(line)
                 line = reader.readLine()
         finally:
             stream.close()
         try:
-            return json.loads("\n".join(parts))
+            return json.loads("\n".join(lines))
         except ValueError:
-            # writer died between marker create() and the content write:
-            # the version never became visible. Treated as uncommitted so
-            # reads keep resolving the previous version (without this, one
-            # 0-byte marker poisons every committed_versions() call), and
-            # reclaimed by the next writer past MARKER_GRACE_MS.
             return None
+
+    def _read_marker(self, version: int) -> dict | None:
+        # an unparseable marker = writer died between marker create() and
+        # the content write: the version never became visible. Treated as
+        # uncommitted so reads keep resolving the previous version
+        # (without this, one 0-byte marker poisons every
+        # committed_versions() call), and reclaimed by the next writer
+        # past MARKER_GRACE_MS.
+        return self._read_json(self._marker(version))
 
     # -- read side ---------------------------------------------------------
     def _live_meta(self, version: int) -> dict | None:
@@ -310,7 +320,13 @@ class VersionedTable:
         version = self.current_version()
         if version is None:
             return None
-        parts = self._read_marker(version).get("parts") or {}
+        meta = self._read_marker(version)
+        if meta is None:  # racing erase/vacuum reclaimed it — clean error
+            raise FileNotFoundError(
+                f"version {version} of {self.root} was reclaimed while "
+                "resolving partitions — re-resolve and retry"
+            )
+        parts = meta.get("parts") or {}
         if not parts:
             raise ValueError(
                 f"current version v{version} of {self.root} is not "
@@ -347,6 +363,17 @@ class VersionedTable:
             except Exception as e:  # py4j wraps FileAlreadyExistsException
                 if attempt == 0 and self._reclaim_dead_marker(version):
                     continue  # stale unparseable marker removed — retry
+                # Classify before blaming concurrency: if the marker does
+                # NOT exist, the create failed for a non-collision reason
+                # (permissions, transient IO) — surfacing that as a
+                # conflict would send callers into pointless full-table
+                # re-derive loops with a misleading diagnosis.
+                try:
+                    collided = self._hfs.exists(marker)
+                except Exception:
+                    collided = True  # can't tell — conflict is the safe read
+                if not collided:
+                    raise
                 raise ConcurrentWriteError(
                     f"version {version} of {self.root} was committed concurrently"
                 ) from e
@@ -552,8 +579,6 @@ class VersionedTable:
         watermark from the CURRENT version, delta-filter, merge. Idempotent
         under replays; a crash mid-build replays from the same watermark
         because the watermark source never moved."""
-        from pyspark.sql import functions as F
-
         if self.exists():
             row = self.read().agg(F.max(watermark_col).alias("wm")).collect()[0]
             wm = str(row["wm"]) if row["wm"] is not None else default_watermark
@@ -640,22 +665,7 @@ class VersionedTable:
             if not name.endswith(".json"):
                 continue
             token = name[:-5]
-            try:
-                stream = self._hfs.open(st.getPath())
-                try:
-                    reader = self._jvm.java.io.BufferedReader(
-                        self._jvm.java.io.InputStreamReader(stream, "UTF-8")
-                    )
-                    lines = []
-                    line = reader.readLine()
-                    while line is not None:
-                        lines.append(line)
-                        line = reader.readLine()
-                finally:
-                    stream.close()
-                meta = json.loads("\n".join(lines))
-            except Exception:
-                meta = {}  # unreadable → fail closed with no dirs known...
+            meta = self._read_json(st.getPath()) or {}
             if not meta.get("dirs"):
                 # ...which would protect nothing — so an unparseable ref
                 # pins EVERYTHING by protecting every current top-level dir
@@ -694,8 +704,13 @@ class VersionedTable:
             raise FileNotFoundError(
                 f"version {version} not committed (or vacuumed) under {self.root}"
             )
-        rels = (sorted(set(meta["parts"].values())) if meta.get("parts")
-                else [meta["dir"]])
+        # ALWAYS include meta["dir"]: a partition-mapped version's own dir
+        # may hold no _pv subdirs (empty-delta merge) and so be absent from
+        # parts.values() — but clone liveness keys on it existing, so the
+        # ref must pin it or a parent vacuum bricks the clone
+        rels = sorted(
+            set((meta.get("parts") or {}).values()) | {meta["dir"]}
+        )
         foreign = sorted(r for r in rels if not self._is_local(r))
         if foreign:
             # Clone-of-a-clone: the pinned version reads dirs owned by a
@@ -770,11 +785,14 @@ class VersionedTable:
             clone_meta["parts"] = {
                 k: self._abs(rel) for k, rel in meta["parts"].items()
             }
+        # Linkage BEFORE marker: _clone.json without a marker is inert
+        # (dest.exists() is still False), but a marker without linkage
+        # would be a live clone whose parent ref can never be released
+        # through the API. With this ordering a crash in the gap leaves a
+        # releasable half-clone (vacuum's stale-ref sweep also reaps it),
+        # and once the marker is durable NOTHING may withdraw the ref —
+        # the clone is live and reads the parent's dirs.
         try:
-            dest._create_marker(1, clone_meta)
-            # root-level linkage survives vacuuming the v1 clone marker —
-            # release_parent_ref needs (source, ref) for the clone's whole
-            # lifetime, not just while v1 is retained
             link = dest._path("_clone.json")
             out = dest._hfs.create(link, True)
             try:
@@ -785,7 +803,18 @@ class VersionedTable:
                 ))
             finally:
                 out.close()
+            dest._create_marker(1, clone_meta)
         except Exception:
+            # marker create failed (or linkage write did) → OUR clone is
+            # not visible; withdraw our artifacts. Delete the linkage only
+            # if it still carries OUR token — a rival clone racing to the
+            # same dest may have won the marker with its own linkage.
+            try:
+                cur = dest._read_json(dest._path("_clone.json"))
+                if cur is not None and cur.get("ref") == token:
+                    dest._hfs.delete(dest._path("_clone.json"), False)
+            except Exception:
+                pass
             self._hfs.delete(ref_path, False)
             raise
         return dest
@@ -810,21 +839,9 @@ class VersionedTable:
                 "rewrite such as compact()) before releasing the ref"
             )
         link_path = self._path("_clone.json")
-        if not self._hfs.exists(link_path):
+        link = self._read_json(link_path)
+        if link is None:
             return False  # not a clone, or the ref was already released
-        stream = self._hfs.open(link_path)
-        try:
-            reader = self._jvm.java.io.BufferedReader(
-                self._jvm.java.io.InputStreamReader(stream, "UTF-8")
-            )
-            lines = []
-            line = reader.readLine()
-            while line is not None:
-                lines.append(line)
-                line = reader.readLine()
-        finally:
-            stream.close()
-        link = json.loads("\n".join(lines))
         source, token = link["source"], link["ref"]
         _, src_fs = _fs(self.spark, source)
         ref = self._jvm.org.apache.hadoop.fs.Path(f"{source}/_refs/{token}.json")
@@ -888,13 +905,26 @@ class VersionedTable:
                 )
                 continue
             n_files = max(1, -(-n_bytes // max(1, target_file_bytes)))
-            df = self.read(version=current).repartition(n_files)
             try:
+                df = self.read(version=current).repartition(n_files)
                 version = self.commit(df, op="compact", at_version=current + 1)
             except ConcurrentWriteError as e:
                 last_err = e
                 continue
+            except FileNotFoundError as e:
+                # a racing erase/vacuum reclaimed `current` between sizing
+                # and the read — re-resolve and retry like any lost race
+                last_err = e
+                continue
             new_meta = self._read_marker(version)
+            if new_meta is None:
+                # a racing erase reclaimed OUR fresh commit; the erased
+                # state is the one that needs compacting now — retry
+                last_err = ConcurrentWriteError(
+                    f"compacted version {version} of {self.root} was "
+                    "reclaimed immediately (racing erase) — re-deriving"
+                )
+                continue
             files_after, _ = _dir_stats(
                 self.spark, f"{self.root}/{new_meta['dir']}"
             )
@@ -1111,8 +1141,56 @@ class VersionedTable:
                 ):
                     self._hfs.delete(st.getPath(), False)
                     removed_markers.append(name)
+        # stale clone refs: a clone() crash between the ref write and the
+        # dest marker (or an operator rm -rf'ing a clone) leaves a ref that
+        # would pin dirs — and block erase — forever. Reap a ref ONLY when
+        # it is past the grace AND its dest provably no longer depends on
+        # it: dest root gone, dest linked to a DIFFERENT token (the clone
+        # was re-created), or dest linkage matches but no version was ever
+        # committed (half-created clone). A dest that exists without
+        # readable linkage is ambiguous → fail closed, keep the ref.
+        removed_refs: list[str] = []
+        refs_dir = self._path("_refs")
+        if self._hfs.exists(refs_dir):
+            for st in self._hfs.listStatus(refs_dir):
+                name = st.getPath().getName()
+                if not name.endswith(".json"):
+                    continue
+                if grace and now - st.getModificationTime() <= grace:
+                    continue  # young — may be a clone mid-creation
+                ref = self._read_json(st.getPath())
+                dest_root = (ref or {}).get("dest")
+                if not dest_root:
+                    continue  # unparseable → fail closed (pins everything)
+                token = name[:-5]
+                try:
+                    dest_hpath = self._jvm.org.apache.hadoop.fs.Path(dest_root)
+                    if not self._hfs.exists(dest_hpath):
+                        reap = True  # clone dropped from storage entirely
+                    else:
+                        link = self._read_json(
+                            self._jvm.org.apache.hadoop.fs.Path(
+                                f"{dest_root}/_clone.json"
+                            )
+                        )
+                        if link is None:
+                            reap = False  # ambiguous — keep the pin
+                        elif link.get("ref") != token:
+                            reap = True  # superseded by a re-clone
+                        else:
+                            dest = VersionedTable(
+                                self.spark, dest_root,
+                                assume_atomic_marker_create=True,
+                            )
+                            reap = not dest.exists()  # half-created clone
+                except Exception:
+                    reap = False  # any probe failure → fail closed
+                if reap:
+                    self._hfs.delete(st.getPath(), False)
+                    removed_refs.append(name)
         return {
             "versions": removed_versions,
             "orphans": sorted(removed_orphans),
             "markers": sorted(removed_markers),
+            "refs": sorted(removed_refs),
         }

@@ -868,7 +868,9 @@ def test_fs_clock_probe_failure_fails_closed(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(VersionedTable, "_fs_now_ms", lambda self: 0)
     removed = t.vacuum(keep=2)
-    assert removed == {"versions": [], "orphans": [], "markers": []}
+    assert removed == {
+        "versions": [], "orphans": [], "markers": [], "refs": []
+    }
     assert os.path.isdir(tmp_path / "t" / orphan)
 
     monkeypatch.undo()
@@ -1268,12 +1270,10 @@ def test_erase_fails_loudly_when_clone_races_past_the_check(spark, tmp_path):
     real_vacuum = parent.vacuum
 
     def racing_vacuum(*a, **kw):
-        refs = path / "_refs"
-        refs.mkdir(exist_ok=True)
-        (refs / "racer.json").write_text(_json.dumps(
-            {"dest": str(tmp_path / "dev"), "version": 1,
-             "dirs": [parent._read_marker(1)["dir"]]}
-        ))
+        # a REAL clone completes between erase's up-front check and its
+        # purge vacuum (the erase contract says quiesce cloners; this is
+        # what happens when an operator does not)
+        parent.clone(str(tmp_path / "dev"), version=1)  # pre-purge snapshot
         return real_vacuum(*a, **kw)
 
     parent.vacuum = racing_vacuum
@@ -1288,3 +1288,141 @@ def test_erase_fails_loudly_when_clone_races_past_the_check(spark, tmp_path):
 
     dirs = [d for d in os.listdir(path) if d.startswith("v0000000")]
     assert len(dirs) >= 2, dirs
+
+
+def test_vacuum_reaps_stale_refs_of_dead_clones_only(spark, tmp_path):
+    """A clone() crash between ref write and dest marker (or an rm -rf'd
+    clone) must not pin the parent forever: vacuum reaps a STALE ref when
+    the dest provably no longer depends on it — and keeps it in every
+    ambiguous case."""
+    import json as _json
+
+    from enterprise_data_warehouse_spark.sources import versioned as V
+
+    parent = VersionedTable(spark, str(tmp_path / "p"))
+    parent.commit(_mk(spark, [(1, "a")]))
+
+    live = parent.clone(str(tmp_path / "live"))  # genuine live clone
+
+    refs = tmp_path / "p" / "_refs"
+    mark = parent._read_marker(1)["dir"]
+    # (a) dest root vanished entirely (rm -rf'd clone)
+    (refs / "deadbeef00.json").write_text(_json.dumps(
+        {"dest": str(tmp_path / "gone"), "version": 1, "dirs": [mark]}))
+    # (b) half-created clone: linkage matches but no marker ever landed
+    half = tmp_path / "half"
+    half.mkdir()
+    (half / "_clone.json").write_text(_json.dumps(
+        {"source": str(tmp_path / "p"), "ref": "deadbeef01"}))
+    (refs / "deadbeef01.json").write_text(_json.dumps(
+        {"dest": str(half), "version": 1, "dirs": [mark]}))
+    # (c) ambiguous: dest exists, no linkage — must be KEPT
+    amb = tmp_path / "amb"
+    amb.mkdir()
+    (refs / "deadbeef02.json").write_text(_json.dumps(
+        {"dest": str(amb), "version": 1, "dirs": [mark]}))
+
+    for f in refs.iterdir():
+        _age(f, V.ORPHAN_GRACE_MS / 1000 + 5)
+
+    res = parent.vacuum(keep=1)
+    assert res["refs"] == ["deadbeef00.json", "deadbeef01.json"]
+    kept = {r["token"] for r in parent.clone_refs()}
+    assert "deadbeef02" in kept, "ambiguous ref must be kept"
+    assert len(kept) == 2  # the live clone's ref + the ambiguous one
+    assert _rows(live.read()) == {(1, "a")}
+
+    # young refs are never reaped, even when dest is missing
+    (refs / "deadbeef03.json").write_text(_json.dumps(
+        {"dest": str(tmp_path / "also-gone"), "version": 1, "dirs": [mark]}))
+    res2 = parent.vacuum(keep=1)
+    assert res2["refs"] == []
+
+
+def test_clone_of_empty_delta_partition_version_survives_parent_vacuum(
+    spark, tmp_path
+):
+    """A partition-mapped version whose own dir holds no _pv subdirs (an
+    empty-delta merge) is absent from parts.values() — the clone ref must
+    still pin it, or the parent vacuum bricks the clone."""
+    parent = VersionedTable(spark, str(tmp_path / "p"))
+
+    def mkp(rows):
+        return spark.createDataFrame(rows, "id int, part string, val string")
+
+    parent.merge_partitioned(
+        mkp([(1, "p1", "a")]), keys=["id", "part"], partition_col="part"
+    )
+    # empty delta: v2's own staged dir has no _pv children
+    parent.merge_partitioned(
+        mkp([]).limit(0), keys=["id", "part"], partition_col="part"
+    )
+    clone = parent.clone(str(tmp_path / "dev"))
+    parent.commit(mkp([(9, "p9", "z")]))
+    parent.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+    got = {(r["id"], r["part"], r["val"]) for r in clone.read().collect()}
+    assert got == {(1, "p1", "a")}
+
+
+def test_create_marker_reraises_non_collision_failures(spark, tmp_path):
+    """An IO/permission failure from the marker create must surface as
+    itself, not as ConcurrentWriteError — a conflict diagnosis sends
+    callers into pointless full re-derive retry loops."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk(spark, [(1, "a")]))
+
+    class FailingCreate:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def create(self, *a, **kw):
+            raise RuntimeError("simulated storage permission failure")
+
+    real = t._hfs
+    t._hfs = FailingCreate(real)
+    try:
+        with pytest.raises(RuntimeError, match="permission failure"):
+            t.commit(_mk(spark, [(2, "b")]))
+    finally:
+        t._hfs = real
+    # and a REAL collision still classifies as a conflict
+    staged = t._stage_data(_mk(spark, [(9, "x")]), version=1)
+    with pytest.raises(ConcurrentWriteError):
+        t._create_marker(1, {"version": 1, "dir": staged, "op": "overwrite"})
+
+
+def test_staged_swap_preserves_staged_copy_on_non_race_failure(
+    spark, tmp_path, monkeypatch
+):
+    """rename returning false with NO rival output in place must raise and
+    leave the staged copy — deleting it there would destroy the ONLY copy
+    (the old target was already removed)."""
+    from enterprise_data_warehouse_spark.sources import sink
+
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    (staged / "part-0.parquet").write_bytes(b"payload")
+
+    class RenameFalse:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def rename(self, *a):
+            return False  # transient store failure: no move happened
+
+    real = sink.fs_handles
+
+    def proxied(spark_, path_):
+        jvm, fs, hpath = real(spark_, path_)
+        return jvm, RenameFalse(fs), hpath
+
+    monkeypatch.setattr(sink, "fs_handles", proxied)
+    with pytest.raises(IOError, match="no rival output"):
+        sink.staged_swap(spark, str(staged), str(tmp_path / "out"))
+    assert (staged / "part-0.parquet").exists(), "staged copy must survive"
