@@ -392,6 +392,8 @@ def _fake_pixel_stats(payload: bytes) -> tuple[float, float]:
     under ~1 MB both moments are < 2^53, every intermediate is exactly
     representable, and the two engines produce bit-identical doubles, which
     is what lets the Arrow boundary be value-hash-verified."""
+    import math
+
     n = len(payload)
     if n == 0:
         return 0.0, 0.0
@@ -399,7 +401,11 @@ def _fake_pixel_stats(payload: bytes) -> tuple[float, float]:
     s2 = sum(b * b for b in payload)
     mean = s1 / n
     var = (float(s2) - float(s1) * float(s1) / n) / n
-    return float(mean), max(var, 0.0) ** 0.5
+    # math.sqrt, NOT `** 0.5`: pow(x, 0.5) routes through libm pow, which
+    # is allowed to (and measured to, 13/16667 sf1 docs) mis-round by one
+    # ULP relative to IEEE sqrt — the hardware-correctly-rounded sqrt is
+    # what every SQL engine's SQRT computes, so it is the portable one
+    return float(mean), math.sqrt(max(var, 0.0))
 
 
 IMAGE_FEATURE_ORACLE = """
