@@ -62,7 +62,10 @@ def dec2dbl(c: Column) -> Column:
 def dsum(col: Column | str, alias: str | None = None) -> Column:
     """Exact sum of a double column, returned as double.
 
-    SQL mirror: ``CAST(ROUND(SUM(CAST(x AS DECIMAL(38,10))), 4) AS DOUBLE)``.
+    SQL mirror: ``sql_dsum(x)`` — the SPLIT conversion of
+    ``ROUND(SUM(CAST(x AS DECIMAL(38,10))), 4)``; never hand-roll a
+    direct ``CAST(... AS DOUBLE)``, it is engine-dependent above 2^53
+    unscaled (see OUT_SCALE note).
     """
     c = F.col(col) if isinstance(col, str) else col
     out = dec2dbl(F.sum(c.cast(DEC)))
@@ -72,8 +75,8 @@ def dsum(col: Column | str, alias: str | None = None) -> Column:
 def davg(col: Column | str, alias: str | None = None) -> Column:
     """Order-independent mean: exact decimal sum / count, divided as double.
 
-    SQL mirror:
-    ``CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / COUNT(x)``.
+    SQL mirror: ``sql_davg(x)`` = ``sql_dsum(x) / COUNT(x)`` (split
+    conversion — see dsum).
     """
     c = F.col(col) if isinstance(col, str) else col
     out = dec2dbl(F.sum(c.cast(DEC))) / F.count(c)
@@ -86,12 +89,9 @@ def dvar_samp(col: Column | str, alias: str | None = None) -> Column:
     var = (Σx² − (Σx)²/n) / (n−1), with Σ in decimal, the rest IEEE double
     (deterministic in any engine).
 
-    SQL mirror::
-
-        (CAST(SUM(CAST(x*x AS DECIMAL(38,10))) AS DOUBLE)
-         - CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE)
-           * CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / COUNT(x))
-        / (COUNT(x) - 1)
+    SQL mirror: ``sql_dvar_samp(x)`` — built from ``sql_dsum`` (split
+    conversion — see dsum), shape
+    ``(dsum(x·x) − dsum(x)·dsum(x)/COUNT(x)) / (COUNT(x) − 1)``.
     """
     c = F.col(col) if isinstance(col, str) else col
     s1 = dec2dbl(F.sum(c.cast(DEC)))

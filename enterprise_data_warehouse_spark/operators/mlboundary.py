@@ -260,7 +260,12 @@ def _pdsum(vals) -> float:
             s += decimal.Decimal(float(v)).quantize(
                 q10, rounding=decimal.ROUND_HALF_UP
             )
-        return float(s.quantize(q4, rounding=decimal.ROUND_HALF_UP))
+        r = s.quantize(q4, rounding=decimal.ROUND_HALF_UP)
+        # SPLIT conversion, mirroring sql_split_dbl/dec2dbl: above 2^53
+        # unscaled a direct float(r) (single-rounded) can differ from the
+        # split form both engine mirrors now use
+        i = r.to_integral_value(rounding=decimal.ROUND_FLOOR)
+        return float(i) + float(r - i)
 
 
 TS_FEATURES_ORACLE = f"""
@@ -654,14 +659,14 @@ WITH base AS (
   FROM base GROUP BY segment
 ), seg2 AS (
   SELECT segment, seg_sum_dec, n_seg,
-    CAST(ROUND(SUM(seg_sum_dec) OVER (), 4) AS DOUBLE)
+    (CAST(FLOOR(ROUND(SUM(seg_sum_dec) OVER (), 4)) AS DOUBLE) + CAST(ROUND(SUM(seg_sum_dec) OVER (), 4) - FLOOR(ROUND(SUM(seg_sum_dec) OVER (), 4)) AS DOUBLE))
       / SUM(n_seg) OVER () AS global_mean
   FROM seg
 )
 SELECT b.o_orderkey, b.segment, b.target,
-  (CAST(ROUND(s.seg_sum_dec, 4) AS DOUBLE) + {TE_SMOOTHING} * s.global_mean)
+  ((CAST(FLOOR(ROUND(s.seg_sum_dec, 4)) AS DOUBLE) + CAST(ROUND(s.seg_sum_dec, 4) - FLOOR(ROUND(s.seg_sum_dec, 4)) AS DOUBLE)) + {TE_SMOOTHING} * s.global_mean)
     / (s.n_seg + {TE_SMOOTHING}) AS smooth_enc,
-  CAST(ROUND(s.seg_sum_dec - CAST(b.target AS DECIMAL(38,10)), 4) AS DOUBLE)
+  (CAST(FLOOR(ROUND(s.seg_sum_dec - CAST(b.target AS DECIMAL(38,10)), 4)) AS DOUBLE) + CAST(ROUND(s.seg_sum_dec - CAST(b.target AS DECIMAL(38,10)), 4) - FLOOR(ROUND(s.seg_sum_dec - CAST(b.target AS DECIMAL(38,10)), 4)) AS DOUBLE))
     / (s.n_seg - 1) AS loo_enc
 FROM base b JOIN seg2 s USING (segment)
 """

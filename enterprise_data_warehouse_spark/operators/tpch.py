@@ -94,8 +94,10 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MARKET_SHARE_ORACLE = f"""
 SELECT ship_year,
-       CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_5'
-                      THEN CAST(volume AS DECIMAL(38,10)) ELSE 0 END), 4) AS DOUBLE)
+       (CAST(FLOOR(ROUND(SUM(CASE WHEN supp_nation = 'NATION_5'
+                      THEN CAST(volume AS DECIMAL(38,10)) ELSE 0 END), 4)) AS DOUBLE) + CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_5'
+                      THEN CAST(volume AS DECIMAL(38,10)) ELSE 0 END), 4) - FLOOR(ROUND(SUM(CASE WHEN supp_nation = 'NATION_5'
+                      THEN CAST(volume AS DECIMAL(38,10)) ELSE 0 END), 4)) AS DOUBLE))
        / (CAST(FLOOR(ROUND(SUM(CAST(volume AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST(volume AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST(volume AS DECIMAL(38,10))), 4)) AS DOUBLE)) AS mkt_share
 FROM (
   SELECT CAST(YEAR(o_orderdate) AS INT) AS ship_year,
@@ -251,8 +253,10 @@ def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROMO_REVENUE_ORACLE = f"""
 SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
-       100.0 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
-                    THEN CAST({DISC_REV} AS DECIMAL(38,10)) ELSE 0 END), 4) AS DOUBLE)
+       100.0 * (CAST(FLOOR(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST({DISC_REV} AS DECIMAL(38,10)) ELSE 0 END), 4)) AS DOUBLE) + CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST({DISC_REV} AS DECIMAL(38,10)) ELSE 0 END), 4) - FLOOR(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST({DISC_REV} AS DECIMAL(38,10)) ELSE 0 END), 4)) AS DOUBLE))
              / (CAST(FLOOR(ROUND(SUM(CAST({DISC_REV} AS DECIMAL(38,10))), 4)) AS DOUBLE) + CAST(ROUND(SUM(CAST({DISC_REV} AS DECIMAL(38,10))), 4) - FLOOR(ROUND(SUM(CAST({DISC_REV} AS DECIMAL(38,10))), 4)) AS DOUBLE))
          AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -63,7 +63,12 @@ def backfill_partitions(
                 raise RuntimeError("rename failed")
             return date, "built"
         except Exception as e:  # noqa: BLE001 — per-partition isolation
-            fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
+            # staged_swap's non-race rename failure deliberately PRESERVES
+            # the staged copy (the old target was already removed, so it
+            # may be the only copy) — honor that here instead of deleting
+            # the path the error message points operators at
+            if not (isinstance(e, IOError) and "no rival output" in str(e)):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
             return date, f"failed: {type(e).__name__}: {e}"
 
     if threads <= 1 or len(dates) == 1:

@@ -169,15 +169,15 @@ class VersionedTable:
 
     def _read_json(self, hpath) -> dict | None:
         """Read+parse a small JSON metadata file (marker / clone ref /
-        clone linkage) — None when absent, unreadable, or unparseable.
-        One implementation so encoding/close/error handling can't drift
-        between the three metadata kinds."""
-        try:
-            if not self._hfs.exists(hpath):
-                return None
-            stream = self._hfs.open(hpath)
-        except Exception:
-            return None  # deleted (or unreadable) under us
+        clone linkage) — None when ABSENT or UNPARSEABLE. Transient IO
+        errors (throttle, auth refresh) PROPAGATE: returning None for them
+        would make a live version read as uncommitted, and a vacuum built
+        on that misreading would delete the live version's data dir —
+        fail-open data loss. Callers that want fail-closed semantics for
+        IO errors wrap this themselves."""
+        if not self._hfs.exists(hpath):
+            return None
+        stream = self._hfs.open(hpath)
         try:
             reader = self._jvm.java.io.BufferedReader(
                 self._jvm.java.io.InputStreamReader(stream, "UTF-8")
@@ -514,6 +514,16 @@ class VersionedTable:
         current = self.current_version()
         version = (current or 0) + 1
         prev = self._read_marker(current) if current else None
+        if current and prev is None:
+            # a racing erase/vacuum reclaimed the marker between resolve
+            # and read — treating it as "not partition-mapped" would
+            # commit ONLY the delta and silently drop every untouched
+            # partition from the new map; conflict out so the caller's
+            # retry loop re-derives against the new current instead
+            raise ConcurrentWriteError(
+                f"version {current} of {self.root} was reclaimed while "
+                "deriving a partitioned merge — re-derive and retry"
+            )
         parts: dict[str, str] = dict((prev or {}).get("parts") or {})
         # NULL — and EMPTY-STRING — partition values land in the hive
         # default dir (Spark's getPartitionPathString maps both); key the
@@ -792,9 +802,8 @@ class VersionedTable:
         # releasable half-clone (vacuum's stale-ref sweep also reaps it),
         # and once the marker is durable NOTHING may withdraw the ref —
         # the clone is live and reads the parent's dirs.
-        try:
-            link = dest._path("_clone.json")
-            out = dest._hfs.create(link, True)
+        def write_link():
+            out = dest._hfs.create(dest._path("_clone.json"), True)
             try:
                 out.write(bytearray(
                     json.dumps({"source": self.root, "ref": token},
@@ -803,7 +812,17 @@ class VersionedTable:
                 ))
             finally:
                 out.close()
+
+        try:
+            write_link()
             dest._create_marker(1, clone_meta)
+            # RE-ASSERT the linkage after winning the marker: a rival
+            # clone racing to the same dest may have overwritten it with
+            # its own token between our write and our marker win — the
+            # winner's token must be the one the live clone carries, or
+            # release_parent_ref targets the wrong ref and the stale-ref
+            # sweep could reap OURS as superseded.
+            write_link()
         except Exception:
             # marker create failed (or linkage write did) → OUR clone is
             # not visible; withdraw our artifacts. Delete the linkage only
@@ -1152,11 +1171,16 @@ class VersionedTable:
         removed_refs: list[str] = []
         refs_dir = self._path("_refs")
         if self._hfs.exists(refs_dir):
+            # the ref sweep's grace NEVER drops below the default: a
+            # zero-grace purge (erase; quiesced tests) must still spare an
+            # in-flight clone's young ref — reaping it would let the clone
+            # complete UNPINNED and silently defeat erase's late-ref guard
+            ref_grace = max(grace, ORPHAN_GRACE_MS)
             for st in self._hfs.listStatus(refs_dir):
                 name = st.getPath().getName()
                 if not name.endswith(".json"):
                     continue
-                if grace and now - st.getModificationTime() <= grace:
+                if now - st.getModificationTime() <= ref_grace:
                     continue  # young — may be a clone mid-creation
                 ref = self._read_json(st.getPath())
                 dest_root = (ref or {}).get("dest")
