@@ -74,71 +74,10 @@ _OPERATOR_MODULES = [
 # oldest D1-only greens whose last record predates three rounds of code
 # movement. Everything after slot 50 already has a fresh driver record.
 PRIORITY_ORDER = [
-    # Round-6 curation (VERDICT r05 items 1/2/8). The driver records exactly
-    # the first 50 each round; this front closes the board (no never-
-    # recorded queries remain after r06) and refreshes the stalest
-    # records. Slots 1-3: the two r05 capability additions (judge-green in
-    # r05) plus this round's sanctioned addition, zero_copy_clone
-    # (VERDICT r05 #8; registry 211 -> 212 <= 213).
-    "time_travel_read",
-    "schema_evolution_merge",
-    "zero_copy_clone",
-    # -- slots 3-16: the 14 queries whose newest driver record is r01 ------
-    "local_supplier_volume",
-    "returned_customer_ranking",
-    "order_priority_counts",
-    "customers_without_orders",
-    "customers_with_finished_orders",
-    "order_age_rollup",
-    "retained_customers_intersect",
-    "churned_orders_except_all",
-    "customer_peak_orders",
-    "customer_order_id_lists",
-    "nullsafe_bucket_join",
-    "order_ranking",
-    "customer_rfm_scalable",
-    "corr_quantity_price",
-    # -- slots 18-50: r02-only cohort refresh (33 of 50) --------------------
-    "conditional_agg_orders",
-    "active_weeks",
-    "duplicate_detection",
-    "mode_per_user",
-    "daily_view_click_alignment",
-    "json_prop_filter",
-    "event_time_features",
-    "salted_event_rollup",
-    "approx_distinct_users",
-    "event_props_kv_rollup",
-    "latest_event_per_user",
-    "session_gap_detection",
-    "frequency_encoding",
-    "rolling_1h_features",
-    "value_zscore_outliers",
-    "rolling_feature_matrix",
-    "forward_fill_values",
-    "feature_descriptive_stats",
-    "categorical_profile",
-    "regr_slope_per_user",
-    "psi_value_drift",
-    "ks_value_drift",
-    "chi2_category_drift",
-    "median_imputation",
-    "language_id",
-    "doc_fingerprint",
-    "corpus_pipeline",
-    "token_count_profile",
-    "repetition_scores",
-    "embedding_near_dup",
-    "ann_lsh_verified",
-    "feature_fetch_inlist",
-    "training_dataset",
-    # ---------------- slot 50 boundary (driver budget) ---------------------
-    # -- deferred r02 cohort (17) = r07's front. 11 run in bench.py every
-    # round (run-clean + timing signal); the rest have adjacent judge-
-    # green (r05), pytest stream==batch parity, or adjacent-family bench
-    # coverage (minhash_lsh_verified rides the same candidate pipeline as
-    # bench's minhash_lsh_candidates). All 17 verified locally green via
-    # tools/verify_local.py this round (COVERAGE.md).
+    # Round-7 curation (VERDICT r06 items 1/3). The driver records exactly
+    # the first 50 each round. Slots 1-17: the deferred r02-only cohort —
+    # the last queries whose newest driver record is r02 (all judge-local-
+    # green in r06's verify_local run; 11 run in bench every round).
     "minhash_lsh_verified",
     "star_revenue_rollup",
     "text_quality_scores",
@@ -156,7 +95,10 @@ PRIORITY_ORDER = [
     "median_price_udaf",
     "order_cube",
     "shared_chunk_fingerprints",
-    # -- newest record r03 (48) — refresh after the deferred 16 -------------
+    # -- slots 18-50: oldest r03-only cohort (33 of 48): the TPC-H pack
+    # tail, the drift/ks family, corpus/text r03 queries, and the
+    # clustering/ANN scale paths. After r07 records these, no registry
+    # query's newest driver record is older than r03.
     "volume_shipping",
     "market_share",
     "product_profit",
@@ -190,6 +132,8 @@ PRIORITY_ORDER = [
     "ann_multiprobe_topk",
     "kmeans_embeddings",
     "kmeans_pp_embeddings",
+    # ---------------- slot 50 boundary (driver budget) ---------------------
+    # -- remaining r03 cohort (15) = r08's front ----------------------------
     "range_bin_lookup",
     "order_rollup_hierarchy",
     "order_window_frames",
@@ -304,6 +248,57 @@ PRIORITY_ORDER = [
     "union_order_sets",
     "hash_sample_unit_price",
     "segment_status_rollup",
+    # -- newest record r06 (50): last round's front, freshest records -------
+    "time_travel_read",
+    "schema_evolution_merge",
+    "zero_copy_clone",
+    "local_supplier_volume",
+    "returned_customer_ranking",
+    "order_priority_counts",
+    "customers_without_orders",
+    "customers_with_finished_orders",
+    "order_age_rollup",
+    "retained_customers_intersect",
+    "churned_orders_except_all",
+    "customer_peak_orders",
+    "customer_order_id_lists",
+    "nullsafe_bucket_join",
+    "order_ranking",
+    "customer_rfm_scalable",
+    "corr_quantity_price",
+    "conditional_agg_orders",
+    "active_weeks",
+    "duplicate_detection",
+    "mode_per_user",
+    "daily_view_click_alignment",
+    "json_prop_filter",
+    "event_time_features",
+    "salted_event_rollup",
+    "approx_distinct_users",
+    "event_props_kv_rollup",
+    "latest_event_per_user",
+    "session_gap_detection",
+    "frequency_encoding",
+    "rolling_1h_features",
+    "value_zscore_outliers",
+    "rolling_feature_matrix",
+    "forward_fill_values",
+    "feature_descriptive_stats",
+    "categorical_profile",
+    "regr_slope_per_user",
+    "psi_value_drift",
+    "ks_value_drift",
+    "chi2_category_drift",
+    "median_imputation",
+    "language_id",
+    "doc_fingerprint",
+    "corpus_pipeline",
+    "token_count_profile",
+    "repetition_scores",
+    "embedding_near_dup",
+    "ann_lsh_verified",
+    "feature_fetch_inlist",
+    "training_dataset",
 ]
 
 

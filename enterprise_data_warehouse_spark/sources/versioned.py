@@ -712,7 +712,9 @@ class VersionedTable:
         meta = self._live_meta(src_version) if src_version is not None else None
         if meta is None:
             raise FileNotFoundError(
-                f"version {version} not committed (or vacuumed) under {self.root}"
+                f"no committed version under {self.root}" if src_version is None
+                else f"version {src_version} not committed (or vacuumed) "
+                     f"under {self.root}"
             )
         # ALWAYS include meta["dir"]: a partition-mapped version's own dir
         # may hold no _pv subdirs (empty-delta merge) and so be absent from
@@ -816,26 +818,48 @@ class VersionedTable:
         try:
             write_link()
             dest._create_marker(1, clone_meta)
-            # RE-ASSERT the linkage after winning the marker: a rival
-            # clone racing to the same dest may have overwritten it with
-            # its own token between our write and our marker win — the
-            # winner's token must be the one the live clone carries, or
-            # release_parent_ref targets the wrong ref and the stale-ref
-            # sweep could reap OURS as superseded.
-            write_link()
         except Exception:
-            # marker create failed (or linkage write did) → OUR clone is
-            # not visible; withdraw our artifacts. Delete the linkage only
-            # if it still carries OUR token — a rival clone racing to the
-            # same dest may have won the marker with its own linkage.
-            try:
-                cur = dest._read_json(dest._path("_clone.json"))
-                if cur is not None and cur.get("ref") == token:
-                    dest._hfs.delete(dest._path("_clone.json"), False)
-            except Exception:
-                pass
+            # marker create failed (or the initial linkage write did) →
+            # no live clone exists under OUR token; withdraw the parent
+            # ref. The linkage is deliberately left alone: without a
+            # marker it is inert (dest.exists() stays False, a later
+            # clone's write_link overwrites it), and deleting it here
+            # could race a rival winner's re-assert — loser reads its own
+            # token, winner rewrites the linkage, loser deletes the file —
+            # leaving the rival's LIVE clone linkage-less (its parent ref
+            # then unreleasable through the API).
             self._hfs.delete(ref_path, False)
             raise
+        # RE-ASSERT the linkage after winning the marker: a rival clone
+        # racing to the same dest may have overwritten it with its own
+        # token between our write and our marker win — the winner's token
+        # must be the one the live clone carries, or release_parent_ref
+        # targets the wrong ref and OUR ref leaks (fail-closed erase
+        # block). The marker is durable at this point, so NOTHING below
+        # may withdraw the parent ref: the clone is live and reads the
+        # parent's dirs — withdrawing would let a later parent vacuum
+        # delete data the clone still serves. Best-effort with retries;
+        # a persistent failure surfaces with repair instructions while
+        # the ref (and the clone) stay intact.
+        reassert_err: Exception | None = None
+        for _ in range(3):
+            try:
+                cur = dest._read_json(dest._path("_clone.json"))
+                if cur is None or cur.get("ref") != token:
+                    write_link()
+                reassert_err = None
+                break
+            except Exception as exc:  # transient IO on the overwrite
+                reassert_err = exc
+        if reassert_err is not None:
+            raise RuntimeError(
+                f"clone {dest.root} is LIVE (v1 marker committed) but the "
+                f"linkage re-assert failed; parent ref {token} remains "
+                f"registered under {self.root}/_refs (parent vacuum/erase "
+                "stay blocked — fail closed, no data loss). Repair by "
+                f'writing {{"source": "{self.root}", "ref": "{token}"}} '
+                f"to {dest.root}/_clone.json"
+            ) from reassert_err
         return dest
 
     def release_parent_ref(self) -> bool:
@@ -861,7 +885,16 @@ class VersionedTable:
         link = self._read_json(link_path)
         if link is None:
             return False  # not a clone, or the ref was already released
-        source, token = link["source"], link["ref"]
+        source, token = link.get("source"), link.get("ref")
+        if not source or not token:
+            # parseable-but-partial linkage (e.g. a truncated rewrite that
+            # still parses) — refuse WITHOUT consuming it, so the parent
+            # ref stays fail-closed and the file is available for repair
+            raise ValueError(
+                f"corrupt clone linkage {self.root}/_clone.json is missing "
+                f"{'source' if not source else 'ref'} — repair it (see the "
+                "clone v1 marker's source/ref fields) before releasing"
+            )
         _, src_fs = _fs(self.spark, source)
         ref = self._jvm.org.apache.hadoop.fs.Path(f"{source}/_refs/{token}.json")
         released = bool(src_fs.delete(ref, False))

@@ -1426,3 +1426,142 @@ def test_staged_swap_preserves_staged_copy_on_non_race_failure(
     with pytest.raises(IOError, match="no rival output"):
         sink.staged_swap(spark, str(staged), str(tmp_path / "out"))
     assert (staged / "part-0.parquet").exists(), "staged copy must survive"
+
+
+# ---------------------------------------------------------------------------
+# clone failure-injection edges (round-7 ADVICE findings)
+# ---------------------------------------------------------------------------
+
+
+def _rewrite_linkage(dest_dir, payload):
+    """Overwrite _clone.json from Python, clearing hadoop's checksum
+    sidecar (which still describes the old bytes)."""
+    import json as _json
+
+    (dest_dir / "_clone.json").write_text(_json.dumps(payload))
+    crc = dest_dir / "._clone.json.crc"
+    if crc.exists():
+        crc.unlink()
+
+
+def test_clone_reassert_failure_never_withdraws_ref_once_marker_durable(
+    spark, tmp_path, monkeypatch
+):
+    """Once the clone's v1 marker is durable the clone is LIVE and reads
+    the parent's dirs — a failing linkage re-assert (transient IO on the
+    _clone.json overwrite) must surface an error but must NOT withdraw the
+    parent ref, or a later parent vacuum silently deletes data the clone
+    serves."""
+    parent = VersionedTable(spark, str(tmp_path / "p"))
+    parent.commit(_mk(spark, [(1, "a")]))
+
+    real_read_json = VersionedTable._read_json
+
+    def flaky_read_json(self, hpath):
+        # only the re-assert loop reads the DEST's _clone.json during
+        # clone(); fail it persistently (3 retries all exhausted)
+        if str(hpath).endswith("_clone.json"):
+            raise IOError("transient store failure")
+        return real_read_json(self, hpath)
+
+    monkeypatch.setattr(VersionedTable, "_read_json", flaky_read_json)
+    with pytest.raises(RuntimeError, match="LIVE.*remains|remains\n?.*registered"):
+        parent.clone(str(tmp_path / "dev"))
+    monkeypatch.setattr(VersionedTable, "_read_json", real_read_json)
+
+    # the ref survived the failure (fail closed) and the clone is live
+    refs = parent.clone_refs()
+    assert len(refs) == 1, refs
+    clone = VersionedTable(spark, str(tmp_path / "dev"))
+    assert clone.exists() and _rows(clone.read()) == {(1, "a")}
+    # parent vacuum must still spare the pinned dirs
+    parent.commit(_mk(spark, [(1, "b")]))
+    parent.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+    assert _rows(clone.read()) == {(1, "a")}
+    # repair per the error message: rewrite the linkage, then the normal
+    # release flow works end-to-end
+    import json as _json
+
+    _rewrite_linkage(tmp_path / "dev",
+                     {"source": str(tmp_path / "p"), "ref": refs[0]["token"]})
+    clone.compact()
+    clone.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+    assert clone.release_parent_ref() is True
+    assert parent.clone_refs() == []
+
+
+def test_clone_loser_cleanup_spares_rival_linkage(spark, tmp_path, monkeypatch):
+    """A clone that fails its marker create (lost the race / transient IO)
+    must withdraw its own parent ref but must NOT delete the dest's
+    _clone.json — the file may already carry a rival winner's token, and
+    an orphan linkage without a marker is inert anyway."""
+    import json as _json
+
+    parent = VersionedTable(spark, str(tmp_path / "p"))
+    parent.commit(_mk(spark, [(1, "a")]))
+
+    # simulate the rival's linkage already sitting at the dest (the dest
+    # has no marker yet, so exists() is False and clone() proceeds); our
+    # write_link overwrites it, the rival "re-asserts" it back, then our
+    # marker create fails
+    dev = tmp_path / "dev"
+    dev.mkdir()
+    rival_link = {"source": str(tmp_path / "p"), "ref": "rivaltoken"}
+
+    real_create_marker = VersionedTable._create_marker
+
+    def losing_create_marker(self, version, meta):
+        if self.root.endswith("/dev"):
+            # rival wins the linkage back just before our marker attempt
+            (dev / "_clone.json").write_text(_json.dumps(rival_link))
+            raise ConcurrentWriteError("version 1 committed concurrently")
+        return real_create_marker(self, version, meta)
+
+    monkeypatch.setattr(VersionedTable, "_create_marker", losing_create_marker)
+    with pytest.raises(ConcurrentWriteError):
+        parent.clone(str(dev))
+    monkeypatch.setattr(VersionedTable, "_create_marker", real_create_marker)
+
+    # our ref is withdrawn; the rival's linkage is untouched
+    assert parent.clone_refs() == []
+    assert _json.loads((dev / "_clone.json").read_text()) == rival_link
+
+
+def test_clone_error_names_resolved_version(spark, tmp_path):
+    """clone() on an empty table (default version=None) must say 'no
+    committed version', not 'version None not committed'."""
+    empty = VersionedTable(spark, str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError, match="no committed version"):
+        empty.clone(str(tmp_path / "dev"))
+    full = VersionedTable(spark, str(tmp_path / "p"))
+    full.commit(_mk(spark, [(1, "a")]))
+    with pytest.raises(FileNotFoundError, match="version 7 not committed"):
+        full.clone(str(tmp_path / "dev"), version=7)
+
+
+def test_release_parent_ref_refuses_partial_linkage_without_consuming(
+    spark, tmp_path
+):
+    """A parseable-but-partial _clone.json (truncated rewrite that still
+    parses) must raise a descriptive error and leave BOTH the linkage and
+    the parent ref in place for repair — not KeyError with the linkage
+    half-consumed."""
+    import json as _json
+
+    parent = VersionedTable(spark, str(tmp_path / "p"))
+    parent.commit(_mk(spark, [(1, "a")]))
+    clone = parent.clone(str(tmp_path / "dev"))
+    clone.compact()
+    clone.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+
+    link_path = tmp_path / "dev" / "_clone.json"
+    good = _json.loads(link_path.read_text())
+    _rewrite_linkage(tmp_path / "dev", {"source": good["source"]})  # no ref
+    with pytest.raises(ValueError, match="corrupt clone linkage.*ref"):
+        clone.release_parent_ref()
+    assert link_path.exists(), "linkage must not be consumed on refusal"
+    assert len(parent.clone_refs()) == 1, "parent ref must stay (fail closed)"
+    # repair and release normally
+    _rewrite_linkage(tmp_path / "dev", good)
+    assert clone.release_parent_ref() is True
+    assert parent.clone_refs() == []
