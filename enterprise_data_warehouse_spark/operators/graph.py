@@ -183,10 +183,15 @@ def bipartite_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRI_MIN_COPURCHASE = 2  # co-purchase edge threshold (orders sharing the pair)
 
+# MATERIALIZED CTEs pin the wedge-first join order: left to its own cost
+# model DuckDB reordered the three-way closure join into a per-hub blowup
+# that spilled >80 GB at sf1 from a 36K-edge graph; materializing
+# oriented + wedges makes the oracle compute the (orientation-bounded)
+# wedge set first and close it with one two-column equi-join — 2 s at sf1.
 TRIANGLES_ORACLE = f"""
 WITH baskets AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM baskets a JOIN baskets b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -196,18 +201,21 @@ WITH baskets AS (
   SELECT node, COUNT(*) AS deg FROM (
     SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
   ) GROUP BY node
-), oriented AS (
+), oriented AS MATERIALIZED (
   -- orient each edge from lower (deg, id) to higher (deg, id)
   SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
          CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS t
   FROM edges e
   JOIN degs du ON du.node = e.u
   JOIN degs dv ON dv.node = e.v
-), tris AS (
+), wedges AS MATERIALIZED (
   SELECT w1.s AS a, w1.t AS b, w2.t AS c
   FROM oriented w1
   JOIN oriented w2 ON w2.s = w1.t
-  JOIN oriented cl ON cl.s = w1.s AND cl.t = w2.t
+), tris AS (
+  SELECT w.a, w.b, w.c
+  FROM wedges w
+  JOIN oriented cl ON cl.s = w.a AND cl.t = w.c
 ), member AS (
   SELECT a AS node FROM tris
   UNION ALL SELECT b FROM tris
