@@ -354,17 +354,299 @@ def decode_wav(payload: bytes):
     return rate, n_ch, samples
 
 
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_MAX_PIXELS = 1 << 26  # 64 Mpx cap: a crafted SOF0 must not OOM an executor
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment: un-stuffs
+    0xFF00, surfaces RSTn markers (resync points), stops at any other
+    marker. All underruns raise ValueError (truncated payload)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos = buf, pos
+        self.bits, self.nbits = 0, 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise ValueError("JPEG entropy stream truncated at a marker")
+        if self.pos >= len(self.buf):
+            raise ValueError("JPEG entropy stream truncated")
+        b = self.buf[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.buf):
+                raise ValueError("JPEG entropy stream ends inside a marker")
+            nxt = self.buf[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # byte-stuffed literal 0xFF
+            else:
+                self.marker = nxt
+                self.pos += 1
+                raise ValueError("JPEG entropy stream truncated at a marker")
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_to_rst(self, expect: int) -> None:
+        """Byte-align and consume the next RSTn marker (restart interval)."""
+        self.bits, self.nbits = 0, 0
+        if self.marker is None:
+            while self.pos + 1 < len(self.buf):
+                if self.buf[self.pos] == 0xFF and self.buf[self.pos + 1] != 0x00:
+                    self.marker = self.buf[self.pos + 1]
+                    self.pos += 2
+                    break
+                self.pos += 1
+        if self.marker != 0xD0 + expect:
+            raise ValueError(
+                f"JPEG restart marker RST{expect} missing (got "
+                f"{self.marker:#x})" if self.marker is not None
+                else f"JPEG restart marker RST{expect} missing"
+            )
+        self.marker = None
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code (corrupt entropy stream)")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes):
+    """REAL image decode for BASELINE sequential-DCT JPEG (ITU T.81, SOF0,
+    8-bit, huffman) — pure numpy, no external codec. Parses DQT/DHT/SOF0/
+    DRI/SOS, huffman-decodes the entropy stream (byte un-stuffing + RSTn
+    restart intervals), dequantizes, inverse-zigzags, applies an exact
+    float64 2-D IDCT per 8×8 block, box-upsamples subsampled chroma
+    (4:2:0 / 4:2:2 / 4:4:4), converts JFIF YCbCr→RGB, and returns an
+    (H, W, 3) — or (H, W, 1) grayscale — uint8 array. Progressive (SOF2),
+    arithmetic-coded, and >8-bit JPEGs are rejected with a clear error.
+    Hostile payloads (truncated segments, dimension bombs, invalid
+    huffman codes) raise ValueError before any large allocation."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
+    frame = None  # (H, W, [(comp_id, h, v, tq), ...])
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at offset {pos}")
+        marker = payload[pos + 1]
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+            pos += 2
+            continue
+        size = struct.unpack_from(">H", payload, pos + 2)[0]
+        body, end = pos + 4, pos + 2 + size
+        if size < 2 or end > len(payload):
+            raise ValueError(f"JPEG segment {marker:#x} overruns the payload")
+        if marker == 0xDB:  # DQT
+            p = body
+            while p < end:
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                p += 1
+                n = 64 * (2 if pq else 1)
+                if p + n > end:
+                    raise ValueError("JPEG DQT table truncated")
+                vals = (np.frombuffer(payload, ">u2", 64, p) if pq
+                        else np.frombuffer(payload, np.uint8, 64, p))
+                tbl = np.zeros(64, np.int32)
+                tbl[_JPEG_ZIGZAG] = vals
+                qt[tq] = tbl.reshape(8, 8)
+                p += n
+        elif marker == 0xC4:  # DHT
+            p = body
+            while p + 17 <= end:
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                counts = payload[p + 1:p + 17]
+                p += 17
+                nsyms = sum(counts)
+                if p + nsyms > end:
+                    raise ValueError("JPEG DHT table truncated")
+                table, code, k = {}, 0, p
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = payload[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                p += nsyms
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, body)
+            if prec != 8:
+                raise ValueError(f"only 8-bit baseline JPEG (precision={prec})")
+            if ncomp not in (1, 3):
+                raise ValueError(f"only gray/YCbCr JPEG ({ncomp} components)")
+            if not (0 < h and 0 < w) or h * w > _JPEG_MAX_PIXELS:
+                raise ValueError(f"JPEG dimensions {w}x{h} out of bounds")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from(
+                    ">BBB", payload, body + 6 + 3 * i)
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"invalid JPEG sampling {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"only baseline sequential JPEG (SOF0); got SOF{marker - 0xC0}"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", payload, body)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = payload[body]
+            if body + 1 + 2 * ns + 3 > end:
+                raise ValueError("JPEG SOS header truncated")
+            scan = {}
+            for i in range(ns):
+                cs = payload[body + 1 + 2 * i]
+                td_ta = payload[body + 2 + 2 * i]
+                scan[cs] = (td_ta >> 4, td_ta & 0x0F)
+            return _jpeg_decode_scan(
+                payload, end, frame, scan, qt, huff, restart_interval)
+        pos = end
+    raise ValueError("JPEG has no SOS segment (truncated before the scan)")
+
+
+def _jpeg_decode_scan(payload, data_pos, frame, scan, qt, huff,
+                      restart_interval):
+    import numpy as np
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # orthonormal DCT-II basis; IDCT(block) = T.T @ coefs @ T in float64
+    u = np.arange(8)
+    T = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2
+    T[0] /= np.sqrt(2)
+
+    planes, meta = {}, []
+    for cid, hi, vi, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"JPEG component {cid} references missing "
+                             f"quant table {tq}")
+        if cid not in scan:
+            raise ValueError(f"JPEG scan is missing component {cid}")
+        td, ta = scan[cid]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError(f"JPEG component {cid} references missing "
+                             f"huffman table (dc={td}, ac={ta})")
+        planes[cid] = np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), np.float64)
+        meta.append((cid, hi, vi, qt[tq], huff[(0, td)], huff[(1, ta)]))
+
+    reader = _JpegBitReader(payload, data_pos)
+    pred = {cid: 0 for cid, *_ in meta}
+    rst_count = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.sync_to_rst(rst_count % 8)
+            rst_count += 1
+            pred = {cid: 0 for cid in pred}
+        my, mx = divmod(m, mcus_x)
+        for cid, hi, vi, q, dc_tbl, ac_tbl in meta:
+            for by in range(vi):
+                for bx in range(hi):
+                    zz = np.zeros(64, np.int32)
+                    s = _jpeg_huff_decode(reader, dc_tbl)
+                    if s > 11:
+                        raise ValueError(f"invalid JPEG DC category {s}")
+                    pred[cid] += _jpeg_extend(reader.receive(s), s)
+                    zz[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(reader, ac_tbl)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run overflows the block")
+                        zz[k] = _jpeg_extend(reader.receive(s), s)
+                        k += 1
+                    coefs = np.zeros(64, np.float64)
+                    coefs[_JPEG_ZIGZAG] = zz
+                    block = T.T @ (coefs.reshape(8, 8) * q) @ T + 128.0
+                    y0 = (my * vi + by) * 8
+                    x0 = (mx * hi + bx) * 8
+                    planes[cid][y0:y0 + 8, x0:x0 + 8] = block
+
+    out = []
+    for cid, hi, vi, *_ in meta:
+        plane = planes[cid]
+        if hi < hmax or vi < vmax:  # box upsample to full resolution
+            plane = plane.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
+        out.append(plane[:h, :w])
+    if len(out) == 1:
+        gray = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr,
+         y - 0.344136 * cb - 0.714136 * cr,
+         y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def _decode_image_real(payload: bytes, width: int, height: int):
-    """The real decode path. Uncompressed 24-bit BMP (decode_bmp) and
-    8-bit non-interlaced PNG (decode_png, stdlib zlib) decode
-    IN-CONTAINER with a nearest-neighbor resize; JPEG requires PIL,
-    absent here, and stays import-gated so the pipeline degrades to the
-    deterministic fake rather than crashing."""
+    """The real decode path. Uncompressed 24-bit BMP (decode_bmp), 8-bit
+    non-interlaced PNG (decode_png, stdlib zlib), and baseline
+    sequential-DCT JPEG (decode_jpeg) all decode IN-CONTAINER with a
+    nearest-neighbor resize; remaining exotic image formats (WebP, TIFF,
+    progressive JPEG) require PIL, absent here, and stay import-gated so
+    the pipeline degrades to the deterministic fake rather than
+    crashing."""
     img = None
     if payload[:2] == b"BM":
         img = decode_bmp(payload)
     elif payload[:8] == b"\x89PNG\r\n\x1a\n":
         img = decode_png(payload)
+    elif payload[:2] == b"\xff\xd8":
+        img = decode_jpeg(payload)
     if img is not None:
         import numpy as np
 
@@ -376,9 +658,10 @@ def _decode_image_real(payload: bytes, width: int, height: int):
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "JPEG decode requires pillow; deterministic fake used instead "
-            "(uncompressed BMP and 8-bit PNG decode natively — decode_bmp/"
-            "decode_png)"
+            "exotic image formats (WebP/TIFF/progressive JPEG) require "
+            "pillow; deterministic fake used instead (uncompressed BMP, "
+            "8-bit PNG, and baseline JPEG decode natively — decode_bmp/"
+            "decode_png/decode_jpeg)"
         ) from exc
     raise NotImplementedError("real decode wired at deploy time")
 

@@ -12,7 +12,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 import enterprise_data_warehouse_spark.operators.multimodal as mm
-from tests.test_multimodal import _make_bmp, _make_png, _make_wav
+from tests.test_multimodal import _make_bmp, _make_jpeg, _make_png, _make_wav
 
 HYP = settings(
     max_examples=25,
@@ -84,7 +84,39 @@ def test_wav_roundtrip_any_shape(n_frames, n_ch, rate, seed):
 
 @HYP
 @given(
-    which=st.sampled_from(["png", "bmp", "wav"]),
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    gray=st.booleans(),
+    sub=st.sampled_from(["444", "420"]),
+    rst=st.sampled_from([0, 1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_error_bounds_any_shape(h, w, gray, sub, rst, seed):
+    """JPEG is lossy (quantized DCT), so the property is a reconstruction
+    ERROR BOUND, not identity: with flat q=1 tables every shape /
+    grayscale / restart-interval combination stays within a few levels.
+    4:2:0 uses gray-content RGB so chroma subsampling is exact and the
+    same tight bound applies."""
+    rng = np.random.default_rng(seed)
+    if gray:
+        img = rng.integers(0, 256, size=(h, w, 1), dtype=np.uint8)
+        payload = _make_jpeg(img, restart_interval=rst)
+    elif sub == "420":
+        g = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        img = np.stack([g, g, g], axis=-1)
+        payload = _make_jpeg(img, "420", restart_interval=rst)
+    else:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = _make_jpeg(img, "444", restart_interval=rst)
+    decoded = mm.decode_jpeg(payload)
+    assert decoded.shape == img.shape
+    err = np.abs(decoded.astype(np.int32) - img.astype(np.int32))
+    assert err.max() <= 6, err.max()
+
+
+@HYP
+@given(
+    which=st.sampled_from(["png", "bmp", "wav", "jpeg"]),
     seed=st.integers(0, 2**31 - 1),
     cut=st.integers(0, 200),
     flips=st.lists(st.tuples(st.integers(0, 199), st.integers(1, 255)),
@@ -105,6 +137,11 @@ def test_mangled_payloads_never_crash_outside_valueerror(which, seed, cut, flips
             _make_bmp(rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8))
         )
         decode = mm.decode_bmp
+    elif which == "jpeg":
+        payload = bytearray(
+            _make_jpeg(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+        )
+        decode = mm.decode_jpeg
     else:
         payload = bytearray(
             _make_wav(rng.integers(-100, 100, size=(8, 2)).astype(np.int16), 8000)

@@ -412,3 +412,280 @@ def test_truncated_headers_raise_value_error_not_struct_error():
     cut_in_fmt = good[: good.index(b"fmt ") + 8 + 6]
     with pytest.raises(ValueError, match="fmt chunk truncated"):
         mm.decode_wav(cut_in_fmt)
+
+
+# --- baseline JPEG test encoder (decoder-independent reference) ---------------
+
+# standard Annex K DC code lengths (multi-length canonical codes — exercises
+# the decoder's variable-length walk); AC uses flat 8-bit canonical codes
+# (162 symbols < 255), equally valid per T.81 since tables travel in DHT
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _huff_codes(bits, vals):
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.n = 0, 0
+
+    def write(self, length, code):
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def pad(self):
+        if self.n:
+            self.write(8 - self.n, (1 << (8 - self.n)) - 1)  # pad with 1s
+
+
+def _dct_basis():
+    import numpy as np
+
+    u = np.arange(8)
+    T = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2
+    T[0] /= np.sqrt(2)
+    return T
+
+
+def _encode_block(writer, block, q, pred, dc_codes, ac_codes, T):
+    import numpy as np
+
+    from enterprise_data_warehouse_spark.operators.multimodal import _JPEG_ZIGZAG
+
+    coefs = T @ (block.astype(np.float64) - 128.0) @ T.T
+    quant = np.round(coefs / q).astype(np.int64)
+    zz = quant.reshape(64)[_JPEG_ZIGZAG]
+
+    def put(v, codes, run=0):
+        s = int(abs(v)).bit_length()
+        writer.write(*codes[(run << 4) | s if codes is ac_codes else s])
+        if s:
+            writer.write(s, int(v) if v > 0 else int(v) + (1 << s) - 1)
+
+    put(int(zz[0]) - pred, dc_codes)
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            writer.write(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        put(int(zz[k]), ac_codes, run)
+        run = 0
+    if run:
+        writer.write(*ac_codes[0x00])  # EOB
+    return int(zz[0])
+
+
+def _make_jpeg(img, subsampling="444", q_luma=1, q_chroma=1,
+               restart_interval=0) -> bytes:
+    """Serialize an (H, W, 3) RGB or (H, W, 1) grayscale uint8 array as a
+    BASELINE sequential-DCT JPEG (SOF0). q_*: flat quant-table values
+    (1 = near-lossless). subsampling: '444' or '420' (3-channel only)."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    gray = img.shape[2] == 1
+    T = _dct_basis()
+    ql = np.full((8, 8), q_luma, np.int32)
+    qc = np.full((8, 8), q_chroma, np.int32)
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    if gray:
+        planes = [img[:, :, 0].astype(np.float64)]
+        samp, qmap = [(1, 1)], [0]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+        planes = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" else \
+               [(1, 1), (1, 1), (1, 1)]
+        qmap = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    comp_planes = []
+    for (hi, vi), plane in zip(samp, planes):
+        if hi < hmax or vi < vmax:  # box-mean downsample
+            fy, fx = vmax // vi, hmax // hi
+            ph = -(-plane.shape[0] // fy) * fy
+            pw = -(-plane.shape[1] // fx) * fx
+            padded = np.pad(plane, ((0, ph - plane.shape[0]),
+                                    (0, pw - plane.shape[1])), mode="edge")
+            plane = padded.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcus_y * vi * 8, mcus_x * hi * 8
+        comp_planes.append(np.pad(
+            plane, ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge"))
+
+    writer = _JpegBitWriter()
+    pred = [0] * len(planes)
+    rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            writer.pad()
+            writer.out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            pred = [0] * len(planes)
+        my, mx = divmod(m, mcus_x)
+        for ci, ((hi, vi), plane) in enumerate(zip(samp, comp_planes)):
+            q = ql if qmap[ci] == 0 else qc
+            for by in range(vi):
+                for bx in range(hi):
+                    y0, x0 = (my * vi + by) * 8, (mx * hi + bx) * 8
+                    pred[ci] = _encode_block(
+                        writer, plane[y0:y0 + 8, x0:x0 + 8], q,
+                        pred[ci], dc_codes, ac_codes, T)
+    writer.pad()
+
+    from enterprise_data_warehouse_spark.operators.multimodal import _JPEG_ZIGZAG
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0]) + bytes(ql.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8))
+    if not gray:
+        dqt += bytes([1]) + bytes(qc.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8))
+    out += seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci, (hi, vi) in enumerate(samp):
+        sof += bytes([ci + 1, (hi << 4) | vi, qmap[ci]])
+    out += seg(0xC0, sof)
+    dht = (bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+           + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if not gray:
+        dht += (bytes([0x01]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+                + bytes([0x11]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        td_ta = 0x00 if qmap[ci] == 0 else 0x11
+        sos += bytes([ci + 1, td_ta])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decode_reconstruction_error_bounds():
+    """Quantized DCT is lossy, so pin ERROR BOUNDS, not identity: with
+    flat q=1 tables (near-lossless) 4:4:4 reconstruction stays within a
+    few levels everywhere."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    decoded = mm.decode_jpeg(_make_jpeg(img, "444"))
+    assert decoded.shape == img.shape
+    err = np.abs(decoded.astype(np.int32) - img.astype(np.int32))
+    assert err.max() <= 6, err.max()
+    assert err.mean() <= 2.0, err.mean()
+
+
+def test_jpeg_decode_grayscale_and_nonmultiple_dims():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(13, 19, 1), dtype=np.uint8)  # crop path
+    decoded = mm.decode_jpeg(_make_jpeg(img))
+    assert decoded.shape == (13, 19, 1)
+    err = np.abs(decoded.astype(np.int32) - img.astype(np.int32))
+    assert err.max() <= 6, err.max()
+
+
+def test_jpeg_decode_420_subsampling():
+    """4:2:0: chroma is box-subsampled, so use gray-content RGB (constant
+    chroma — subsampling exact) for a tight bound, plus a smooth gradient
+    under a loose bound."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, size=(20, 28), dtype=np.uint8)
+    img = np.stack([g, g, g], axis=-1)
+    decoded = mm.decode_jpeg(_make_jpeg(img, "420"))
+    assert decoded.shape == img.shape
+    err = np.abs(decoded.astype(np.int32) - img.astype(np.int32))
+    assert err.max() <= 6, err.max()
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    smooth = np.stack([(yy * 8) % 256, (xx * 8) % 256,
+                       ((yy + xx) * 4) % 256], axis=-1).astype(np.uint8)
+    dec2 = mm.decode_jpeg(_make_jpeg(smooth, "420"))
+    err2 = np.abs(dec2.astype(np.int32) - smooth.astype(np.int32))
+    assert err2.mean() <= 12.0, err2.mean()
+
+
+def test_jpeg_decode_restart_intervals():
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(16, 40, 3), dtype=np.uint8)
+    payload = _make_jpeg(img, "444", restart_interval=2)
+    assert b"\xff\xd0" in payload or b"\xff\xd1" in payload  # RSTn present
+    decoded = mm.decode_jpeg(payload)
+    err = np.abs(decoded.astype(np.int32) - img.astype(np.int32))
+    assert err.max() <= 6, err.max()
+
+
+def test_jpeg_decode_rejects_unsupported_and_hostile():
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    good = _make_jpeg(img)
+    with pytest.raises(ValueError, match="SOI"):
+        mm.decode_jpeg(b"\x00\x01")
+    # progressive (SOF2) refused by name
+    prog = bytearray(good)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        mm.decode_jpeg(bytes(prog))
+    # dimension bomb: SOF0 declaring 65535x65535 must fail BEFORE allocation
+    bomb = bytearray(good)
+    sof_at = bomb.index(b"\xff\xc0") + 5
+    struct.pack_into(">HH", bomb, sof_at, 65535, 65535)
+    with pytest.raises(ValueError, match="out of bounds"):
+        mm.decode_jpeg(bytes(bomb))
+    # truncation anywhere raises cleanly (here: mid-DHT overrun)
+    with pytest.raises(ValueError, match="truncated|no SOS|overruns"):
+        mm.decode_jpeg(good[: len(good) // 2])
+    # truncated ENTROPY stream specifically (cut after the SOS header)
+    sos_at = good.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_jpeg(good[: sos_at + 20])
+    # the real-decode gate routes JPEG natively now, with resize
+    resized = mm._decode_image_real(_make_jpeg(img), width=4, height=4)
+    assert resized.shape == (4, 4, 3)
