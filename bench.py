@@ -47,11 +47,16 @@ REGRESSION_WATCH = {
 # unchanged — VERDICT r04 #4): best-of-4 plus an interleaved A/B record in
 # SCALING.md so the attribution (host noise vs real regression) is settled
 # by data rather than assertion. scd2_customer_dim joined in r06 (the one
-# above-noise r05 mover, 0.72→0.97 s — VERDICT r05 #3).
+# above-noise r05 mover, 0.72→0.97 s — VERDICT r05 #3); training_dataset,
+# exact_dedup, and ngram_jaccard_pairs joined in r07 (the r06 movers beyond
+# the measured steal band, 2.44×/1.84×/1.62× — VERDICT r06 #2).
 COUNTER_MOVER_WATCH = {
     "catalog_fact_sales_daily",
     "session_metrics_batch",
     "scd2_customer_dim",
+    "training_dataset",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
 }
 
 

@@ -236,3 +236,38 @@ def zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         main.read().select(F.lit("main").alias("branch"), "*")
         .unionByName(dev.read().select(F.lit("dev").alias("branch"), "*"))
     )
+
+
+STATS_PRUNED_ORACLE = """
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 2000
+"""
+
+
+@query("stats_pruned_lookup", oracle=STATS_PRUNED_ORACLE)
+def stats_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping (VERDICT r06 #8 — the commit-marker analog
+    of Delta add-file stats / Snowflake micro-partition pruning, the
+    mechanism the reference's Snowflake backend point-lookups ride):
+    ``commit(stats_cols=[...])`` records each staged file's min/max from
+    its parquet footer in the marker, and ``read(prune={col: band})``
+    drops files whose range provably misses the band BEFORE Spark lists
+    the directory. The data is range-clustered on the key first
+    (repartitionByRange) so file ranges are disjoint and the point lookup
+    touches ~1 file regardless of table width; pruning is fail-open (a
+    superset), so the real band filter applies on top — the final answer
+    is value-identical to the plain SQL band scan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+        "o_orderpriority",
+    )
+    root = _work_dir("statsprune", sf_dir)
+    t = VersionedTable(spark, f"{root}/t")
+    t.commit(o.repartitionByRange(8, "o_orderkey"), stats_cols=["o_orderkey"])
+    return t.read(prune={"o_orderkey": (1000, 2000)}).where(
+        F.col("o_orderkey").between(1000, 2000)
+    )

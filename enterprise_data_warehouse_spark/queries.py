@@ -74,10 +74,13 @@ _OPERATOR_MODULES = [
 # oldest D1-only greens whose last record predates three rounds of code
 # movement. Everything after slot 50 already has a fresh driver record.
 PRIORITY_ORDER = [
-    # Round-7 curation (VERDICT r06 items 1/3). The driver records exactly
-    # the first 50 each round. Slots 1-17: the deferred r02-only cohort —
-    # the last queries whose newest driver record is r02 (all judge-local-
-    # green in r06's verify_local run; 11 run in bench every round).
+    # Round-7 curation (VERDICT r06 items 1/3/8). The driver records exactly
+    # the first 50 each round. Slot 1: this round's sanctioned capability
+    # addition, stats_pruned_lookup (VERDICT r06 #8 data skipping; registry
+    # 212 -> 213 <= 215). Slots 2-18: the deferred r02-only cohort — the
+    # last queries whose newest driver record is r02 (all judge-local-green
+    # in r06's verify_local run; 11 run in bench every round).
+    "stats_pruned_lookup",
     "minhash_lsh_verified",
     "star_revenue_rollup",
     "text_quality_scores",
@@ -95,7 +98,7 @@ PRIORITY_ORDER = [
     "median_price_udaf",
     "order_cube",
     "shared_chunk_fingerprints",
-    # -- slots 18-50: oldest r03-only cohort (33 of 48): the TPC-H pack
+    # -- slots 19-50: oldest r03-only cohort (32 of 48): the TPC-H pack
     # tail, the drift/ks family, corpus/text r03 queries, and the
     # clustering/ANN scale paths. After r07 records these, no registry
     # query's newest driver record is older than r03.
@@ -131,9 +134,9 @@ PRIORITY_ORDER = [
     "ivf_topk",
     "ann_multiprobe_topk",
     "kmeans_embeddings",
-    "kmeans_pp_embeddings",
     # ---------------- slot 50 boundary (driver budget) ---------------------
-    # -- remaining r03 cohort (15) = r08's front ----------------------------
+    # -- remaining r03 cohort (16) = r08's front ----------------------------
+    "kmeans_pp_embeddings",
     "range_bin_lookup",
     "order_rollup_hierarchy",
     "order_window_frames",

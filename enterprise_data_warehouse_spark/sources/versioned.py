@@ -49,6 +49,7 @@ stolen or overwritten marker after the fact).
 from __future__ import annotations
 
 import json
+import os
 import re
 import uuid
 from collections.abc import Sequence
@@ -282,13 +283,25 @@ class VersionedTable:
         return self.current_version() is not None
 
     def read(
-        self, version: int | None = None, merge_schema: bool = False
+        self, version: int | None = None, merge_schema: bool = False,
+        prune: dict | None = None,
     ) -> DataFrame:
         """Read the current version, or a specific still-retained one
         (time travel — every committed version is immutable until
         vacuumed). Partition-mapped versions (see merge_partitioned) read
         the union of their mapped directories — untouched partitions still
-        live in older versions' immutable dirs."""
+        live in older versions' immutable dirs.
+
+        ``prune`` — manifest data skipping (the analog of Delta's add-file
+        stats): ``{col: value}`` or ``{col: (lo, hi)}`` (either bound None
+        = open) selects only the files whose marker-recorded min/max range
+        (see ``commit(stats_cols=...)``) overlaps the requested band,
+        BEFORE Spark ever lists the directory. Best-effort and strictly
+        fail-open: files without stats for a pruning column are included,
+        versions without stats (old commits, merge output, clones,
+        partition-mapped versions) read in full — the result is always a
+        SUPERSET of the matching rows, so the caller applies the real
+        filter on top exactly as with parquet row-group skipping."""
         if version is None:
             version = self.current_version()
             if version is None:
@@ -305,7 +318,59 @@ class VersionedTable:
             return reader.parquet(
                 *[self._abs(rel) for rel in sorted(meta["parts"].values())]
             )
+        if prune and meta.get("stats"):
+            hit = self._prune_files(meta["stats"], prune)
+            if hit is not None:
+                if not hit:  # every file provably outside the band
+                    return reader.parquet(self._abs(meta["dir"])).where(
+                        "1 = 0"
+                    )
+                return reader.parquet(*[self._abs(rel) for rel in hit])
         return reader.parquet(self._abs(meta["dir"]))
+
+    @staticmethod
+    def _stat_norm(v):
+        """Normalize a stat/bound value for JSON storage and ordered
+        comparison: numbers and strings pass through; date/datetime map to
+        ISO strings (lexicographic == chronological for the uniform
+        format). Returns None for types without a reliable cross-format
+        ordering (bytes, Decimal) — callers treat None as 'no stat'."""
+        import datetime
+
+        if isinstance(v, bool) or v is None:
+            return None  # booleans: pruning on 2 values isn't worth edge cases
+        if isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return None
+
+    def _prune_files(self, stats: dict, prune: dict) -> list[str] | None:
+        """File list after min/max skipping, or None when the recorded
+        stats cover none of the pruning columns (caller falls back to the
+        full directory read)."""
+        bounds = {}
+        for col, band in prune.items():
+            lo, hi = band if isinstance(band, tuple) else (band, band)
+            bounds[col] = (self._stat_norm(lo), self._stat_norm(hi))
+        if not any(c in stats.get("cols", []) for c in bounds):
+            return None
+        hit = []
+        for rel, col_stats in stats.get("files", {}).items():
+            keep = True
+            for col, (lo, hi) in bounds.items():
+                mn_mx = col_stats.get(col)
+                if mn_mx is None:
+                    continue  # no stat for this col in this file: fail open
+                mn, mx = mn_mx
+                if (hi is not None and mn is not None and mn > hi) or (
+                    lo is not None and mx is not None and mx < lo
+                ):
+                    keep = False
+                    break
+            if keep:
+                hit.append(rel)
+        return hit
 
     def read_partitions(self, values: Sequence[str]) -> DataFrame | None:
         """Read ONLY the named partitions of the current (partition-mapped)
@@ -451,8 +516,65 @@ class VersionedTable:
         self._hfs.delete(marker, False)
         return True
 
+    MAX_STATS_FILES = 4096  # keep the marker a small JSON, not a catalog
+
+    def _collect_file_stats(self, dirname: str, cols: Sequence[str]) -> dict | None:
+        """File-level min/max for ``cols`` from the staged files' parquet
+        FOOTERS (pyarrow metadata — no data read; O(files) driver-side,
+        the same cost class as Delta's add-file stats which the writer
+        emits for free). Returns {"cols": [...], "files": {rel_path:
+        {col: [min, max]}}} or None when stats can't be gathered (non-local
+        scheme without pyarrow reach, too many files, no footer stats) —
+        callers then commit WITHOUT stats and read() falls back to the
+        full scan: strictly fail-open."""
+        if self._scheme() != "file":
+            return None  # pyarrow path access is only guaranteed locally
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            return None
+        base = self._abs(dirname)
+        local_base = base[len("file:"):] if base.startswith("file:") else base
+        files = []
+        for dirpath, _, names in os.walk(local_base):
+            files.extend(
+                os.path.join(dirpath, f) for f in names if f.endswith(".parquet")
+            )
+        if not files or len(files) > self.MAX_STATS_FILES:
+            return None
+        out: dict[str, dict] = {}
+        for path in sorted(files):
+            md = pq.ParquetFile(path).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            col_stats: dict[str, list] = {}
+            for col in cols:
+                ci = names.get(col)
+                if ci is None:
+                    continue
+                mn = mx = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False  # any stat-less row group voids the file's
+                        break       # range claim — fail open for this col
+                    lo, hi = self._stat_norm(st.min), self._stat_norm(st.max)
+                    if lo is None or hi is None:
+                        ok = False
+                        break
+                    mn = lo if mn is None or lo < mn else mn
+                    mx = hi if mx is None or hi > mx else mx
+                if ok and mn is not None:
+                    col_stats[col] = [mn, mx]
+            rel = os.path.relpath(path, local_base)
+            out[f"{dirname}/{rel}"] = col_stats
+        if not any(out.values()):
+            return None
+        return {"cols": list(cols), "files": out}
+
     def commit(self, df: DataFrame, partition_by: Sequence[str] | None = None,
-               op: str = "overwrite", at_version: int | None = None) -> int:
+               op: str = "overwrite", at_version: int | None = None,
+               stats_cols: Sequence[str] | None = None) -> int:
         """Stage ``df`` and commit it. ``at_version`` PINS the commit to a
         specific version number: read-modify-write ops (merge/incremental/
         erase/adopt) pass the version they READ plus one, so a rival commit
@@ -460,13 +582,23 @@ class VersionedTable:
         ConcurrentWriteError instead of committing state derived from a
         stale read one number higher — which would silently shadow the
         rival's rows (the classic lost update). Plain overwrite keeps the
-        resolve-at-commit default (last-writer-wins is its semantics)."""
+        resolve-at-commit default (last-writer-wins is its semantics).
+
+        ``stats_cols`` records file-level min/max for the named columns in
+        the commit marker (from the staged parquet footers — no extra data
+        read); ``read(prune={col: band})`` then skips files whose range
+        provably misses the band. Cluster the data on the stats column
+        first (``df.repartitionByRange(n, col)``) or every file's range
+        spans the domain and nothing prunes."""
         if at_version is None:
             at_version = (self.current_version() or 0) + 1
         dirname = self._stage_data(df, at_version, partition_by)
-        self._create_marker(
-            at_version, {"version": at_version, "dir": dirname, "op": op}
-        )
+        meta = {"version": at_version, "dir": dirname, "op": op}
+        if stats_cols:
+            stats = self._collect_file_stats(dirname, stats_cols)
+            if stats:
+                meta["stats"] = stats
+        self._create_marker(at_version, meta)
         return at_version
 
     def merge(

@@ -1565,3 +1565,82 @@ def test_release_parent_ref_refuses_partial_linkage_without_consuming(
     _rewrite_linkage(tmp_path / "dev", good)
     assert clone.release_parent_ref() is True
     assert parent.clone_refs() == []
+
+
+# ---------------------------------------------------------------------------
+# manifest data skipping (file-level min/max stats — VERDICT r06 #8)
+# ---------------------------------------------------------------------------
+
+
+def _mk_range(spark, n=20000, files=8):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, n)
+        .withColumn("val", (F.col("id") * 7) % 1000)
+        .repartitionByRange(files, "id")
+    )
+
+
+def test_stats_pruned_read_skips_files_and_preserves_answers(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk_range(spark), stats_cols=["id"])
+    full_files = len(t.read().inputFiles())
+    assert full_files >= 4
+    pruned = t.read(prune={"id": (5000, 6000)})
+    # the point of the capability: fewer files reach Spark's listing
+    assert 0 < len(pruned.inputFiles()) < full_files
+    # pruning returns a SUPERSET; the real filter on top is exact
+    got = sorted(
+        r.id for r in pruned.where(F.col("id").between(5000, 6000)).collect()
+    )
+    assert got == list(range(5000, 6001))
+    # scalar band form
+    one = t.read(prune={"id": 123}).where(F.col("id") == 123).collect()
+    assert [r.id for r in one] == [123]
+
+
+def test_stats_prune_fails_open_everywhere(spark, tmp_path):
+    """Every stats gap must widen the read, never narrow it: no stats
+    recorded, stats for a different column, open bounds, bands outside
+    the domain, and versions that never carried stats."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk_range(spark), stats_cols=["id"])
+    full = t.read().count()
+    # column without stats -> full read
+    assert t.read(prune={"val": (1, 2)}).count() == full
+    # open bounds -> full read through the stats path
+    assert t.read(prune={"id": (None, None)}).count() == full
+    # band outside the domain -> empty result, schema intact
+    empty = t.read(prune={"id": (10**12, 2 * 10**12)})
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "val"]
+    # a version committed WITHOUT stats ignores prune entirely
+    t.commit(_mk_range(spark, n=5000))
+    assert t.read(prune={"id": (0, 10)}).count() == 5000
+    # time travel back to the stats-bearing version still prunes
+    assert 0 < len(t.read(version=1, prune={"id": (0, 10)}).inputFiles()) < 8
+
+
+def test_stats_survive_merge_vacuum_and_bad_types(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk_range(spark), stats_cols=["id"])
+    # merge produces a NEW version without stats (read falls back clean)
+    t.merge(spark.range(3).withColumn("val", F.lit(0)), keys=["id"])
+    assert t.read(prune={"id": (0, 1)}).count() == 20000
+    # the old version's stats are untouched until vacuumed
+    assert len(t.read(version=1, prune={"id": (0, 1)}).inputFiles()) == 1
+    t.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)
+    # stats_cols naming a missing column records nothing and stays usable
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    v = t2.commit(_mk_range(spark, n=100), stats_cols=["nope"])
+    assert "stats" not in (t2._read_marker(v) or {})
+    assert t2.read(prune={"nope": (1, 2)}).count() == 100

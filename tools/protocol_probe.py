@@ -134,12 +134,59 @@ def probe_clone(spark, sf: str) -> None:
     shutil.rmtree(WORK, ignore_errors=True)
 
 
+def probe_stats_pruning(spark, sf: str) -> None:
+    """Manifest data skipping: a point lookup on a range-clustered table
+    committed with stats_cols should read ~1 file and stay near-FLAT
+    across the 10× decade, while the unpruned lookup's scan cost tracks
+    the table. (Both still apply the same real filter — pruning only
+    changes which files Spark lists.)"""
+    from pyspark.sql import functions as F
+
+    root = WORK / f"stats_sf{sf.replace('.', '_')}"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, SF_DIRS[sf], "orders")
+    t = VersionedTable(spark, str(root))
+    t.commit(orders.repartitionByRange(32, "o_orderkey"),
+             stats_cols=["o_orderkey"])
+    band = (1000, 2000)
+
+    def lookup(prune):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = t.read(prune={"o_orderkey": band} if prune else None)
+            n = df.where(F.col("o_orderkey").between(*band)).count()
+            best = min(best, time.perf_counter() - t0)
+        files = len(
+            t.read(prune={"o_orderkey": band} if prune else None).inputFiles()
+        )
+        return best, files, n
+
+    full_s, full_files, n1 = lookup(False)
+    pruned_s, pruned_files, n2 = lookup(True)
+    assert n1 == n2, (n1, n2)
+    print(
+        f"sf{sf:<5}{orders.count():>9}{full_files:>7}f{full_s:>9.2f}s"
+        f"{pruned_files:>7}f{pruned_s:>9.2f}s"
+        f"{full_s / pruned_s:>9.1f}x  rows={n1}"
+    )
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
 def main() -> None:
     # one leg per invocation (each prints immediately):
     #   python tools/protocol_probe.py 0.1 12
     #   python tools/protocol_probe.py 1   12     (10× table, same merge/vacuum work)
     #   python tools/protocol_probe.py 0.1 60     (5× versions, same table)
     #   python tools/protocol_probe.py clone 0.1  (zero-copy clone leg)
+    #   python tools/protocol_probe.py stats 0.1  (data-skipping leg)
+    if len(sys.argv) > 1 and sys.argv[1] == "stats":
+        sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
+        spark = get_spark("protocol-probe")
+        print(f"{'probe':<7}{'rows':>9}{'full':>8}{'t_full':>10}"
+              f"{'pruned':>8}{'t_pruned':>10}{'speedup':>10}")
+        probe_stats_pruning(spark, sf)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "clone":
         sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
         spark = get_spark("protocol-probe")
