@@ -601,6 +601,17 @@ class VersionedTable:
         self._create_marker(at_version, meta)
         return at_version
 
+    def _inherited_stats_cols(self, version: int | None) -> list[str] | None:
+        """Stats columns the given version's marker carries — maintenance
+        ops (merge/compact) re-record stats for the SAME columns so a
+        table that opted into data skipping keeps it across its whole
+        maintenance lifecycle, the way Delta's writer keeps emitting
+        add-file stats."""
+        if version is None:
+            return None
+        meta = self._live_meta(version)
+        return (meta or {}).get("stats", {}).get("cols") or None
+
     def merge(
         self, src: DataFrame, keys: Sequence[str], evolve_schema: bool = False
     ) -> int:
@@ -612,14 +623,21 @@ class VersionedTable:
 
         The commit is PINNED to read_version+1 (see commit): a rival
         landing between our read and our commit raises ConcurrentWriteError
-        so the caller re-derives — never a silent lost update."""
+        so the caller re-derives — never a silent lost update.
+
+        Data-skipping stats are INHERITED: if the current version's marker
+        records stats columns, the merged commit records them too (merge
+        output is not re-clustered, so file ranges may widen until the
+        next compact() restores the clustering — pruning stays correct
+        either way, it is fail-open)."""
         current = self.current_version()
         if current is None:
             return self.commit(src, op="merge", at_version=1)
         target = self.read(version=current, merge_schema=evolve_schema)
         survivors = target.join(src.select(*keys).distinct(), list(keys), "left_anti")
         merged = src.unionByName(survivors, allowMissingColumns=evolve_schema)
-        return self.commit(merged, op="merge", at_version=current + 1)
+        return self.commit(merged, op="merge", at_version=current + 1,
+                           stats_cols=self._inherited_stats_cols(current))
 
     def merge_partitioned(
         self, src: DataFrame, keys: Sequence[str], partition_col: str
@@ -1090,8 +1108,19 @@ class VersionedTable:
                 continue
             n_files = max(1, -(-n_bytes // max(1, target_file_bytes)))
             try:
-                df = self.read(version=current).repartition(n_files)
-                version = self.commit(df, op="compact", at_version=current + 1)
+                df = self.read(version=current)
+                stats_cols = self._inherited_stats_cols(current)
+                if stats_cols:
+                    # re-establish range clustering on the stats columns so
+                    # the rewrite RESTORES data skipping's selectivity
+                    # (Delta OPTIMIZE-with-ZORDER analog): merges append
+                    # wide-range files; compaction is the natural place to
+                    # narrow them back
+                    df = df.repartitionByRange(n_files, *stats_cols)
+                else:
+                    df = df.repartition(n_files)
+                version = self.commit(df, op="compact", at_version=current + 1,
+                                      stats_cols=stats_cols)
             except ConcurrentWriteError as e:
                 last_err = e
                 continue

@@ -1631,9 +1631,12 @@ def test_stats_survive_merge_vacuum_and_bad_types(spark, tmp_path):
 
     t = VersionedTable(spark, str(tmp_path / "t"))
     t.commit(_mk_range(spark), stats_cols=["id"])
-    # merge produces a NEW version without stats (read falls back clean)
+    # merge INHERITS the stats columns; pruning stays answer-preserving
+    # (the 3-row delta lands in its own wide-or-narrow files)
     t.merge(spark.range(3).withColumn("val", F.lit(0)), keys=["id"])
-    assert t.read(prune={"id": (0, 1)}).count() == 20000
+    pruned = t.read(prune={"id": (0, 1)})
+    assert pruned.where(F.col("id").between(0, 1)).count() == 2
+    assert t.read().count() == 20000
     # the old version's stats are untouched until vacuumed
     assert len(t.read(version=1, prune={"id": (0, 1)}).inputFiles()) == 1
     t.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
@@ -1644,3 +1647,33 @@ def test_stats_survive_merge_vacuum_and_bad_types(spark, tmp_path):
     v = t2.commit(_mk_range(spark, n=100), stats_cols=["nope"])
     assert "stats" not in (t2._read_marker(v) or {})
     assert t2.read(prune={"nope": (1, 2)}).count() == 100
+
+
+def test_stats_inherited_through_merge_and_recluster_on_compact(spark, tmp_path):
+    """A table that opted into data skipping keeps it across maintenance:
+    merge re-records stats for the same columns (ranges may widen — the
+    delta lands unclustered), and compact() re-clusters on the stats
+    columns, restoring point-lookup selectivity."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk_range(spark), stats_cols=["id"])
+    delta = spark.range(0, 20000, 97).withColumn("val", F.lit(-1))
+    t.merge(delta, keys=["id"])
+    meta = t._read_marker(t.current_version())
+    assert meta["stats"]["cols"] == ["id"], "merge must inherit stats cols"
+    # correctness through the widened ranges (fail-open superset + filter)
+    got = sorted(
+        r.id for r in t.read(prune={"id": (5000, 5100)})
+        .where(F.col("id").between(5000, 5100)).collect()
+    )
+    assert got == list(range(5000, 5101))
+    # compact re-clusters: the pruned lookup narrows back to few files
+    t.compact(target_file_bytes=16 << 10)
+    meta2 = t._read_marker(t.current_version())
+    assert meta2["op"] == "compact" and meta2["stats"]["cols"] == ["id"]
+    full = len(t.read().inputFiles())
+    pruned = len(t.read(prune={"id": (5000, 5100)}).inputFiles())
+    assert full >= 4 and pruned <= max(1, full // 4), (pruned, full)
+    # merged values survived the whole lifecycle
+    assert t.read().where(F.col("id") == 97).collect()[0].val == -1
