@@ -15,6 +15,10 @@ r06 case (VERDICT r05 #3): scd2_customer_dim 0.72→0.97 s best-of-3 with
 an untouched body (operators/scd2.py unchanged in r05; the query performs
 no VersionedTable commits, so the r05 commit-hardening cannot be on its
 path — git log + code read).
+r07 case (VERDICT r06 #2): training_dataset 0.43→1.05 s (2.44×),
+exact_dedup 0.22→0.40 s (1.84×), ngram_jaccard_pairs 1.34→2.18 s (1.62×)
+— all bodies untouched in the r06 diff; the r06 control read 2.19 s
+(1.14× above its 1.93 record in the same session).
 
 Usage: python tools/interleave_ab.py [mover ...]
        (default movers = the current watch case; paste output into SCALING.md)
@@ -35,14 +39,17 @@ from enterprise_data_warehouse_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 CONTROL = "pricing_summary"
-DEFAULT_MOVERS = ["scd2_customer_dim"]
+DEFAULT_MOVERS = ["training_dataset", "exact_dedup", "ngram_jaccard_pairs"]
 ROUNDS = 4
 # recorded bests for context (from BENCH_r{N}.json)
 RECORD = {
-    "pricing_summary": {"prior": 1.93, "latest": 1.97},
-    "catalog_fact_sales_daily": {"prior": 2.95, "latest": 2.88},
-    "session_metrics_batch": {"prior": 0.56, "latest": 0.57},
-    "scd2_customer_dim": {"prior": 0.72, "latest": 0.97},
+    "pricing_summary": {"prior": 1.93, "latest": 2.19},
+    "catalog_fact_sales_daily": {"prior": 2.95, "latest": 3.11},
+    "session_metrics_batch": {"prior": 0.56, "latest": 0.56},
+    "scd2_customer_dim": {"prior": 0.72, "latest": 0.87},
+    "training_dataset": {"prior": 0.43, "latest": 1.05},
+    "exact_dedup": {"prior": 0.22, "latest": 0.40},
+    "ngram_jaccard_pairs": {"prior": 1.34, "latest": 2.18},
 }
 
 
