@@ -1048,6 +1048,27 @@ class VersionedTable:
         _, src_fs = _fs(self.spark, source)
         ref = self._jvm.org.apache.hadoop.fs.Path(f"{source}/_refs/{token}.json")
         released = bool(src_fs.delete(ref, False))
+        if not released:
+            # The linkage may carry a DEAD rival's token: a losing clone
+            # racer can overwrite _clone.json after the winner's re-assert
+            # (its own cleanup deliberately never deletes the file). Fall
+            # back to scanning the parent's _refs for refs registered for
+            # THIS dest — two live clones can never share a dest (marker
+            # win is exclusive), so any such ref is ours or a dead
+            # loser's leftover; releasing them all is safe and un-leaks
+            # the winner's ref that the clobbered token was hiding.
+            refs_dir = self._jvm.org.apache.hadoop.fs.Path(f"{source}/_refs")
+            try:
+                if src_fs.exists(refs_dir):
+                    for st in src_fs.listStatus(refs_dir):
+                        p = st.getPath()
+                        if not p.getName().endswith(".json"):
+                            continue
+                        meta = self._read_json(p) or {}
+                        if meta.get("dest") == self.root:
+                            released = bool(src_fs.delete(p, False)) or released
+            except Exception:
+                pass  # best-effort fallback; the token path already failed
         self._hfs.delete(link_path, False)  # linkage spent either way
         return released
 

@@ -1677,3 +1677,23 @@ def test_stats_inherited_through_merge_and_recluster_on_compact(spark, tmp_path)
     assert full >= 4 and pruned <= max(1, full // 4), (pruned, full)
     # merged values survived the whole lifecycle
     assert t.read().where(F.col("id") == 97).collect()[0].val == -1
+
+
+def test_release_parent_ref_recovers_from_clobbered_linkage(spark, tmp_path):
+    """A losing clone racer can overwrite _clone.json with its own (dead)
+    token after the winner's re-assert. release_parent_ref must then fall
+    back to scanning the parent's _refs for refs registered for this dest
+    and release the winner's ref — never leak it behind the dead token."""
+    parent = VersionedTable(spark, str(tmp_path / "p"))
+    parent.commit(_mk(spark, [(1, "a")]))
+    clone = parent.clone(str(tmp_path / "dev"))
+    clone.compact()
+    clone.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
+    assert len(parent.clone_refs()) == 1
+    # simulate the loser's stale overwrite: same source, dead rival token
+    _rewrite_linkage(tmp_path / "dev",
+                     {"source": str(tmp_path / "p"), "ref": "deadrival"})
+    assert clone.release_parent_ref() is True
+    assert parent.clone_refs() == []
+    # linkage is spent; a second release is a clean no-op
+    assert clone.release_parent_ref() is False
