@@ -976,7 +976,12 @@ def test_mixed_op_soak_under_concurrency(spark, tmp_path):
 
     path = str(tmp_path / "t")
     t = VersionedTable(spark, path)
-    t.commit(_mk(spark, [(0, "base")]))
+    # stats_cols on the base commit: every soak merge then INHERITS the
+    # stats (footer reads between stage and marker, racing the vacuum
+    # loop) and every compaction re-clusters on them — the r07
+    # data-skipping surface runs under the same concurrency hammer as
+    # the rest of the protocol
+    t.commit(_mk(spark, [(0, "base")]), stats_cols=["id"])
 
     N_WRITERS, N_MERGES, N_COMPACTS, N_VACUUMS = 3, 5, 3, 5
     errors: list[str] = []
@@ -1061,6 +1066,16 @@ def test_mixed_op_soak_under_concurrency(spark, tmp_path):
     assert _rows(t.read()) == expect
     # every merge and compaction produced its own committed version
     assert t.current_version() == 1 + N_WRITERS * N_MERGES + N_COMPACTS
+
+    # the stats inheritance chain survived the whole soak: the final
+    # version (a merge or compact commit) still carries stats for "id"
+    # and a pruned point-read answers exactly
+    final_meta = t._read_marker(t.current_version())
+    assert final_meta["stats"]["cols"] == ["id"], final_meta.get("stats")
+    got = {
+        (r.id, r.val) for r in t.read(prune={"id": 0}).where("id = 0").collect()
+    }
+    assert got == {(0, "base")}
 
     # quiesced full vacuum: reclaim everything but current, content intact
     res = t.vacuum(keep=1, orphan_grace_ms=0, supersede_grace_ms=0)
