@@ -318,8 +318,8 @@ class VersionedTable:
             return reader.parquet(
                 *[self._abs(rel) for rel in sorted(meta["parts"].values())]
             )
-        if prune and meta.get("stats"):
-            hit = self._prune_files(meta["stats"], prune)
+        if prune and (meta.get("stats") or meta.get("bloom")):
+            hit = self._skip_files(meta, prune)
             if hit is not None:
                 if not hit:  # every file provably outside the band
                     return reader.parquet(self._abs(meta["dir"])).where(
@@ -344,6 +344,75 @@ class VersionedTable:
         if isinstance(v, (datetime.datetime, datetime.date)):
             return v.isoformat()
         return None
+
+    def _bloom_positions(self, value, dtype: str, m: int, k: int):
+        """The k bloom bit positions for a probe value — computed with the
+        SAME JVM xxhash64 the write-side pass used. xxhash64 is
+        type-sensitive, so the probe literal is cast to the RECORDED column
+        dtype; an un-castable probe returns None (fail open)."""
+        try:
+            lit = F.lit(value).cast(dtype)
+            row = self.spark.range(1).select(
+                *[F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(m)).alias(f"p{i}")
+                  for i in range(k)]
+            ).first()
+            return [row[f"p{i}"] for i in range(k)]
+        except Exception:
+            return None
+
+    def _skip_files(self, meta: dict, prune: dict) -> list[str] | None:
+        """Combined manifest file skipping: min/max range stats first (see
+        _prune_files), then bloom membership for POINT predicates on
+        bloom-indexed columns. Returns None when the marker carries no
+        applicable skipping info (caller reads the full directory)."""
+        hit = self._prune_files(meta["stats"], prune) if meta.get("stats") else None
+        bloom = meta.get("bloom")
+        if not bloom:
+            return hit
+        points = {}
+        for colname, band in prune.items():
+            lo, hi = band if isinstance(band, tuple) else (band, band)
+            if lo is not None and lo == hi and colname in bloom.get("cols", {}):
+                points[colname] = lo
+        if not points:
+            return hit
+        side = self._read_json(self._anypath(bloom["path"]))
+        files = (side or {}).get("files")
+        if not files:
+            return hit  # sidecar missing/corrupt: bloom contributes nothing
+        import base64
+
+        import numpy as np
+
+        m, k = bloom["m"], bloom["k"]
+        probe = {
+            c: self._bloom_positions(v, bloom["cols"][c], m, k)
+            for c, v in points.items()
+        }
+        cand = hit if hit is not None else sorted(files)
+        kept = []
+        for rel in cand:
+            fb = files.get(rel)
+            keep = True
+            if fb:  # a file absent from the sidecar is kept (fail open)
+                for colname, positions in probe.items():
+                    b64 = fb.get(colname)
+                    if not b64 or positions is None:
+                        continue
+                    try:
+                        bits = np.unpackbits(
+                            np.frombuffer(base64.b64decode(b64), np.uint8)
+                        )
+                        if len(bits) < m:
+                            continue  # malformed bitmap: fail open
+                    except Exception:
+                        continue
+                    if not all(bits[p] for p in positions):
+                        keep = False  # definitely-absent: blooms have no
+                        break         # false negatives
+            if keep:
+                kept.append(rel)
+        return kept
 
     def _prune_files(self, stats: dict, prune: dict) -> list[str] | None:
         """File list after min/max skipping, or None when the recorded
@@ -572,9 +641,75 @@ class VersionedTable:
             return None
         return {"cols": list(cols), "files": out}
 
+    def _collect_file_blooms(self, dirname: str, cols: Sequence[str],
+                             m: int, k: int) -> dict | None:
+        """Per-file bloom bitmaps for ``cols``, computed DISTRIBUTED: one
+        Spark aggregation over the staged files (JVM xxhash64, k seeds,
+        explode → per-file collect_set of bit positions, bounded by m) —
+        never a driver-side data read, so the pass scales with the
+        cluster like the write itself. Returns {"m", "k", "cols":
+        {col: dtype}, "files": {rel: {col: b64bitmap}}} or None (no
+        indexable column / too many files) — callers then commit without
+        a bloom: strictly fail-open."""
+        import base64
+
+        import numpy as np
+
+        base = self._abs(dirname)
+        try:
+            df = self.spark.read.parquet(base)
+        except Exception:
+            return None
+        present = [c for c in cols if c in df.columns]
+        if not present:
+            return None
+        meta: dict = {"m": m, "k": k, "cols": {}, "files": {}}
+        needle = f"/{dirname}/"
+        for c in present:
+            meta["cols"][c] = df.schema[c].dataType.simpleString()
+            pos = F.explode(F.array(*[
+                F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m))
+                for i in range(k)
+            ])).alias("_p")
+            agg = (
+                df.select(F.input_file_name().alias("_f"), F.col(c))
+                .where(F.col(c).isNotNull())
+                .select("_f", pos)
+                .groupBy("_f")
+                .agg(F.collect_set("_p").alias("_ps"))
+            )
+            rows = agg.collect()
+            if len(rows) > self.MAX_STATS_FILES:
+                return None
+            for r in rows:
+                at = r["_f"].find(needle)
+                if at == -1:
+                    return None  # unexpected layout: no bloom at all
+                rel = f"{dirname}/{r['_f'][at + len(needle):]}"
+                bits = np.zeros(m, dtype=bool)
+                bits[np.asarray(r["_ps"], dtype=np.int64)] = True
+                meta["files"].setdefault(rel, {})[c] = base64.b64encode(
+                    np.packbits(bits)
+                ).decode()
+        return meta if meta["files"] else None
+
+    def _write_bloom_sidecar(self, dirname: str, bloom: dict) -> str:
+        """Write the bloom bitmaps INSIDE the immutable version dir (Spark
+        ignores underscore-prefixed files, vacuum reaps it with the dir,
+        zero extra GC surface). Returns the root-relative path."""
+        rel = f"{dirname}/_bloom.json"
+        out = self._hfs.create(self._path(rel), True)
+        try:
+            out.write(bytearray(json.dumps(bloom, sort_keys=True), "utf-8"))
+        finally:
+            out.close()
+        return rel
+
     def commit(self, df: DataFrame, partition_by: Sequence[str] | None = None,
                op: str = "overwrite", at_version: int | None = None,
-               stats_cols: Sequence[str] | None = None) -> int:
+               stats_cols: Sequence[str] | None = None,
+               bloom_cols: Sequence[str] | None = None,
+               bloom_bits: int = 65536, bloom_hashes: int = 5) -> int:
         """Stage ``df`` and commit it. ``at_version`` PINS the commit to a
         specific version number: read-modify-write ops (merge/incremental/
         erase/adopt) pass the version they READ plus one, so a rival commit
@@ -589,7 +724,17 @@ class VersionedTable:
         read); ``read(prune={col: band})`` then skips files whose range
         provably misses the band. Cluster the data on the stats column
         first (``df.repartitionByRange(n, col)``) or every file's range
-        spans the domain and nothing prunes."""
+        spans the domain and nothing prunes.
+
+        ``bloom_cols`` additionally builds per-file bloom bitmaps
+        (``bloom_bits`` bits, ``bloom_hashes`` JVM-xxhash64 probes — 8 KB
+        per file-column at the defaults, good for ~13K distinct values
+        per file at ~9% FPP; size ``bloom_bits`` at ~5 bits per expected
+        distinct value per file. Stored in a ``_bloom.json`` sidecar
+        inside the version dir) so POINT lookups skip files even on
+        columns the layout is NOT clustered by — the Delta bloom-index /
+        Snowflake search-optimization analog. Min/max wants clustering;
+        blooms don't care. Both are fail-open supersets."""
         if at_version is None:
             at_version = (self.current_version() or 0) + 1
         dirname = self._stage_data(df, at_version, partition_by)
@@ -598,6 +743,14 @@ class VersionedTable:
             stats = self._collect_file_stats(dirname, stats_cols)
             if stats:
                 meta["stats"] = stats
+        if bloom_cols:
+            bloom = self._collect_file_blooms(
+                dirname, bloom_cols, bloom_bits, bloom_hashes)
+            if bloom:
+                meta["bloom"] = {
+                    "m": bloom["m"], "k": bloom["k"], "cols": bloom["cols"],
+                    "path": self._write_bloom_sidecar(dirname, bloom),
+                }
         self._create_marker(at_version, meta)
         return at_version
 
@@ -611,6 +764,20 @@ class VersionedTable:
             return None
         meta = self._live_meta(version)
         return (meta or {}).get("stats", {}).get("cols") or None
+
+    def _inherited_bloom(self, version: int | None) -> dict:
+        """commit() kwargs reproducing the given version's bloom index
+        (same columns, same geometry) — maintenance ops pass these through
+        so point-lookup skipping survives merges and compactions. The
+        bloom pass is one extra map-side column-hash job over data the op
+        is already rewriting in full."""
+        if version is None:
+            return {}
+        b = (self._live_meta(version) or {}).get("bloom")
+        if not b:
+            return {}
+        return {"bloom_cols": list(b["cols"]), "bloom_bits": b["m"],
+                "bloom_hashes": b["k"]}
 
     def merge(
         self, src: DataFrame, keys: Sequence[str], evolve_schema: bool = False
@@ -637,7 +804,8 @@ class VersionedTable:
         survivors = target.join(src.select(*keys).distinct(), list(keys), "left_anti")
         merged = src.unionByName(survivors, allowMissingColumns=evolve_schema)
         return self.commit(merged, op="merge", at_version=current + 1,
-                           stats_cols=self._inherited_stats_cols(current))
+                           stats_cols=self._inherited_stats_cols(current),
+                           **self._inherited_bloom(current))
 
     def merge_partitioned(
         self, src: DataFrame, keys: Sequence[str], partition_col: str
@@ -1141,7 +1309,8 @@ class VersionedTable:
                 else:
                     df = df.repartition(n_files)
                 version = self.commit(df, op="compact", at_version=current + 1,
-                                      stats_cols=stats_cols)
+                                      stats_cols=stats_cols,
+                                      **self._inherited_bloom(current))
             except ConcurrentWriteError as e:
                 last_err = e
                 continue

@@ -1712,3 +1712,112 @@ def test_release_parent_ref_recovers_from_clobbered_linkage(spark, tmp_path):
     assert parent.clone_refs() == []
     # linkage is spent; a second release is a clean no-op
     assert clone.release_parent_ref() is False
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter file skipping (point lookups on UNclustered columns)
+# ---------------------------------------------------------------------------
+
+
+def _mk_bloomed(spark, tmp_path, n=60000, files=8):
+    from pyspark.sql import functions as F
+
+    # each user_id occurs ~4 times TOTAL, scattered across files (a point
+    # lookup's true file set is small — the case blooms exist for); the
+    # layout is clustered on id, NOT user_id, so min/max can't help
+    df = (
+        spark.range(0, n)
+        .withColumn(
+            "user_id",
+            F.concat(F.lit("u"),
+                     ((F.col("id") * 2654435761) % (n // 4 + 1)).cast("string")),
+        )
+        .repartitionByRange(files, "id")
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(df, stats_cols=["id"], bloom_cols=["user_id"])
+    return t
+
+
+def test_bloom_point_lookup_skips_files_and_preserves_answers(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _mk_bloomed(spark, tmp_path)
+    full = t.read()
+    n_full = len(full.inputFiles())
+    assert n_full >= 4
+    probe = "u777"
+    pruned = t.read(prune={"user_id": probe})
+    assert len(pruned.inputFiles()) < n_full, "bloom must skip some files"
+    a = sorted(r.id for r in pruned.where(F.col("user_id") == probe).collect())
+    b = sorted(r.id for r in full.where(F.col("user_id") == probe).collect())
+    assert a == b and a, "bloom pruning must be answer-preserving"
+    # absent value: most files skipped, the filtered result is empty
+    miss = t.read(prune={"user_id": "u99999999"})
+    assert miss.where(F.col("user_id") == "u99999999").count() == 0
+    # composes with min/max stats in one prune dict
+    both = t.read(prune={"id": (0, 5000), "user_id": probe})
+    assert len(both.inputFiles()) <= len(pruned.inputFiles())
+
+
+def test_bloom_fails_open_everywhere(spark, tmp_path):
+    import json as _json
+    import os
+
+    t = _mk_bloomed(spark, tmp_path)
+    n = t.read().count()
+    # a RANGE band on the bloom column cannot use the bloom (membership
+    # only answers points) -> full read, full answer
+    assert t.read(prune={"user_id": ("u0", "u9")}).count() == n
+    # sidecar deleted out from under the marker -> full read
+    meta = t._read_marker(1)
+    side = os.path.join(str(tmp_path / "t"), meta["bloom"]["path"])
+    os.remove(side)
+    crc = os.path.join(os.path.dirname(side), "._bloom.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert t.read(prune={"user_id": "u777"}).count() == n
+    # corrupt sidecar (parseable, wrong shape) -> full read
+    with open(side, "w") as f:
+        _json.dump({"files": None}, f)
+    assert t.read(prune={"user_id": "u777"}).count() == n
+
+
+def test_bloom_inherited_through_merge_and_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _mk_bloomed(spark, tmp_path, n=20000, files=4)
+    delta = (
+        spark.range(0, 5)
+        .withColumn("user_id", F.lit("brandnew"))
+    )
+    t.merge(delta, keys=["id"])
+    m = t._read_marker(t.current_version())
+    assert "bloom" in m and list(m["bloom"]["cols"]) == ["user_id"]
+    found = t.read(prune={"user_id": "brandnew"}).where(
+        "user_id = 'brandnew'"
+    ).count()
+    assert found == 5, "merged rows must be findable through the new bloom"
+    t.compact(target_file_bytes=1 << 20)
+    m2 = t._read_marker(t.current_version())
+    assert m2["op"] == "compact" and "bloom" in m2
+    assert t.read(prune={"user_id": "brandnew"}).where(
+        "user_id = 'brandnew'"
+    ).count() == 5
+
+
+def test_bloom_int_column_probe_casts_to_recorded_dtype(spark, tmp_path):
+    """xxhash64 is type-sensitive: probing an int64 column with a Python
+    int must hash under the RECORDED dtype, not whatever lit() infers."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20000).withColumn(
+        "k", (F.col("id") * 7919) % 1013
+    ).repartitionByRange(4, "id")
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(df, bloom_cols=["k"])
+    got = sorted(
+        r.id for r in t.read(prune={"k": 500}).where("k = 500").collect()
+    )
+    want = sorted(r.id for r in t.read().where("k = 500").collect())
+    assert got == want and got

@@ -173,6 +173,48 @@ def probe_stats_pruning(spark, sf: str) -> None:
     shutil.rmtree(WORK, ignore_errors=True)
 
 
+def probe_bloom_pruning(spark, sf: str) -> None:
+    """Bloom file skipping: a point lookup on a column the layout is NOT
+    clustered by (o_custkey; files are ranged on o_orderkey, so min/max
+    stats are useless for this probe) should touch only the few files
+    that actually hold the customer's orders plus the bloom's false
+    positives. bloom_bits follows the ~5-bits-per-distinct-value-per-file
+    sizing rule."""
+    from pyspark.sql import functions as F
+
+    root = WORK / f"bloom_sf{sf.replace('.', '_')}"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, SF_DIRS[sf], "orders")
+    n = orders.count()
+    per_file_distinct = n // 32  # ~1 order/customer-row per file
+    m = 1 << max(16, (per_file_distinct * 5).bit_length())
+    t = VersionedTable(spark, str(root))
+    t.commit(orders.repartitionByRange(32, "o_orderkey"),
+             bloom_cols=["o_custkey"], bloom_bits=m)
+    probe = 733  # a mid-range custkey present at both SFs
+
+    def lookup(prune):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = t.read(prune={"o_custkey": probe} if prune else None)
+            cnt = df.where(F.col("o_custkey") == probe).count()
+            best = min(best, time.perf_counter() - t0)
+        files = len(
+            t.read(prune={"o_custkey": probe} if prune else None).inputFiles()
+        )
+        return best, files, cnt
+
+    full_s, full_files, n1 = lookup(False)
+    pruned_s, pruned_files, n2 = lookup(True)
+    assert n1 == n2, (n1, n2)
+    print(
+        f"sf{sf:<5}{n:>9}  m={m:>7}{full_files:>6}f{full_s:>9.2f}s"
+        f"{pruned_files:>6}f{pruned_s:>9.2f}s  rows={n1}"
+    )
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
 def main() -> None:
     # one leg per invocation (each prints immediately):
     #   python tools/protocol_probe.py 0.1 12
@@ -180,6 +222,14 @@ def main() -> None:
     #   python tools/protocol_probe.py 0.1 60     (5× versions, same table)
     #   python tools/protocol_probe.py clone 0.1  (zero-copy clone leg)
     #   python tools/protocol_probe.py stats 0.1  (data-skipping leg)
+    #   python tools/protocol_probe.py bloom 0.1  (bloom point-lookup leg)
+    if len(sys.argv) > 1 and sys.argv[1] == "bloom":
+        sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
+        spark = get_spark("protocol-probe")
+        print(f"{'probe':<7}{'rows':>9}{'bits':>10}{'full':>7}{'t_full':>10}"
+              f"{'pruned':>7}{'t_pruned':>10}")
+        probe_bloom_pruning(spark, sf)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "stats":
         sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
         spark = get_spark("protocol-probe")
