@@ -19,6 +19,11 @@ Commands:
   table-release-ref <path>  — drop a clone's pin on its parent (refuses
                               while any retained version still reads
                               parent storage)
+  table-skipping <path> [--version N]
+                            — the version's data-skipping metadata: stats
+                              columns + per-file min/max ranges, bloom
+                              geometry + sidecar size (what read(prune=)
+                              will use)
 """
 
 from __future__ import annotations
@@ -50,13 +55,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--version", type=int, default=None)
     p = sub.add_parser("table-compact")
     p.add_argument("path")
+    p = sub.add_parser("table-skipping")
+    p.add_argument("path")
+    p.add_argument("--version", type=int, default=None)
     p = sub.add_parser("table-release-ref")
     p.add_argument("path")
     args = ap.parse_args(argv)
 
     table_cmds = (
         "table-history", "table-vacuum", "table-clone", "table-compact",
-        "table-release-ref",
+        "table-release-ref", "table-skipping",
     )
     if args.cmd in table_cmds:
         import json
@@ -78,6 +86,12 @@ def main(argv: list[str] | None = None) -> int:
             ))
         elif args.cmd == "table-compact":
             print(json.dumps(t.compact(), sort_keys=True))
+        elif args.cmd == "table-skipping":
+            v = args.version if args.version is not None else t.current_version()
+            meta = t._read_marker(v) or {}
+            out = {"version": v, "stats": meta.get("stats"),
+                   "bloom": meta.get("bloom")}
+            print(json.dumps(out, sort_keys=True))
         else:
             print(json.dumps({"released": t.release_parent_ref()}))
         spark.stop()
