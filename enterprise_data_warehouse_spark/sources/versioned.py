@@ -389,6 +389,11 @@ class VersionedTable:
             c: self._bloom_positions(v, bloom["cols"][c], m, k)
             for c, v in points.items()
         }
+        # When stats produced no candidate list, the sidecar's keys ARE the
+        # inventory. A file whose bloom column is entirely NULL never
+        # enters the sidecar and is therefore excluded here — deliberately
+        # safe for point predicates: a NULL can never equal the probe
+        # value, so no matching row can live in such a file.
         cand = hit if hit is not None else sorted(files)
         kept = []
         for rel in cand:
