@@ -17,7 +17,10 @@ deliberately-quadratic exactness baselines whose scale-path twins ARE
 swept — `embedding_near_dup` (scale path: semantic_dedup) and
 `ann_lsh_verified` (scale paths: ann_multiprobe_topk, ivf_topk).
 
-Usage: python tools/sweep_sf1.py [--names q1 q2 ...]   (default: all)
+Usage: python tools/sweep_sf1.py [--resume] [--names q1 q2 ...]
+       (default: all oracle-paired queries; --resume skips queries whose
+       existing SWEEP_SF1.json record already passed, so an interrupted
+       multi-hour sweep continues instead of restarting)
 """
 
 from __future__ import annotations
@@ -63,10 +66,26 @@ def main() -> int:
 
     ensure_sf1()
     registry = load_registry()
-    if len(sys.argv) > 2 and sys.argv[1] == "--names":
-        names = sys.argv[2:]
+    argv = sys.argv[1:]
+    resume = "--resume" in argv
+    if resume:
+        argv.remove("--resume")
+    subset = bool(argv) and argv[0] == "--names"
+    if subset:
+        names = argv[1:]
     else:
         names = [n for n, s in registry.items() if s.oracle is not None]
+
+    # prior records serve two purposes: --resume skips already-passed
+    # queries, and a --names subset run MERGES into the existing summary
+    # instead of clobbering the full-registry record
+    prior: dict[str, dict] = {}
+    out = REPO / "SWEEP_SF1.json"
+    if (resume or subset) and out.exists():
+        try:
+            prior = json.loads(out.read_text()).get("queries", {})
+        except (OSError, ValueError):
+            prior = {}
 
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
@@ -87,6 +106,10 @@ def main() -> int:
     results: dict[str, dict] = {}
     n_pass = n_fail = 0
     for name in names:
+        if resume and prior.get(name, {}).get("status") == "pass":
+            results[name] = prior[name]
+            n_pass += 1
+            continue
         if name in ALLOWLIST:
             results[name] = {"status": "allowlisted", "why": ALLOWLIST[name]}
             print(f"SKIP {name}: {ALLOWLIST[name]}", flush=True)
@@ -131,22 +154,27 @@ def main() -> int:
             n_pass += 1
             print(f"PASS {name} ({len(srows)} rows, {dt}s)", flush=True)
 
+    merged = {**prior, **results} if subset else results
     summary = {
         "date": time.strftime("%Y-%m-%d"),
         "sf_dir": SF1_DIR,
-        "n_queries": len(names),
-        "n_pass": n_pass,
-        "n_fail": n_fail,
-        "n_allowlisted": sum(
-            1 for r in results.values() if r["status"] == "allowlisted"
+        "n_queries": len(merged),
+        "n_pass": sum(1 for r in merged.values() if r["status"] == "pass"),
+        "n_fail": sum(
+            1 for r in merged.values()
+            if r["status"] not in ("pass", "allowlisted")
         ),
-        "queries": results,
+        "n_allowlisted": sum(
+            1 for r in merged.values() if r["status"] == "allowlisted"
+        ),
+        "queries": merged,
     }
-    out = REPO / "SWEEP_SF1.json"
     out.write_text(json.dumps(summary, indent=1) + "\n")
     print(
-        f"== sf1 sweep: {n_pass} pass / {n_fail} fail / "
-        f"{summary['n_allowlisted']} allowlisted -> {out} =="
+        f"== sf1 sweep: ran {n_pass} pass / {n_fail} fail this invocation; "
+        f"summary now {summary['n_pass']} pass / {summary['n_fail']} fail / "
+        f"{summary['n_allowlisted']} allowlisted over "
+        f"{summary['n_queries']} -> {out} =="
     )
     return 1 if n_fail else 0
 
