@@ -1821,3 +1821,51 @@ def test_bloom_int_column_probe_casts_to_recorded_dtype(spark, tmp_path):
     )
     want = sorted(r.id for r in t.read().where("k = 500").collect())
     assert got == want and got
+
+
+def test_prune_random_bands_and_points_always_answer_preserving(spark, tmp_path):
+    """Randomized correctness sweep over the skipping surface: for dozens
+    of random range bands (stats path) and point probes (bloom path,
+    hit and miss), pruned-read + filter must equal full-read + filter —
+    including bands straddling file boundaries, empty bands, and bands
+    outside the domain."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    n = 40000
+    df = (
+        spark.range(0, n)
+        .withColumn(
+            "user_id",
+            F.concat(F.lit("u"),
+                     ((F.col("id") * 2654435761) % (n // 4 + 1)).cast("string")),
+        )
+        .repartitionByRange(8, "id")
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(df, stats_cols=["id"], bloom_cols=["user_id"])
+    full = t.read()
+
+    for _ in range(25):
+        lo = int(rng.integers(-5000, n + 5000))
+        hi = lo + int(rng.integers(0, 8000))
+        want = sorted(
+            r.id for r in full.where(F.col("id").between(lo, hi)).collect()
+        )
+        got = sorted(
+            r.id for r in t.read(prune={"id": (lo, hi)})
+            .where(F.col("id").between(lo, hi)).collect()
+        )
+        assert got == want, (lo, hi, len(got), len(want))
+
+    for _ in range(15):
+        probe = f"u{int(rng.integers(0, n // 2))}"  # ~half will be misses
+        want = sorted(
+            r.id for r in full.where(F.col("user_id") == probe).collect()
+        )
+        got = sorted(
+            r.id for r in t.read(prune={"user_id": probe})
+            .where(F.col("user_id") == probe).collect()
+        )
+        assert got == want, (probe, len(got), len(want))
