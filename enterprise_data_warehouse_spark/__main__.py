@@ -88,7 +88,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(t.compact(), sort_keys=True))
         elif args.cmd == "table-skipping":
             v = args.version if args.version is not None else t.current_version()
-            meta = t._read_marker(v) or {}
+            # a table with no committed version reports cleanly (v: null)
+            meta = (t._read_marker(v) or {}) if v is not None else {}
             out = {"version": v, "stats": meta.get("stats"),
                    "bloom": meta.get("bloom")}
             print(json.dumps(out, sort_keys=True))

@@ -521,6 +521,18 @@ def decode_jpeg(payload: bytes):
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(f"invalid JPEG sampling {hi}x{vi}")
                 comps.append((cid, hi, vi, tq))
+            # the box upsampler uses integer repeat(max/this), so every
+            # component's factors must divide the maxima — legal-but-rare
+            # combos like 3x1 beside 4x1 get a clear refusal here instead
+            # of an opaque shape mismatch at stack time
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _, hi, vi, _ in comps:
+                if hmax % hi or vmax % vi:
+                    raise ValueError(
+                        f"unsupported JPEG sampling {hi}x{vi} "
+                        f"(not a divisor of max {hmax}x{vmax})"
+                    )
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

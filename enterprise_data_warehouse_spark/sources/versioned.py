@@ -92,6 +92,12 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first. Re-read and retry."""
 
 
+# process-wide memo of bloom probe bit positions: (value, dtype, m, k) ->
+# [k positions]. Deterministic (pure xxhash64), so session-scoped caching
+# is always safe; bounded at 4096 entries (~200 KB).
+_BLOOM_PROBE_CACHE: dict = {}
+
+
 class UnsupportedStoreError(RuntimeError):
     """The filesystem cannot guarantee atomic create-no-overwrite, which
     version arbitration depends on (see module docstring)."""
@@ -325,7 +331,13 @@ class VersionedTable:
                     return reader.parquet(self._abs(meta["dir"])).where(
                         "1 = 0"
                     )
-                return reader.parquet(*[self._abs(rel) for rel in hit])
+                # basePath keeps hive-partition-column discovery working
+                # when the commit used partition_by (leaf-path reads would
+                # otherwise silently drop the partition columns, breaking
+                # the superset-of-the-full-read schema contract)
+                return reader.option("basePath", self._abs(meta["dir"])).parquet(
+                    *[self._abs(rel) for rel in hit]
+                )
         return reader.parquet(self._abs(meta["dir"]))
 
     @staticmethod
@@ -339,26 +351,69 @@ class VersionedTable:
 
         if isinstance(v, bool) or v is None:
             return None  # booleans: pruning on 2 values isn't worth edge cases
+        if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+            return None  # NaN/±inf: not valid strict JSON, unordered (NaN)
         if isinstance(v, (int, float, str)):
             return v
         if isinstance(v, (datetime.datetime, datetime.date)):
             return v.isoformat()
         return None
 
+    @staticmethod
+    def _bloom_probe_compatible(value, dtype: str) -> bool:
+        """True when the probe value's Python type is in the recorded
+        column dtype's family, so casting the PROBE to that dtype agrees
+        with how Spark's real filter coerces the comparison. A mismatched
+        probe (e.g. int 5 on a string column) must NOT use the bloom: the
+        filter ``col = 5`` coerces the COLUMN side (so row '05' matches),
+        while the write-side bitmap hashed the raw strings — skipping on
+        hash('5') could drop a file holding only such rows, violating the
+        superset contract. Fail open instead."""
+        import datetime
+
+        if isinstance(value, bool):
+            return False  # booleans: 2 values, bloom is pointless
+        if isinstance(value, int):
+            # int probes cast exactly into every numeric dtype; the real
+            # filter coerces the literal the same way
+            return dtype in ("tinyint", "smallint", "int", "bigint",
+                             "float", "double") or dtype.startswith("decimal")
+        if isinstance(value, float):
+            return dtype in ("float", "double")
+        if isinstance(value, str):
+            return dtype == "string"
+        if isinstance(value, datetime.datetime):
+            return dtype.startswith("timestamp")
+        if isinstance(value, datetime.date):
+            return dtype == "date"
+        return False
+
     def _bloom_positions(self, value, dtype: str, m: int, k: int):
         """The k bloom bit positions for a probe value — computed with the
         SAME JVM xxhash64 the write-side pass used. xxhash64 is
         type-sensitive, so the probe literal is cast to the RECORDED column
-        dtype; an un-castable probe returns None (fail open)."""
+        dtype; an un-castable probe returns None (fail open). Positions are
+        memoized process-wide on (value, dtype, m, k) so repeated probes of
+        the same point skip the one-row Spark job (~50 ms, SCALING.md)."""
+        try:
+            key = (value, dtype, m, k)
+            hash(key)
+        except TypeError:
+            key = None
+        if key is not None and key in _BLOOM_PROBE_CACHE:
+            return _BLOOM_PROBE_CACHE[key]
         try:
             lit = F.lit(value).cast(dtype)
             row = self.spark.range(1).select(
                 *[F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(m)).alias(f"p{i}")
                   for i in range(k)]
             ).first()
-            return [row[f"p{i}"] for i in range(k)]
+            positions = [row[f"p{i}"] for i in range(k)]
         except Exception:
-            return None
+            return None  # never cache a (possibly transient) failure
+        if key is not None and len(_BLOOM_PROBE_CACHE) < 4096:
+            _BLOOM_PROBE_CACHE[key] = positions
+        return positions
 
     def _skip_files(self, meta: dict, prune: dict) -> list[str] | None:
         """Combined manifest file skipping: min/max range stats first (see
@@ -372,7 +427,11 @@ class VersionedTable:
         points = {}
         for colname, band in prune.items():
             lo, hi = band if isinstance(band, tuple) else (band, band)
-            if lo is not None and lo == hi and colname in bloom.get("cols", {}):
+            if (
+                lo is not None and lo == hi
+                and colname in bloom.get("cols", {})
+                and self._bloom_probe_compatible(lo, bloom["cols"][colname])
+            ):
                 points[colname] = lo
         if not points:
             return hit
@@ -437,11 +496,16 @@ class VersionedTable:
                 if mn_mx is None:
                     continue  # no stat for this col in this file: fail open
                 mn, mx = mn_mx
-                if (hi is not None and mn is not None and mn > hi) or (
-                    lo is not None and mx is not None and mx < lo
-                ):
-                    keep = False
-                    break
+                try:
+                    if (hi is not None and mn is not None and mn > hi) or (
+                        lo is not None and mx is not None and mx < lo
+                    ):
+                        keep = False
+                        break
+                except TypeError:
+                    continue  # bound type incomparable with the recorded
+                    # stat type (str band on int stats, ...): fail open —
+                    # keep the file, never crash a documented-best-effort read
             if keep:
                 hit.append(rel)
         return hit
@@ -592,17 +656,99 @@ class VersionedTable:
 
     MAX_STATS_FILES = 4096  # keep the marker a small JSON, not a catalog
 
+    # test hook: force the distributed stats pass even on local paths
+    _force_distributed_stats = False
+
+    def _count_staged_files(self, dirname: str) -> int:
+        """Recursive count of .parquet files under the staged dir — ONE
+        Hadoop listFiles (a metadata op, no data read). The cheap
+        pre-guard the stats/bloom passes apply before launching any work
+        sized by file count, so an over-limit table bails without
+        materializing anything."""
+        it = self._hfs.listFiles(self._anypath(dirname), True)
+        n = 0
+        while it.hasNext():
+            if str(it.next().getPath().getName()).endswith(".parquet"):
+                n += 1
+        return n
+
     def _collect_file_stats(self, dirname: str, cols: Sequence[str]) -> dict | None:
-        """File-level min/max for ``cols`` from the staged files' parquet
-        FOOTERS (pyarrow metadata — no data read; O(files) driver-side,
-        the same cost class as Delta's add-file stats which the writer
-        emits for free). Returns {"cols": [...], "files": {rel_path:
-        {col: [min, max]}}} or None when stats can't be gathered (non-local
-        scheme without pyarrow reach, too many files, no footer stats) —
+        """File-level min/max for ``cols``: parquet-FOOTER fast path on
+        local storage (pyarrow metadata — no data read, O(files)
+        driver-side, the cost class of Delta's add-file stats), and a
+        DISTRIBUTED Spark aggregation everywhere else — the object-store
+        case is exactly where skipping pays (the saved term is per-file
+        round-trips, SCALING.md), so stats must collect on ANY scheme, the
+        way Snowflake micro-partition pruning works on S3. Returns
+        {"cols": [...], "files": {rel_path: {col: [min, max]}}} or None
+        when stats can't be gathered (too many files, no usable values) —
         callers then commit WITHOUT stats and read() falls back to the
         full scan: strictly fail-open."""
-        if self._scheme() != "file":
-            return None  # pyarrow path access is only guaranteed locally
+        if self._scheme() == "file" and not self._force_distributed_stats:
+            stats = self._collect_file_stats_footer(dirname, cols)
+            if stats is not None:
+                return stats
+        return self._collect_file_stats_distributed(dirname, cols)
+
+    def _collect_file_stats_distributed(
+        self, dirname: str, cols: Sequence[str]
+    ) -> dict | None:
+        """Per-file min/max via ONE column-pruned Spark aggregation
+        grouped on input_file_name() — executor-side like the write
+        itself, scheme-agnostic. Collects one tiny row per file (2 scalars
+        per column), bounded by the MAX_STATS_FILES pre-guard. Exact
+        min/max from the data (strictly tighter than footer stats — still
+        a fail-open superset under pruning)."""
+        try:
+            nfiles = self._count_staged_files(dirname)
+        except Exception:
+            return None
+        if not 0 < nfiles <= self.MAX_STATS_FILES:
+            return None
+        base = self._abs(dirname)
+        try:
+            df = self.spark.read.option("basePath", base).parquet(base)
+        except Exception:
+            return None
+        present = [c for c in cols if c in df.columns]
+        if not present:
+            return None
+        aggs = []
+        for i, c in enumerate(present):
+            aggs.append(F.min(c).alias(f"_mn{i}"))
+            aggs.append(F.max(c).alias(f"_mx{i}"))
+        try:
+            rows = (
+                df.select(F.input_file_name().alias("_f"), *present)
+                .groupBy("_f")
+                .agg(*aggs)
+                .collect()
+            )
+        except Exception:
+            return None
+        needle = f"/{dirname}/"
+        out: dict[str, dict] = {}
+        for r in rows:
+            at = r["_f"].find(needle)
+            if at == -1:
+                return None  # unexpected layout: no stats at all
+            rel = f"{dirname}/{r['_f'][at + len(needle):]}"
+            col_stats: dict[str, list] = {}
+            for i, c in enumerate(present):
+                mn = self._stat_norm(r[f"_mn{i}"])
+                mx = self._stat_norm(r[f"_mx{i}"])
+                if mn is not None and mx is not None:
+                    col_stats[c] = [mn, mx]
+            out[rel] = col_stats
+        if not any(out.values()):
+            return None
+        return {"cols": list(cols), "files": out}
+
+    def _collect_file_stats_footer(
+        self, dirname: str, cols: Sequence[str]
+    ) -> dict | None:
+        """The local fast path: min/max from the staged files' parquet
+        FOOTERS via pyarrow — no data read at all."""
         try:
             import pyarrow.parquet as pq
         except ImportError:
@@ -650,24 +796,50 @@ class VersionedTable:
                              m: int, k: int) -> dict | None:
         """Per-file bloom bitmaps for ``cols``, computed DISTRIBUTED: one
         Spark aggregation over the staged files (JVM xxhash64, k seeds,
-        explode → per-file collect_set of bit positions, bounded by m) —
-        never a driver-side data read, so the pass scales with the
-        cluster like the write itself. Returns {"m", "k", "cols":
+        explode → per-file collect_set of bit positions, bounded by m),
+        then bit-PACKING executor-side (Arrow pandas_udf → np.packbits) —
+        the driver only ever receives one m/8-byte b64 string per
+        file-column, never the boxed position sets (which at m=262144
+        would be ~2 MB of longs per file — multi-GB driver pressure at the
+        file cap). The MAX_STATS_FILES guard runs BEFORE any data pass
+        (one recursive metadata listing), so an over-limit table bails
+        without materializing anything. Returns {"m", "k", "cols":
         {col: dtype}, "files": {rel: {col: b64bitmap}}} or None (no
         indexable column / too many files) — callers then commit without
         a bloom: strictly fail-open."""
-        import base64
-
-        import numpy as np
+        try:
+            if not 0 < self._count_staged_files(dirname) <= self.MAX_STATS_FILES:
+                return None
+        except Exception:
+            return None
+        import pandas as pd
 
         base = self._abs(dirname)
         try:
-            df = self.spark.read.parquet(base)
+            df = self.spark.read.option("basePath", base).parquet(base)
         except Exception:
             return None
         present = [c for c in cols if c in df.columns]
         if not present:
             return None
+
+        def _pack_fn(ps):
+            import base64 as b64mod
+
+            import numpy as np
+
+            out = []
+            for arr in ps:
+                bits = np.zeros(m, dtype=bool)
+                bits[np.asarray(arr, dtype=np.int64)] = True
+                out.append(b64mod.b64encode(np.packbits(bits)).decode())
+            return pd.Series(out)
+
+        # real class objects (this module postpones annotations, so inline
+        # hints would reach pyspark as unresolvable strings)
+        _pack_fn.__annotations__ = {"ps": pd.Series, "return": pd.Series}
+        _pack = F.pandas_udf(_pack_fn, "string")
+
         meta: dict = {"m": m, "k": k, "cols": {}, "files": {}}
         needle = f"/{dirname}/"
         for c in present:
@@ -676,26 +848,23 @@ class VersionedTable:
                 F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m))
                 for i in range(k)
             ])).alias("_p")
-            agg = (
+            rows = (
                 df.select(F.input_file_name().alias("_f"), F.col(c))
                 .where(F.col(c).isNotNull())
                 .select("_f", pos)
                 .groupBy("_f")
                 .agg(F.collect_set("_p").alias("_ps"))
+                .select("_f", _pack("_ps").alias("_b"))
+                .collect()
             )
-            rows = agg.collect()
             if len(rows) > self.MAX_STATS_FILES:
-                return None
+                return None  # grew past the pre-guard mid-pass (racer)
             for r in rows:
                 at = r["_f"].find(needle)
                 if at == -1:
                     return None  # unexpected layout: no bloom at all
                 rel = f"{dirname}/{r['_f'][at + len(needle):]}"
-                bits = np.zeros(m, dtype=bool)
-                bits[np.asarray(r["_ps"], dtype=np.int64)] = True
-                meta["files"].setdefault(rel, {})[c] = base64.b64encode(
-                    np.packbits(bits)
-                ).decode()
+                meta["files"].setdefault(rel, {})[c] = r["_b"]
         return meta if meta["files"] else None
 
     def _write_bloom_sidecar(self, dirname: str, bloom: dict) -> str:

@@ -88,3 +88,18 @@ def test_cli_list_and_oracle(capsys):
     assert "l_returnflag" in capsys.readouterr().out
     assert main(["docs"]) == 0
     assert "fact_sales_daily" in capsys.readouterr().out
+
+
+def test_cli_table_skipping_handles_empty_table(spark, tmp_path, capsys, monkeypatch):
+    """ADVICE r07: table-skipping on a path with no committed version must
+    print a clean null report, not TypeError on the marker-path format."""
+    import json
+
+    import enterprise_data_warehouse_spark.__main__ as cli
+    import enterprise_data_warehouse_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    assert cli.main(["table-skipping", str(tmp_path / "nothing-here")]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out == {"version": None, "stats": None, "bloom": None}

@@ -155,3 +155,22 @@ def test_mangled_payloads_never_crash_outside_valueerror(which, seed, cut, flips
         decode(bytes(payload))
     except ValueError:
         pass  # the hardened contract
+
+
+def test_jpeg_non_divisible_sampling_refused_clearly():
+    """ADVICE r07: legal-but-unsupported sampling combos (3x1 beside 4x1)
+    must raise the decoder's promised clear ValueError at SOF parse time,
+    not an opaque np.stack shape mismatch."""
+    rng = np.random.default_rng(3)
+    payload = bytearray(
+        _make_jpeg(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+    )
+    at = bytes(payload).find(b"\xff\xc0")
+    assert at != -1
+    # SOF0 layout: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) then
+    # (cid, hv, tq) per component — set comp0=4x1, comp1=3x1
+    comp0_hv = at + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    payload[comp0_hv] = 0x41
+    payload[comp0_hv + 3] = 0x31
+    with pytest.raises(ValueError, match="sampling"):
+        mm.decode_jpeg(bytes(payload))

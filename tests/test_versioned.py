@@ -1869,3 +1869,212 @@ def test_prune_random_bands_and_points_always_answer_preserving(spark, tmp_path)
             .where(F.col("user_id") == probe).collect()
         )
         assert got == want, (probe, len(got), len(want))
+
+
+# ---------------------------------------------------------------------------
+# round 8: distributed stats collection, bounded bloom pass, probe memo,
+# partitioned-prune schema contract, type-mismatch fail-open
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_stats_match_footer_stats_and_preserve_answers(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r07 #2: with the pyarrow footer fast-path force-disabled,
+    commit(stats_cols=...) must still record per-file min/max via the
+    distributed Spark pass (the object-store shape), the recorded ranges
+    must match the footer path's, pruning must touch the SAME files, and
+    the randomized answer-preservation property must hold."""
+    import numpy as np
+
+    # materialize once so both commits stage IDENTICAL files (a live
+    # repartitionByRange would re-sample per action and shift boundaries)
+    src = str(tmp_path / "src")
+    _mk_range(spark).write.parquet(src)
+    df = spark.read.parquet(src)
+    foot = VersionedTable(spark, str(tmp_path / "foot"))
+    foot.commit(df, stats_cols=["id"])
+    monkeypatch.setattr(VersionedTable, "_force_distributed_stats", True)
+    dist = VersionedTable(spark, str(tmp_path / "dist"))
+    dist.commit(df, stats_cols=["id"])
+
+    ms_f = foot._read_marker(1)["stats"]
+    ms_d = dist._read_marker(1)["stats"]
+    assert ms_d is not None and ms_d["cols"] == ["id"]
+    # same per-file ranges (dir uuids differ; compare the range multisets)
+    assert sorted(v["id"] for v in ms_f["files"].values()) == sorted(
+        v["id"] for v in ms_d["files"].values()
+    )
+    # identical files-touched for the same band
+    for band in [(5000, 6000), (0, 10), (19990, 30000)]:
+        nf = len(foot.read(prune={"id": band}).inputFiles())
+        nd = len(dist.read(prune={"id": band}).inputFiles())
+        assert nf == nd, (band, nf, nd)
+    full_files = len(dist.read().inputFiles())
+    assert 0 < len(dist.read(prune={"id": (5000, 6000)}).inputFiles()) < full_files
+
+    rng = np.random.default_rng(11)
+    full = dist.read()
+    for _ in range(12):
+        lo = int(rng.integers(-3000, 23000))
+        hi = lo + int(rng.integers(0, 6000))
+        want = sorted(
+            r.id for r in full.where(F.col("id").between(lo, hi)).collect()
+        )
+        got = sorted(
+            r.id for r in dist.read(prune={"id": (lo, hi)})
+            .where(F.col("id").between(lo, hi)).collect()
+        )
+        assert got == want, (lo, hi)
+
+
+def test_distributed_stats_cover_partition_columns(spark, tmp_path, monkeypatch):
+    """The distributed pass reads with basePath, so hive partition columns
+    get per-file stats too (min=max=the partition value) — something the
+    footer path can never see. Pruning on the partition column must then
+    skip sibling partitions' files."""
+    monkeypatch.setattr(VersionedTable, "_force_distributed_stats", True)
+    df = (
+        spark.range(0, 1000)
+        .withColumn("bucket", (F.col("id") % 4).cast("int"))
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(df, partition_by=["bucket"], stats_cols=["bucket"])
+    stats = t._read_marker(1)["stats"]
+    assert stats and all("bucket" in v for v in stats["files"].values())
+    pruned = t.read(prune={"bucket": 2})
+    assert 0 < len(pruned.inputFiles()) < len(t.read().inputFiles())
+    assert pruned.where("bucket = 2").count() == 250
+
+
+def test_pruned_partitioned_read_keeps_partition_columns(spark, tmp_path):
+    """ADVICE r07 (medium): partition_by + stats_cols — a pruned read of
+    leaf files must set basePath so the hive partition columns survive;
+    the pruned schema must equal the full-read schema (superset contract),
+    and the answer must be value-identical."""
+    df = (
+        spark.range(0, 2000)
+        .withColumn("day", (F.col("id") % 5).cast("int"))
+        .withColumn("val", (F.col("id") * 3) % 100)
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        df.repartitionByRange(4, "id"), partition_by=["day"], stats_cols=["id"]
+    )
+    full = t.read()
+    pruned = t.read(prune={"id": (100, 200)})
+    assert sorted(f.name for f in pruned.schema.fields) == sorted(
+        f.name for f in full.schema.fields
+    ), "pruned read must keep hive partition columns (basePath)"
+    want = sorted(
+        (r.id, r.day) for r in full.where(F.col("id").between(100, 200)).collect()
+    )
+    got = sorted(
+        (r.id, r.day)
+        for r in pruned.where(F.col("id").between(100, 200)).collect()
+    )
+    assert got == want and got
+    # empty-hit path keeps the schema too
+    empty = t.read(prune={"id": (10**12, 10**12 + 5)})
+    assert sorted(f.name for f in empty.schema.fields) == sorted(
+        f.name for f in full.schema.fields
+    )
+    assert empty.count() == 0
+
+
+def test_bloom_pass_bails_before_any_data_read_when_over_file_cap(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r07 #3: the MAX_STATS_FILES guard must run BEFORE the bloom
+    pass launches anything — an over-limit table returns None from one
+    metadata listing, never materializing per-file position sets."""
+    from pyspark.sql import SparkSession
+
+    df = spark.range(0, 1000).withColumn("k", F.col("id") % 97)
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    v = t.commit(df.repartition(6))
+    dirname = t._read_marker(v)["dir"]
+
+    monkeypatch.setattr(VersionedTable, "MAX_STATS_FILES", 4)
+    reads = []
+    real_read = SparkSession.read
+
+    def _spy(self):
+        reads.append(1)
+        return real_read.fget(self)
+
+    monkeypatch.setattr(SparkSession, "read", property(_spy))
+    assert t._collect_file_blooms(dirname, ["k"], 1024, 3) is None
+    assert not reads, "over-cap bloom pass must not launch a data read"
+    # same pre-guard on the distributed stats pass
+    assert t._collect_file_stats_distributed(dirname, ["k"]) is None
+    assert not reads
+
+
+def test_bloom_sidecar_payloads_are_packed_executor_side(spark, tmp_path):
+    """The driver only ever receives m/8-byte b64 bitmaps, never boxed
+    position sets: every sidecar payload must be exactly the packed size."""
+    import base64
+    import json as _json
+
+    m = 65536
+    df = spark.range(0, 20000).withColumn(
+        "k", (F.col("id") * 7919) % 5003
+    ).repartitionByRange(4, "id")
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(df, bloom_cols=["k"], bloom_bits=m)
+    meta = t._read_marker(1)
+    side = os.path.join(str(tmp_path / "t"), meta["bloom"]["path"])
+    with open(side) as f:
+        bloom = _json.load(f)
+    packed_len = len(base64.b64encode(bytes(m // 8)))
+    payloads = [b for fc in bloom["files"].values() for b in fc.values()]
+    assert payloads and all(len(b) == packed_len for b in payloads)
+
+
+def test_bloom_probe_positions_are_memoized(spark, tmp_path, monkeypatch):
+    """VERDICT r07 #7: the second probe of the same (value, dtype, m, k)
+    must come from the process-wide memo — no one-row Spark job."""
+    from pyspark.sql import SparkSession
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    first = t._bloom_positions("memo-probe-xyz", "string", 65536, 5)
+    assert first is not None and len(first) == 5
+
+    def _boom(self, *a, **kw):
+        raise AssertionError("memoized probe must not launch a Spark job")
+
+    monkeypatch.setattr(SparkSession, "range", _boom)
+    assert t._bloom_positions("memo-probe-xyz", "string", 65536, 5) == first
+    # different geometry = different key -> would need a job (and raises)
+    with_job = t._bloom_positions("memo-probe-xyz", "string", 32768, 5)
+    assert with_job is None  # job path failed -> fail open, NOT cached
+
+
+def test_prune_incomparable_band_types_fail_open(spark, tmp_path):
+    """ADVICE r07: a band whose type can't order against the recorded stat
+    type (str band on int stats) must keep every file — never TypeError."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_mk_range(spark, n=4000, files=4), stats_cols=["id"])
+    full = t.read().count()
+    assert t.read(prune={"id": ("a", "z")}).count() == full
+    assert t.read(prune={"id": "not-an-int"}).count() == full
+
+
+def test_bloom_type_mismatched_probe_fails_open(spark, tmp_path):
+    """ADVICE r07: an int probe on a STRING bloom column must not use the
+    bloom (Spark's real filter coerces the column side, so 'o5' vs 5
+    semantics diverge from the write-side hashes) — full read instead."""
+    df = spark.range(0, 8000).withColumn(
+        "code", F.concat(F.lit("0"), (F.col("id") % 500).cast("string"))
+    ).repartitionByRange(4, "id")
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(df, bloom_cols=["code"])
+    n_full = len(t.read().inputFiles())
+    # int probe on string column: bloom must NOT narrow the file set
+    assert len(t.read(prune={"code": 42}).inputFiles()) == n_full
+    # native-typed probe still prunes correctly
+    hit = t.read(prune={"code": "042"})
+    want = sorted(r.id for r in t.read().where("code = '042'").collect())
+    got = sorted(r.id for r in hit.where("code = '042'").collect())
+    assert got == want and got
