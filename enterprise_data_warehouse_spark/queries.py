@@ -74,68 +74,13 @@ _OPERATOR_MODULES = [
 # oldest D1-only greens whose last record predates three rounds of code
 # movement. Everything after slot 50 already has a fresh driver record.
 PRIORITY_ORDER = [
-    # Round-7 curation (VERDICT r06 items 1/3/8). The driver records exactly
-    # the first 50 each round. Slot 1: this round's sanctioned capability
-    # addition, stats_pruned_lookup (VERDICT r06 #8 data skipping; registry
-    # 212 -> 213 <= 215). Slots 2-18: the deferred r02-only cohort — the
-    # last queries whose newest driver record is r02 (all judge-local-green
-    # in r06's verify_local run; 11 run in bench every round).
-    "stats_pruned_lookup",
-    "minhash_lsh_verified",
-    "star_revenue_rollup",
-    "text_quality_scores",
-    "exact_dedup",
-    "ngram_jaccard_pairs",
-    "simhash_hamming_pairs",
-    "cosine_topk",
-    "asof_click_attribution",
-    "doc_chunks_native",
-    "catalog_fact_sales_daily",
-    "media_manifest",
-    "session_metrics_batch",
-    "tumbling_hourly_counts",
-    "quality_check_suite",
-    "median_price_udaf",
-    "order_cube",
-    "shared_chunk_fingerprints",
-    # -- slots 19-50: oldest r03-only cohort (32 of 48): the TPC-H pack
-    # tail, the drift/ks family, corpus/text r03 queries, and the
-    # clustering/ANN scale paths. After r07 records these, no registry
-    # query's newest driver record is older than r03.
-    "volume_shipping",
-    "market_share",
-    "product_profit",
-    "important_suppliers",
-    "customer_distribution",
-    "promo_revenue",
-    "top_supplier",
-    "small_qty_revenue",
-    "large_orders",
-    "disjunctive_revenue",
-    "dormant_customers",
-    "forecast_revenue",
-    "late_shipment_priority",
-    "min_cost_supplier",
-    "supplier_part_counts",
-    "excess_shipped_parts",
-    "waiting_suppliers",
-    "ks_binned_drift",
-    "feature_moments",
-    "ks_drift_pvalue",
-    "snapshot_diff",
-    "key_skew_profile",
-    "tfidf_top_terms",
-    "corpus_source_mix",
-    "pii_scrub",
-    "token_frequencies",
-    "near_dup_clusters",
-    "benchmark_decontamination",
-    "incremental_dedup",
-    "ivf_topk",
-    "ann_multiprobe_topk",
-    "kmeans_embeddings",
-    # ---------------- slot 50 boundary (driver budget) ---------------------
-    # -- remaining r03 cohort (16) = r08's front ----------------------------
+    # Round-8 curation (VERDICT r07 items 1/4). The driver records exactly
+    # the first 50 each round. Slot 1: this round's sanctioned registry
+    # addition, bloom_pruned_lookup (VERDICT r07 #4 — oracle-paired driver
+    # pin for the bloom file-skipping path; registry 213 -> 214 <= 215).
+    "bloom_pruned_lookup",
+    # -- slots 2-17: the 16 remaining r03-only cohort — the last queries
+    # whose newest driver record is r03 (all judge- or sweep-green).
     "kmeans_pp_embeddings",
     "range_bin_lookup",
     "order_rollup_hierarchy",
@@ -152,7 +97,9 @@ PRIORITY_ORDER = [
     "referential_integrity",
     "date_dimension",
     "freshness_rollup",
-    # -- newest record r04 (47) ---------------------------------------------
+    # -- slots 18-50: the 33 oldest r04-cohort entries (of 47). After r08
+    # records these, no registry query's newest driver record is older
+    # than r04 and only 14 r04-cohort entries remain for r09's front.
     "streaming_hourly_counts",
     "streaming_dedup_events",
     "streaming_session_metrics",
@@ -186,6 +133,8 @@ PRIORITY_ORDER = [
     "weighted_doc_sample",
     "corpus_temperature_mix",
     "gopher_quality_filters",
+    # ---------------- slot 50 boundary (driver budget) ---------------------
+    # -- remaining r04 cohort (14) = r09's front ----------------------------
     "dedup_representatives",
     "record_linkage_pairs",
     "lineitem_measure_unpivot",
@@ -302,6 +251,57 @@ PRIORITY_ORDER = [
     "ann_lsh_verified",
     "feature_fetch_inlist",
     "training_dataset",
+    # -- newest record r07 (50): last round's front, freshest records -------
+    "stats_pruned_lookup",
+    "minhash_lsh_verified",
+    "star_revenue_rollup",
+    "text_quality_scores",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "simhash_hamming_pairs",
+    "cosine_topk",
+    "asof_click_attribution",
+    "doc_chunks_native",
+    "catalog_fact_sales_daily",
+    "media_manifest",
+    "session_metrics_batch",
+    "tumbling_hourly_counts",
+    "quality_check_suite",
+    "median_price_udaf",
+    "order_cube",
+    "shared_chunk_fingerprints",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "important_suppliers",
+    "customer_distribution",
+    "promo_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_orders",
+    "disjunctive_revenue",
+    "dormant_customers",
+    "forecast_revenue",
+    "late_shipment_priority",
+    "min_cost_supplier",
+    "supplier_part_counts",
+    "excess_shipped_parts",
+    "waiting_suppliers",
+    "ks_binned_drift",
+    "feature_moments",
+    "ks_drift_pvalue",
+    "snapshot_diff",
+    "key_skew_profile",
+    "tfidf_top_terms",
+    "corpus_source_mix",
+    "pii_scrub",
+    "token_frequencies",
+    "near_dup_clusters",
+    "benchmark_decontamination",
+    "incremental_dedup",
+    "ivf_topk",
+    "ann_multiprobe_topk",
+    "kmeans_embeddings",
 ]
 
 
