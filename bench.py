@@ -49,7 +49,10 @@ REGRESSION_WATCH = {
 # by data rather than assertion. scd2_customer_dim joined in r06 (the one
 # above-noise r05 mover, 0.72→0.97 s — VERDICT r05 #3); training_dataset,
 # exact_dedup, and ngram_jaccard_pairs joined in r07 (the r06 movers beyond
-# the measured steal band, 2.44×/1.84×/1.62× — VERDICT r06 #2).
+# the measured steal band, 2.44×/1.84×/1.62× — VERDICT r06 #2);
+# volume_shipping and media_manifest joined in r08 (the two non-watch r07
+# movers, both A/B-cleared as steal — VERDICT r07 #6, SCALING.md
+# "Round-8 counter-mover attribution").
 COUNTER_MOVER_WATCH = {
     "catalog_fact_sales_daily",
     "session_metrics_batch",
@@ -57,6 +60,8 @@ COUNTER_MOVER_WATCH = {
     "training_dataset",
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "volume_shipping",
+    "media_manifest",
 }
 
 
