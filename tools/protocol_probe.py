@@ -173,6 +173,38 @@ def probe_stats_pruning(spark, sf: str) -> None:
     shutil.rmtree(WORK, ignore_errors=True)
 
 
+def probe_stats_distributed(spark, sf: str) -> None:
+    """VERDICT r07 #2 done-criterion: the DISTRIBUTED stats pass (footer
+    path force-disabled — the object-store shape) must record ranges that
+    prune to the SAME files-touched as the footer path, at comparable
+    commit cost. Prints one row per path and asserts identical pruning."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_DIRS[sf], "orders")
+    staged = orders.repartitionByRange(32, "o_orderkey")
+    band = (1000, 2000)
+    out = {}
+    for mode in ("footer", "distrib"):
+        root = WORK / f"statsd_{mode}_sf{sf.replace('.', '_')}"
+        shutil.rmtree(root, ignore_errors=True)
+        t = VersionedTable(spark, str(root))
+        t._force_distributed_stats = mode == "distrib"
+        t0 = time.perf_counter()
+        t.commit(staged, stats_cols=["o_orderkey"])
+        commit_s = time.perf_counter() - t0
+        pruned = t.read(prune={"o_orderkey": band})
+        files = len(pruned.inputFiles())
+        rows = pruned.where(F.col("o_orderkey").between(*band)).count()
+        out[mode] = (files, rows)
+        print(
+            f"sf{sf:<5}{mode:>8}  commit{commit_s:>7.2f}s"
+            f"  pruned_files={files:<3} rows={rows}"
+        )
+    assert out["footer"] == out["distrib"], out
+    print("identical files-touched: OK")
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
 def probe_bloom_pruning(spark, sf: str) -> None:
     """Bloom file skipping: a point lookup on a column the layout is NOT
     clustered by (o_custkey; files are ranged on o_orderkey, so min/max
@@ -236,6 +268,11 @@ def main() -> None:
         print(f"{'probe':<7}{'rows':>9}{'full':>8}{'t_full':>10}"
               f"{'pruned':>8}{'t_pruned':>10}{'speedup':>10}")
         probe_stats_pruning(spark, sf)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "stats-dist":
+        sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
+        spark = get_spark("protocol-probe")
+        probe_stats_distributed(spark, sf)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "clone":
         sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
