@@ -311,7 +311,9 @@ def decode_wav(payload: bytes):
     """REAL audio decode for PCM WAV — pure numpy RIFF parsing. Returns
     (sample_rate, n_channels, samples) with samples shaped (n_frames,
     n_channels) as int16. Compressed codecs (MP3/AAC) remain gated on an
-    external decoder — this covers the uncompressed interchange format."""
+    external decoder for SAMPLE access — this covers the uncompressed
+    interchange format; ``parse_mp3`` extracts MP3 duration/bitrate
+    metadata in-container without decoding."""
     import struct
 
     import numpy as np
@@ -352,6 +354,91 @@ def decode_wav(payload: bytes):
         )
     samples = np.frombuffer(data, np.int16).reshape(-1, n_ch)
     return rate, n_ch, samples
+
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                      160, 192, 224, 256, 320]
+_MP3_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+                      96, 112, 128, 144, 160]
+_MP3_RATES_V1 = [44100, 48000, 32000]
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """MP3 (MPEG-1/2/2.5 Layer III) FRAME-HEADER parse — duration,
+    sample rate, channel count, frame count, and average bitrate WITHOUT
+    decoding any audio (the metadata `audio_chunk_plan` windows on).
+    Walks every frame header (each is 4 bytes + a size formula), so VBR
+    streams get an exact duration, not a first-frame estimate. Skips a
+    leading ID3v2 tag and a trailing ID3v1 'TAG' block; a truncated final
+    frame is tolerated (not counted). Free-format bitrate, Layer I/II,
+    and sync garbage raise ValueError (the hardened decoder contract:
+    parse or ValueError, nothing else)."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        # ID3v2: 4 syncsafe size bytes after version+flags
+        size = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                raise ValueError("malformed ID3v2 syncsafe size")
+            size = (size << 7) | b
+        pos = 10 + size
+    n_frames = 0
+    total_samples = 0
+    kbps_sum = 0
+    rate = channels = None
+    while pos + 4 <= len(payload):
+        if payload[pos:pos + 3] == b"TAG":  # ID3v1 footer
+            break
+        h = int.from_bytes(payload[pos:pos + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            if n_frames:
+                break  # trailing junk after the last full frame
+            raise ValueError("not an MP3 payload (no frame sync)")
+        version = (h >> 19) & 0x3   # 0=V2.5, 2=V2, 3=V1 (1 reserved)
+        layer = (h >> 17) & 0x3     # 1=Layer III
+        if version == 1:
+            raise ValueError("reserved MPEG version in MP3 frame header")
+        if layer != 1:
+            raise ValueError(
+                f"only Layer III supported (layer bits {layer})")
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 0x3
+        pad = (h >> 9) & 0x1
+        mode = (h >> 6) & 0x3
+        if br_idx in (0, 15):
+            raise ValueError("free-format/invalid MP3 bitrate")
+        if sr_idx == 3:
+            raise ValueError("reserved MP3 sample-rate index")
+        if version == 3:  # MPEG-1
+            kbps = _MP3_BITRATES_V1L3[br_idx]
+            sr = _MP3_RATES_V1[sr_idx]
+            spf = 1152
+        else:  # MPEG-2 (v==2) halves, MPEG-2.5 (v==0) quarters the rate
+            kbps = _MP3_BITRATES_V2L3[br_idx]
+            sr = _MP3_RATES_V1[sr_idx] // (2 if version == 2 else 4)
+            spf = 576
+        if rate is None:
+            rate, channels = sr, (1 if mode == 3 else 2)
+        elif sr != rate:
+            raise ValueError("MP3 sample rate changes mid-stream")
+        frame_len = spf // 8 * kbps * 1000 // sr + pad
+        if frame_len < 4:
+            raise ValueError("MP3 frame length underflow")
+        if pos + frame_len > len(payload):
+            break  # truncated final frame: not counted
+        n_frames += 1
+        total_samples += spf
+        kbps_sum += kbps
+        pos += frame_len
+    if not n_frames:
+        raise ValueError("MP3 payload holds no complete frame")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_s": total_samples / rate,
+        "avg_bitrate_kbps": kbps_sum / n_frames,
+    }
 
 
 _JPEG_ZIGZAG = [
@@ -441,16 +528,20 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """REAL image decode for BASELINE sequential-DCT JPEG (ITU T.81, SOF0,
-    8-bit, huffman) — pure numpy, no external codec. Parses DQT/DHT/SOF0/
-    DRI/SOS, huffman-decodes the entropy stream (byte un-stuffing + RSTn
-    restart intervals), dequantizes, inverse-zigzags, applies an exact
-    float64 2-D IDCT per 8×8 block, box-upsamples subsampled chroma
-    (4:2:0 / 4:2:2 / 4:4:4), converts JFIF YCbCr→RGB, and returns an
-    (H, W, 3) — or (H, W, 1) grayscale — uint8 array. Progressive (SOF2),
-    arithmetic-coded, and >8-bit JPEGs are rejected with a clear error.
-    Hostile payloads (truncated segments, dimension bombs, invalid
-    huffman codes) raise ValueError before any large allocation."""
+    """REAL image decode for BASELINE (SOF0) and PROGRESSIVE (SOF2)
+    huffman JPEG (ITU T.81, 8-bit) — pure numpy, no external codec.
+    Parses DQT/DHT/SOF/DRI/SOS, huffman-decodes the entropy stream (byte
+    un-stuffing + RSTn restart intervals), dequantizes, inverse-zigzags,
+    applies an exact float64 2-D IDCT per 8×8 block, box-upsamples
+    subsampled chroma (4:2:0 / 4:2:2 / 4:4:4), converts JFIF YCbCr→RGB,
+    and returns an (H, W, 3) — or (H, W, 1) grayscale — uint8 array.
+    Progressive scans (Annex G: spectral selection, successive
+    approximation, DC/AC first+refine, EOB runs) accumulate into
+    per-component coefficient planes and assemble once at EOI.
+    Arithmetic-coded, hierarchical, lossless, and >8-bit JPEGs are
+    rejected with a clear error. Hostile payloads (truncated segments,
+    dimension bombs, invalid huffman codes) raise ValueError before any
+    large allocation."""
     import struct
 
     import numpy as np
@@ -461,14 +552,20 @@ def decode_jpeg(payload: bytes):
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
     frame = None  # (H, W, [(comp_id, h, v, tq), ...])
     restart_interval = 0
+    progressive = False
+    coef_state = None  # progressive: per-component coefficient planes
     pos = 2
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at offset {pos}")
         marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI (standalone)
+            break
         if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
             pos += 2
             continue
+        if pos + 4 > len(payload):
+            break
         size = struct.unpack_from(">H", payload, pos + 2)[0]
         body, end = pos + 4, pos + 2 + size
         if size < 2 or end > len(payload):
@@ -505,10 +602,10 @@ def decode_jpeg(payload: bytes):
                     code <<= 1
                 huff[(tc, th)] = table
                 p += nsyms
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, body)
             if prec != 8:
-                raise ValueError(f"only 8-bit baseline JPEG (precision={prec})")
+                raise ValueError(f"only 8-bit JPEG (precision={prec})")
             if ncomp not in (1, 3):
                 raise ValueError(f"only gray/YCbCr JPEG ({ncomp} components)")
             if not (0 < h and 0 < w) or h * w > _JPEG_MAX_PIXELS:
@@ -534,27 +631,48 @@ def decode_jpeg(payload: bytes):
                         f"(not a divisor of max {hmax}x{vmax})"
                     )
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"only baseline sequential JPEG (SOF0); got SOF{marker - 0xC0}"
+                "only baseline (SOF0) / progressive (SOF2) huffman JPEG; "
+                f"got SOF{marker - 0xC0}"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", payload, body)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF0/SOF2")
             ns = payload[body]
             if body + 1 + 2 * ns + 3 > end:
                 raise ValueError("JPEG SOS header truncated")
             scan = {}
+            scan_order = []
             for i in range(ns):
                 cs = payload[body + 1 + 2 * i]
                 td_ta = payload[body + 2 + 2 * i]
                 scan[cs] = (td_ta >> 4, td_ta & 0x0F)
-            return _jpeg_decode_scan(
-                payload, end, frame, scan, qt, huff, restart_interval)
+                scan_order.append(cs)
+            if not progressive:
+                return _jpeg_decode_scan(
+                    payload, end, frame, scan, qt, huff, restart_interval)
+            # progressive: Ss/Se/Ah/Al select the spectral band and bit
+            # plane this scan refines; coefficients accumulate across
+            # scans and the image assembles once at EOI
+            ss = payload[body + 1 + 2 * ns]
+            se = payload[body + 2 + 2 * ns]
+            ah_al = payload[body + 3 + 2 * ns]
+            if coef_state is None:
+                coef_state = _jpeg_prog_state(frame)
+            pos = _jpeg_prog_scan(
+                payload, end, frame, scan, scan_order,
+                (ss, se, ah_al >> 4, ah_al & 0x0F),
+                huff, restart_interval, coef_state,
+            )
+            continue
         pos = end
+    if progressive and coef_state is not None:
+        return _jpeg_prog_finish(frame, qt, coef_state)
     raise ValueError("JPEG has no SOS segment (truncated before the scan)")
 
 
@@ -625,8 +743,17 @@ def _jpeg_decode_scan(payload, data_pos, frame, scan, qt, huff,
                     x0 = (mx * hi + bx) * 8
                     planes[cid][y0:y0 + 8, x0:x0 + 8] = block
 
+    return _jpeg_assemble(planes, meta, hmax, vmax, h, w)
+
+
+def _jpeg_assemble(planes, comps, hmax, vmax, h, w):
+    """Box-upsample subsampled planes, crop to the frame, convert JFIF
+    YCbCr→RGB (3 components) or return grayscale (1). Shared by the
+    baseline and progressive paths."""
+    import numpy as np
+
     out = []
-    for cid, hi, vi, *_ in meta:
+    for cid, hi, vi, *_ in comps:
         plane = planes[cid]
         if hi < hmax or vi < vmax:  # box upsample to full resolution
             plane = plane.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
@@ -644,14 +771,235 @@ def _jpeg_decode_scan(payload, data_pos, frame, scan, qt, huff,
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+def _jpeg_prog_state(frame):
+    """Persistent progressive-decode state: one int32 coefficient plane
+    per component, ZIGZAG-ordered per block, padded to the interleaved
+    MCU grid (non-interleaved scans cover only the true block counts in
+    ``dims``). Coefficients accumulate across scans; _jpeg_prog_finish
+    dequantizes and IDCTs once at EOI."""
+    import numpy as np
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    state = {"mcus_x": mcus_x, "mcus_y": mcus_y, "coefs": {}, "dims": {}}
+    for cid, hi, vi, _tq in comps:
+        comp_w = (w * hi + hmax - 1) // hmax
+        comp_h = (h * vi + vmax - 1) // vmax
+        state["coefs"][cid] = np.zeros(
+            (mcus_y * vi, mcus_x * hi, 64), np.int32
+        )
+        state["dims"][cid] = ((comp_w + 7) // 8, (comp_h + 7) // 8)
+    return state
+
+
+def _jpeg_prog_scan(payload, data_pos, frame, scan, scan_order, band,
+                    huff, restart_interval, state):
+    """Decode ONE progressive scan (ITU T.81 Annex G, huffman path) into
+    the persistent coefficient planes: DC first/refine (interleaved or
+    single-component), AC first/refine (single-component, EOB-run +
+    successive-approximation correction bits). Returns the payload
+    offset of the next marker after the scan's entropy segment."""
+    ss, se, ah, al = band
+    if not (0 <= ss <= se <= 63) or al > 13 or ah > 14:
+        raise ValueError(
+            f"invalid JPEG progressive band Ss={ss} Se={se} Ah={ah} Al={al}"
+        )
+    comp_by_id = {c[0]: c for c in frame[2]}
+    for cs in scan_order:
+        if cs not in comp_by_id:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("JPEG progressive DC scan must have Se=0")
+    if not is_dc and len(scan_order) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    reader = _JpegBitReader(payload, data_pos)
+    mcus_x = state["mcus_x"]
+
+    if is_dc:
+        _jpeg_prog_dc(reader, scan, scan_order, comp_by_id, state,
+                      ah, al, huff, restart_interval, mcus_x)
+    else:
+        _jpeg_prog_ac(reader, scan, scan_order[0], state,
+                      ss, se, ah, al, huff, restart_interval)
+
+    # remaining bits in the current byte are padding; the next segment
+    # starts at the first marker at/after the reader's byte position
+    # (skip stuffed 0xFF00 and any stray RSTn)
+    p = reader.pos - (2 if reader.marker is not None else 0)
+    while p + 1 < len(payload):
+        if payload[p] == 0xFF and payload[p + 1] != 0x00 and not (
+            0xD0 <= payload[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return len(payload)
+
+
+def _jpeg_prog_dc(reader, scan, scan_order, comp_by_id, state,
+                  ah, al, huff, restart_interval, mcus_x):
+    pred = {cs: 0 for cs in scan_order}
+    dc_tbl = {}
+    for cs in scan_order:
+        td = scan[cs][0]
+        if ah == 0:
+            if (0, td) not in huff:
+                raise ValueError(f"JPEG scan references missing DC table {td}")
+            dc_tbl[cs] = huff[(0, td)]
+
+    def one_block(blk, cs):
+        if ah == 0:  # first pass: ordinary DPCM, scaled down by Al
+            s = _jpeg_huff_decode(reader, dc_tbl[cs])
+            if s > 11:
+                raise ValueError(f"invalid JPEG DC category {s}")
+            pred[cs] += _jpeg_extend(reader.receive(s), s)
+            blk[0] = pred[cs] << al
+        else:  # refinement: one correction bit per block
+            blk[0] |= reader.read_bit() << al
+
+    interleaved = len(scan_order) > 1
+    if interleaved:
+        nunits = mcus_x * state["mcus_y"]
+    else:
+        bw, bh = state["dims"][scan_order[0]]
+        nunits = bw * bh
+    rst = 0
+    for u in range(nunits):
+        if restart_interval and u and u % restart_interval == 0:
+            reader.sync_to_rst(rst % 8)
+            rst += 1
+            pred = dict.fromkeys(pred, 0)
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            for cs in scan_order:
+                _, hi, vi, _ = comp_by_id[cs]
+                coefs = state["coefs"][cs]
+                for by in range(vi):
+                    for bx in range(hi):
+                        one_block(coefs[my * vi + by, mx * hi + bx], cs)
+        else:
+            cs = scan_order[0]
+            by, bx = divmod(u, bw)
+            one_block(state["coefs"][cs][by, bx], cs)
+
+
+def _jpeg_prog_ac(reader, scan, cs, state, ss, se, ah, al,
+                  huff, restart_interval):
+    ta = scan[cs][1]
+    ac_tbl = huff.get((1, ta))
+    if ac_tbl is None:
+        raise ValueError(f"JPEG scan references missing AC table {ta}")
+    coefs = state["coefs"][cs]
+    bw, bh = state["dims"][cs]
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    rst = 0
+    for u in range(bw * bh):
+        if restart_interval and u and u % restart_interval == 0:
+            reader.sync_to_rst(rst % 8)
+            rst += 1
+            eobrun = 0
+        by, bx = divmod(u, bw)
+        blk = coefs[by, bx]
+        if ah == 0:  # first pass for this band
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _jpeg_huff_decode(reader, ac_tbl)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1  # EOBn: run of (1<<r)+bits blocks
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG progressive AC run overflows band")
+                blk[k] = _jpeg_extend(reader.receive(s), s) << al
+                k += 1
+        else:  # refinement: correction bits (T.81 G.1.2.3 / jdphuff shape)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _jpeg_huff_decode(reader, ac_tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError("invalid JPEG AC refine size")
+                        newval = p1 if reader.read_bit() else m1
+                    elif r != 15:
+                        # the run INCLUDES the current block — its tail
+                        # corrections below consume the first unit
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    # advance over r zero-history coefficients, appending
+                    # correction bits to every nonzero one passed
+                    while k <= se:
+                        if blk[k] != 0:
+                            if reader.read_bit() and not (blk[k] & p1):
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= se:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # EOB run: corrections only, no new coefs
+                    if blk[k] != 0:
+                        if reader.read_bit() and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+
+def _jpeg_prog_finish(frame, qt, state):
+    """Dequantize + inverse-zigzag + IDCT every accumulated coefficient
+    block (vectorized einsum over all blocks at once) and assemble."""
+    import numpy as np
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    u8 = np.arange(8)
+    T = np.cos((2 * u8[None, :] + 1) * u8[:, None] * np.pi / 16) / 2
+    T[0] /= np.sqrt(2)
+    planes = {}
+    for cid, hi, vi, tq in comps:
+        if tq not in qt:
+            raise ValueError(
+                f"JPEG component {cid} references missing quant table {tq}"
+            )
+        zz = state["coefs"][cid]  # (bh_pad, bw_pad, 64) zigzag order
+        bh_pad, bw_pad, _ = zz.shape
+        nat = np.zeros(zz.shape, np.float64)
+        nat[..., _JPEG_ZIGZAG] = zz
+        blocks = nat.reshape(bh_pad, bw_pad, 8, 8) * qt[tq]
+        out = np.einsum("ji,abjk,kl->abil", T, blocks, T) + 128.0
+        planes[cid] = out.transpose(0, 2, 1, 3).reshape(bh_pad * 8, bw_pad * 8)
+    return _jpeg_assemble(planes, comps, hmax, vmax, h, w)
+
+
 def _decode_image_real(payload: bytes, width: int, height: int):
     """The real decode path. Uncompressed 24-bit BMP (decode_bmp), 8-bit
-    non-interlaced PNG (decode_png, stdlib zlib), and baseline
-    sequential-DCT JPEG (decode_jpeg) all decode IN-CONTAINER with a
-    nearest-neighbor resize; remaining exotic image formats (WebP, TIFF,
-    progressive JPEG) require PIL, absent here, and stay import-gated so
-    the pipeline degrades to the deterministic fake rather than
-    crashing."""
+    non-interlaced PNG (decode_png, stdlib zlib), and baseline +
+    progressive huffman JPEG (decode_jpeg) all decode IN-CONTAINER with a
+    nearest-neighbor resize; remaining exotic image formats (WebP, TIFF)
+    require PIL, absent here, and stay import-gated so the pipeline
+    degrades to the deterministic fake rather than crashing."""
     img = None
     if payload[:2] == b"BM":
         img = decode_bmp(payload)
@@ -670,10 +1018,10 @@ def _decode_image_real(payload: bytes, width: int, height: int):
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "exotic image formats (WebP/TIFF/progressive JPEG) require "
-            "pillow; deterministic fake used instead (uncompressed BMP, "
-            "8-bit PNG, and baseline JPEG decode natively — decode_bmp/"
-            "decode_png/decode_jpeg)"
+            "exotic image formats (WebP/TIFF) require pillow; "
+            "deterministic fake used instead (uncompressed BMP, 8-bit "
+            "PNG, and baseline/progressive JPEG decode natively — "
+            "decode_bmp/decode_png/decode_jpeg)"
         ) from exc
     raise NotImplementedError("real decode wired at deploy time")
 

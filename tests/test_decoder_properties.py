@@ -12,7 +12,13 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 import enterprise_data_warehouse_spark.operators.multimodal as mm
-from tests.test_multimodal import _make_bmp, _make_jpeg, _make_png, _make_wav
+from tests.test_multimodal import (
+    _make_bmp,
+    _make_jpeg,
+    _make_png,
+    _make_progressive_jpeg,
+    _make_wav,
+)
 
 HYP = settings(
     max_examples=25,
@@ -116,7 +122,7 @@ def test_jpeg_error_bounds_any_shape(h, w, gray, sub, rst, seed):
 
 @HYP
 @given(
-    which=st.sampled_from(["png", "bmp", "wav", "jpeg"]),
+    which=st.sampled_from(["png", "bmp", "wav", "jpeg", "jpeg-prog"]),
     seed=st.integers(0, 2**31 - 1),
     cut=st.integers(0, 200),
     flips=st.lists(st.tuples(st.integers(0, 199), st.integers(1, 255)),
@@ -140,6 +146,12 @@ def test_mangled_payloads_never_crash_outside_valueerror(which, seed, cut, flips
     elif which == "jpeg":
         payload = bytearray(
             _make_jpeg(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+        )
+        decode = mm.decode_jpeg
+    elif which == "jpeg-prog":
+        payload = bytearray(
+            _make_progressive_jpeg(
+                rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
         )
         decode = mm.decode_jpeg
     else:

@@ -498,23 +498,14 @@ def _encode_block(writer, block, q, pred, dc_codes, ac_codes, T):
     return int(zz[0])
 
 
-def _make_jpeg(img, subsampling="444", q_luma=1, q_chroma=1,
-               restart_interval=0) -> bytes:
-    """Serialize an (H, W, 3) RGB or (H, W, 1) grayscale uint8 array as a
-    BASELINE sequential-DCT JPEG (SOF0). q_*: flat quant-table values
-    (1 = near-lossless). subsampling: '444' or '420' (3-channel only)."""
-    import struct
-
+def _jpeg_prep_planes(img, subsampling):
+    """Color-transform, downsample, and MCU-pad the component planes —
+    shared by the baseline and progressive test encoders. Returns
+    (comp_planes, samp, qmap, mcus_x, mcus_y, gray)."""
     import numpy as np
 
     h, w = img.shape[:2]
     gray = img.shape[2] == 1
-    T = _dct_basis()
-    ql = np.full((8, 8), q_luma, np.int32)
-    qc = np.full((8, 8), q_chroma, np.int32)
-    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
-
     if gray:
         planes = [img[:, :, 0].astype(np.float64)]
         samp, qmap = [(1, 1)], [0]
@@ -544,6 +535,28 @@ def _make_jpeg(img, subsampling="444", q_luma=1, q_chroma=1,
         comp_planes.append(np.pad(
             plane, ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
             mode="edge"))
+    return comp_planes, samp, qmap, mcus_x, mcus_y, gray
+
+
+def _make_jpeg(img, subsampling="444", q_luma=1, q_chroma=1,
+               restart_interval=0) -> bytes:
+    """Serialize an (H, W, 3) RGB or (H, W, 1) grayscale uint8 array as a
+    BASELINE sequential-DCT JPEG (SOF0). q_*: flat quant-table values
+    (1 = near-lossless). subsampling: '444' or '420' (3-channel only)."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    T = _dct_basis()
+    ql = np.full((8, 8), q_luma, np.int32)
+    qc = np.full((8, 8), q_chroma, np.int32)
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    comp_planes, samp, qmap, mcus_x, mcus_y, gray = _jpeg_prep_planes(
+        img, subsampling)
+    planes = comp_planes
 
     writer = _JpegBitWriter()
     pred = [0] * len(planes)
@@ -594,6 +607,219 @@ def _make_jpeg(img, subsampling="444", q_luma=1, q_chroma=1,
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# progressive AC table: the baseline flat table plus the EOBn symbols
+# (r<<4, r=1..14) progressive EOB runs need — 176 codes, still flat 8-bit
+_JPEG_ACP_VALS = ([0x00, 0xF0] + [r << 4 for r in range(1, 15)]
+                  + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_JPEG_ACP_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_ACP_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _quantized_zigzag(comp_planes, samp, qmap, ql, qc, T):
+    """Per-component (blocks_y, blocks_x, 64) quantized coefficients in
+    ZIGZAG order — the shared input for all progressive scans."""
+    import numpy as np
+
+    from enterprise_data_warehouse_spark.operators.multimodal import _JPEG_ZIGZAG
+
+    out = []
+    for ci, plane in enumerate(comp_planes):
+        q = ql if qmap[ci] == 0 else qc
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        zz = np.zeros((bh, bw, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                coefs = T @ (block - 128.0) @ T.T
+                zz[by, bx] = np.round(coefs / q).reshape(64)[_JPEG_ZIGZAG]
+        out.append(zz)
+    return out
+
+
+class _EobRun:
+    """EOB-run + buffered-correction-bit state for one progressive AC
+    scan (mirrors libjpeg's EOBRUN/BE bookkeeping)."""
+
+    def __init__(self, writer, ac_codes):
+        self.writer, self.ac_codes = writer, ac_codes
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self):
+        if self.run:
+            r = self.run.bit_length() - 1
+            self.writer.write(*self.ac_codes[r << 4])
+            if r:
+                self.writer.write(r, self.run - (1 << r))
+            self.run = 0
+        for b in self.bits:
+            self.writer.write(1, b)
+        self.bits.clear()
+
+
+def _enc_ac_first_block(zzblk, eob, writer, ac_codes, ss, se, al):
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zzblk[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        eob.flush()
+        while r > 15:
+            writer.write(*ac_codes[0xF0])
+            r -= 16
+        s = t.bit_length()
+        writer.write(*ac_codes[(r << 4) | s])
+        writer.write(s, t if v > 0 else (1 << s) - 1 - t)
+        r = 0
+    if r > 0:
+        eob.run += 1
+        if eob.run == 0x7FFF:
+            eob.flush()
+
+
+def _enc_ac_refine_block(zzblk, eob, writer, ac_codes, ss, se, al):
+    # history magnitude = |v| >> (Al+1); this scan appends bit Al
+    absv = [abs(int(zzblk[k])) >> al for k in range(ss, se + 1)]
+    last_new = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            last_new = i
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= last_new:
+            eob.flush()
+            writer.write(*ac_codes[0xF0])
+            r -= 16
+            for b in br:
+                writer.write(1, b)
+            br.clear()
+        if t > 1:  # already significant: buffer its correction bit
+            br.append(t & 1)
+            continue
+        eob.flush()
+        writer.write(*ac_codes[(r << 4) | 1])
+        writer.write(1, 1 if int(zzblk[ss + i]) > 0 else 0)
+        for b in br:
+            writer.write(1, b)
+        br.clear()
+        r = 0
+    if r > 0 or br:
+        eob.run += 1
+        eob.bits.extend(br)
+        if eob.run == 0x7FFF:
+            eob.flush()
+
+
+def _make_progressive_jpeg(img, subsampling="444", q_luma=1, q_chroma=1) -> bytes:
+    """Serialize as PROGRESSIVE JPEG (SOF2) with a full successive-
+    approximation script: interleaved DC first (Al=1) → DC refine, then
+    per component AC first Ss=1..63 (Al=1) → AC refine (Ah=1, Al=0) —
+    exercising spectral selection, both bit planes, EOB runs with
+    buffered correction bits, ZRL, and multi-scan accumulation."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    T = _dct_basis()
+    ql = np.full((8, 8), q_luma, np.int32)
+    qc = np.full((8, 8), q_chroma, np.int32)
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_ACP_BITS, _JPEG_ACP_VALS)
+
+    comp_planes, samp, qmap, mcus_x, mcus_y, gray = _jpeg_prep_planes(
+        img, subsampling)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    zzs = _quantized_zigzag(comp_planes, samp, qmap, ql, qc, T)
+    ncomp = len(comp_planes)
+    # true (non-padded) block grid per component — AC scans cover this
+    dims = []
+    for hi, vi in samp:
+        comp_w = (w * hi + hmax - 1) // hmax
+        comp_h = (h * vi + vmax - 1) // vmax
+        dims.append(((comp_w + 7) // 8, (comp_h + 7) // 8))
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comps_td_ta, ss, se, ah, al):
+        body = bytes([len(comps_td_ta)])
+        for cs, td, ta in comps_td_ta:
+            body += bytes([cs, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    def dc_scan(ah, al):
+        wtr = _JpegBitWriter()
+        pred = [0] * ncomp
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for ci, (hi, vi) in enumerate(samp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc = int(zzs[ci][my * vi + by, mx * hi + bx, 0])
+                        if ah == 0:  # first: DPCM of the arithmetic shift
+                            v = dc >> al
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            s = abs(diff).bit_length()
+                            wtr.write(*dc_codes[s])
+                            if s:
+                                wtr.write(
+                                    s, diff if diff > 0 else diff + (1 << s) - 1)
+                        else:  # refine: one bit per block
+                            wtr.write(1, (dc >> al) & 1)
+        wtr.pad()
+        return bytes(wtr.out)
+
+    def ac_scan(ci, ah, al):
+        wtr = _JpegBitWriter()
+        eob = _EobRun(wtr, ac_codes)
+        bw, bh = dims[ci]
+        for u in range(bw * bh):
+            by, bx = divmod(u, bw)
+            blk = zzs[ci][by, bx]
+            if ah == 0:
+                _enc_ac_first_block(blk, eob, wtr, ac_codes, 1, 63, al)
+            else:
+                _enc_ac_refine_block(blk, eob, wtr, ac_codes, 1, 63, al)
+        eob.flush()
+        wtr.pad()
+        return bytes(wtr.out)
+
+    from enterprise_data_warehouse_spark.operators.multimodal import _JPEG_ZIGZAG
+
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0]) + bytes(ql.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8))
+    if not gray:
+        dqt += bytes([1]) + bytes(qc.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8))
+    out += seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (hi, vi) in enumerate(samp):
+        sof += bytes([ci + 1, (hi << 4) | vi, qmap[ci]])
+    out += seg(0xC2, sof)  # SOF2 progressive
+    dht = (bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+           + bytes([0x10]) + bytes(_JPEG_ACP_BITS) + bytes(_JPEG_ACP_VALS))
+    out += seg(0xC4, dht)
+    # scan script: DC first (all comps, Al=1), DC refine, then per-comp
+    # AC first (Al=1) and AC refine (Ah=1, Al=0)
+    all_comps = [(ci + 1, 0, 0) for ci in range(ncomp)]
+    out += sos(all_comps, 0, 0, 0, 1) + dc_scan(0, 1)
+    out += sos(all_comps, 0, 0, 1, 0) + dc_scan(1, 0)
+    for ci in range(ncomp):
+        out += sos([(ci + 1, 0, 0)], 1, 63, 0, 1) + ac_scan(ci, 0, 1)
+    for ci in range(ncomp):
+        out += sos([(ci + 1, 0, 0)], 1, 63, 1, 0) + ac_scan(ci, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -668,10 +894,17 @@ def test_jpeg_decode_rejects_unsupported_and_hostile():
     good = _make_jpeg(img)
     with pytest.raises(ValueError, match="SOI"):
         mm.decode_jpeg(b"\x00\x01")
-    # progressive (SOF2) refused by name
+    # arithmetic-coded (SOF9) refused by name (progressive SOF2 decodes
+    # natively since r08 — see test_progressive_jpeg_*)
+    arith = bytearray(good)
+    arith[arith.index(b"\xff\xc0") + 1] = 0xC9
+    with pytest.raises(ValueError, match="SOF9"):
+        mm.decode_jpeg(bytes(arith))
+    # a baseline full-band scan mislabeled SOF2 violates the progressive
+    # scan rules (DC scan must have Se=0) and is refused clearly
     prog = bytearray(good)
     prog[prog.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF2"):
+    with pytest.raises(ValueError, match="Se=0"):
         mm.decode_jpeg(bytes(prog))
     # dimension bomb: SOF0 declaring 65535x65535 must fail BEFORE allocation
     bomb = bytearray(good)
@@ -689,3 +922,92 @@ def test_jpeg_decode_rejects_unsupported_and_hostile():
     # the real-decode gate routes JPEG natively now, with resize
     resized = mm._decode_image_real(_make_jpeg(img), width=4, height=4)
     assert resized.shape == (4, 4, 3)
+
+
+def test_progressive_jpeg_matches_baseline_decode_exactly():
+    """The progressive scan script transmits the SAME quantized
+    coefficients as the baseline encoding (DC: (dc>>1)<<1 | bit; AC:
+    magnitude bit-planes), so progressive decode must be BIT-IDENTICAL
+    to baseline decode of the same image — 4:4:4, 4:2:0, and gray."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    cases = [
+        rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(13, 21, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(16, 16, 1), dtype=np.uint8),
+        np.full((32, 32, 3), 128, dtype=np.uint8),  # long EOB runs
+    ]
+    for i, img in enumerate(cases):
+        sub = "420" if i == 1 else "444"
+        base = mm.decode_jpeg(_make_jpeg(img, sub))
+        prog = mm.decode_jpeg(_make_progressive_jpeg(img, sub))
+        assert prog.shape == base.shape, (i, prog.shape, base.shape)
+        assert (prog == base).all(), (
+            i, int(np.abs(prog.astype(int) - base.astype(int)).max()))
+
+
+def test_progressive_jpeg_error_bounds_vs_original():
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    decoded = mm.decode_jpeg(_make_progressive_jpeg(img, "444"))
+    err = np.abs(decoded.astype(np.int32) - img.astype(np.int32))
+    assert err.max() <= 6, err.max()
+
+
+def _mp3_frame(kbps=128, sr=44100, version=3, mono=False, pad=0) -> bytes:
+    """One valid MPEG Layer-III frame: 4-byte header + zeroed body."""
+    from enterprise_data_warehouse_spark.operators.multimodal import (
+        _MP3_BITRATES_V1L3,
+        _MP3_BITRATES_V2L3,
+        _MP3_RATES_V1,
+    )
+
+    table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+    br_idx = table.index(kbps)
+    base = {3: 1, 2: 2, 0: 4}[version]
+    sr_idx = _MP3_RATES_V1.index(sr * base)
+    h = (0x7FF << 21) | (version << 19) | (1 << 17) | (1 << 16)
+    h |= (br_idx << 12) | (sr_idx << 10) | (pad << 9)
+    h |= (3 if mono else 0) << 6
+    spf = 1152 if version == 3 else 576
+    frame_len = spf // 8 * kbps * 1000 // sr + pad
+    return h.to_bytes(4, "big") + b"\x00" * (frame_len - 4)
+
+
+def test_mp3_header_parse_cbr_exact_duration():
+    mp3 = _mp3_frame() * 38  # 38 frames at 44.1 kHz ≈ 0.99 s
+    meta = mm.parse_mp3(mp3)
+    assert meta["n_frames"] == 38
+    assert meta["sample_rate"] == 44100 and meta["channels"] == 2
+    assert abs(meta["duration_s"] - 38 * 1152 / 44100) < 1e-12
+    assert meta["avg_bitrate_kbps"] == 128.0
+
+
+def test_mp3_header_parse_vbr_id3_and_truncation():
+    # VBR: per-frame bitrates average exactly; ID3v2 head + ID3v1 tail skip
+    frames = (_mp3_frame(64) + _mp3_frame(128) + _mp3_frame(192)
+              + _mp3_frame(320, pad=1))
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 12]) + b"\x00" * 12
+    id3v1 = b"TAG" + b"\x00" * 125
+    meta = mm.parse_mp3(id3v2 + frames + id3v1)
+    assert meta["n_frames"] == 4
+    assert meta["avg_bitrate_kbps"] == (64 + 128 + 192 + 320) / 4
+    # MPEG-2 mono at 22.05 kHz: 576 samples per frame
+    m2 = mm.parse_mp3(_mp3_frame(kbps=64, sr=22050, version=2, mono=True) * 5)
+    assert m2["sample_rate"] == 22050 and m2["channels"] == 1
+    assert abs(m2["duration_s"] - 5 * 576 / 22050) < 1e-12
+    # truncated final frame: tolerated, not counted
+    cut = frames[: len(frames) - 10]
+    assert mm.parse_mp3(cut)["n_frames"] == 3
+    # hostile inputs: parse or ValueError, nothing else
+    with pytest.raises(ValueError, match="no frame sync"):
+        mm.parse_mp3(b"\x00" * 64)
+    with pytest.raises(ValueError, match="no complete frame"):
+        mm.parse_mp3(_mp3_frame()[:40])
+    with pytest.raises(ValueError, match="Layer III"):
+        bad = bytearray(_mp3_frame())
+        bad[1] = (bad[1] & ~0x06) | 0x06  # Layer I bits
+        mm.parse_mp3(bytes(bad))
