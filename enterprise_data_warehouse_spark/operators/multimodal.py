@@ -307,6 +307,93 @@ def decode_png(payload: bytes):
     return out.reshape(height, width, bpp)
 
 
+def decode_tiff(payload: bytes):
+    """REAL image decode for UNCOMPRESSED baseline TIFF — pure stdlib
+    struct + numpy. Both byte orders (II/MM), 8-bit grayscale/RGB/RGBA,
+    chunky layout, multi-strip. Returns (H, W, C) uint8 with C=1/3/4.
+    Compressed TIFF (LZW/Deflate/JPEG-in-TIFF), planar layout, tiled
+    layout, palette, and >8-bit samples are rejected with a clear error;
+    hostile payloads (bad offsets, dimension bombs, truncated strips)
+    raise ValueError before any large allocation."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] == b"II*\x00":
+        endian = "<"
+    elif payload[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    if len(payload) < 8:
+        raise ValueError("TIFF header truncated")
+    ifd_off = struct.unpack_from(endian + "I", payload, 4)[0]
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF IFD offset overruns the payload")
+    n = struct.unpack_from(endian + "H", payload, ifd_off)[0]
+    if ifd_off + 2 + 12 * n > len(payload):
+        raise ValueError("TIFF IFD truncated")
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    tags: dict[int, list] = {}
+    for i in range(n):
+        at = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(endian + "HHI", payload, at)
+        sz = type_size.get(typ)
+        if sz is None or cnt == 0 or cnt > 1 << 20:
+            continue  # RATIONAL/ASCII/absurd-count tags: not needed here
+        total = sz * cnt
+        off = (at + 8 if total <= 4
+               else struct.unpack_from(endian + "I", payload, at + 8)[0])
+        if off + total > len(payload):
+            raise ValueError(f"TIFF tag {tag} data overruns the payload")
+        tags[tag] = list(
+            struct.unpack_from(endian + type_fmt[typ] * cnt, payload, off)
+        )
+
+    def first(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    width, height = first(256), first(257)
+    if not width or not height:
+        raise ValueError("TIFF missing ImageWidth/ImageLength")
+    if width * height > _JPEG_MAX_PIXELS:  # same bomb cap as the others
+        raise ValueError(f"TIFF dimensions {width}x{height} out of bounds")
+    comp = first(259, 1)
+    if comp != 1:
+        raise ValueError(f"only uncompressed TIFF (compression={comp})")
+    spp = first(277, 1)
+    if spp not in (1, 3, 4):
+        raise ValueError(f"unsupported TIFF samples-per-pixel {spp}")
+    bps = tags.get(258, [8] * spp)
+    if any(b != 8 for b in bps):
+        raise ValueError(f"only 8-bit TIFF samples (got {bps})")
+    photo = first(262)
+    if photo not in (1, 2):  # BlackIsZero gray / RGB
+        raise ValueError(f"only grayscale/RGB TIFF (photometric={photo})")
+    if first(284, 1) != 1:
+        raise ValueError("only chunky (PlanarConfiguration=1) TIFF")
+    if 322 in tags or 324 in tags:
+        raise ValueError("tiled TIFF layout is not supported")
+    offs, counts = tags.get(273), tags.get(279)
+    if not offs or not counts or len(offs) != len(counts):
+        raise ValueError("TIFF missing/mismatched strip offsets")
+    data = bytearray()
+    need = width * height * spp
+    for o, c in zip(offs, counts):
+        if o + c > len(payload):
+            raise ValueError("TIFF strip overruns the payload")
+        data += payload[o:o + c]
+        if len(data) >= need:
+            break
+    if len(data) < need:
+        raise ValueError(f"TIFF pixel data truncated: {len(data)} < {need}")
+    img = np.frombuffer(bytes(data[:need]), np.uint8).reshape(
+        height, width, spp)
+    return np.ascontiguousarray(img)
+
+
 def decode_wav(payload: bytes):
     """REAL audio decode for PCM WAV — pure numpy RIFF parsing. Returns
     (sample_rate, n_channels, samples) with samples shaped (n_frames,
@@ -995,11 +1082,12 @@ def _jpeg_prog_finish(frame, qt, state):
 
 def _decode_image_real(payload: bytes, width: int, height: int):
     """The real decode path. Uncompressed 24-bit BMP (decode_bmp), 8-bit
-    non-interlaced PNG (decode_png, stdlib zlib), and baseline +
-    progressive huffman JPEG (decode_jpeg) all decode IN-CONTAINER with a
-    nearest-neighbor resize; remaining exotic image formats (WebP, TIFF)
-    require PIL, absent here, and stay import-gated so the pipeline
-    degrades to the deterministic fake rather than crashing."""
+    non-interlaced PNG (decode_png, stdlib zlib), baseline + progressive
+    huffman JPEG (decode_jpeg), and uncompressed TIFF (decode_tiff) all
+    decode IN-CONTAINER with a nearest-neighbor resize; the remaining
+    exotic image format (WebP) requires PIL, absent here, and stays
+    import-gated so the pipeline degrades to the deterministic fake
+    rather than crashing."""
     img = None
     if payload[:2] == b"BM":
         img = decode_bmp(payload)
@@ -1007,6 +1095,8 @@ def _decode_image_real(payload: bytes, width: int, height: int):
         img = decode_png(payload)
     elif payload[:2] == b"\xff\xd8":
         img = decode_jpeg(payload)
+    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+        img = decode_tiff(payload)
     if img is not None:
         import numpy as np
 
@@ -1018,10 +1108,10 @@ def _decode_image_real(payload: bytes, width: int, height: int):
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "exotic image formats (WebP/TIFF) require pillow; "
-            "deterministic fake used instead (uncompressed BMP, 8-bit "
+            "exotic image formats (WebP, compressed TIFF) require pillow; "
+            "deterministic fake used instead (uncompressed BMP/TIFF, 8-bit "
             "PNG, and baseline/progressive JPEG decode natively — "
-            "decode_bmp/decode_png/decode_jpeg)"
+            "decode_bmp/decode_tiff/decode_png/decode_jpeg)"
         ) from exc
     raise NotImplementedError("real decode wired at deploy time")
 

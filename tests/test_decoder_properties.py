@@ -17,6 +17,7 @@ from tests.test_multimodal import (
     _make_jpeg,
     _make_png,
     _make_progressive_jpeg,
+    _make_tiff,
     _make_wav,
 )
 
@@ -122,7 +123,7 @@ def test_jpeg_error_bounds_any_shape(h, w, gray, sub, rst, seed):
 
 @HYP
 @given(
-    which=st.sampled_from(["png", "bmp", "wav", "jpeg", "jpeg-prog"]),
+    which=st.sampled_from(["png", "bmp", "wav", "jpeg", "jpeg-prog", "tiff"]),
     seed=st.integers(0, 2**31 - 1),
     cut=st.integers(0, 200),
     flips=st.lists(st.tuples(st.integers(0, 199), st.integers(1, 255)),
@@ -154,6 +155,11 @@ def test_mangled_payloads_never_crash_outside_valueerror(which, seed, cut, flips
                 rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
         )
         decode = mm.decode_jpeg
+    elif which == "tiff":
+        payload = bytearray(
+            _make_tiff(rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8))
+        )
+        decode = mm.decode_tiff
     else:
         payload = bytearray(
             _make_wav(rng.integers(-100, 100, size=(8, 2)).astype(np.int16), 8000)

@@ -1011,3 +1011,106 @@ def test_mp3_header_parse_vbr_id3_and_truncation():
         bad = bytearray(_mp3_frame())
         bad[1] = (bad[1] & ~0x06) | 0x06  # Layer I bits
         mm.parse_mp3(bytes(bad))
+
+
+def _make_tiff(img, big_endian=False, rows_per_strip=None) -> bytes:
+    """Serialize an (H, W, C) uint8 array (C=1/3/4) as an uncompressed
+    chunky TIFF, optionally big-endian and multi-strip."""
+    import struct
+
+    h, w, c = img.shape
+    e = ">" if big_endian else "<"
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        strips.append(img[y0:y0 + rps].tobytes())
+    # layout: header(8) | IFD | tag arrays | strip data
+    ntags = 9
+    ifd_off = 8
+    arrays_off = ifd_off + 2 + 12 * ntags + 4
+    arr = bytearray()
+
+    def tag(tid, typ, vals):
+        nonlocal arr
+        fmt = {3: "H", 4: "I"}[typ]
+        sz = struct.calcsize(fmt) * len(vals)
+        if sz <= 4:
+            packed = struct.pack(e + fmt * len(vals), *vals)
+            return struct.pack(e + "HHI", tid, typ, len(vals)) + packed.ljust(4, b"\x00")
+        off = arrays_off + len(arr)
+        arr += struct.pack(e + fmt * len(vals), *vals)
+        return struct.pack(e + "HHI", tid, typ, len(vals)) + struct.pack(e + "I", off)
+
+    # strip offsets come after the tag arrays; reserve their array space
+    n_strips = len(strips)
+    bps_vals = [8] * c
+    # build twice: first to size the arrays, then with real strip offsets
+    for _ in range(2):
+        arr = bytearray()
+        body = b"".join([
+            tag(256, 4, [w]),
+            tag(257, 4, [h]),
+            tag(258, 3, bps_vals),
+            tag(259, 3, [1]),
+            tag(262, 3, [2 if c >= 3 else 1]),
+            tag(273, 4, getattr(_make_tiff, "_offs", [0] * n_strips)),
+            tag(277, 3, [c]),
+            tag(278, 4, [rps]),
+            tag(279, 4, [len(s) for s in strips]),
+        ])
+        data_off = arrays_off + len(arr)
+        offs, at = [], data_off
+        for s in strips:
+            offs.append(at)
+            at += len(s)
+        _make_tiff._offs = offs
+    del _make_tiff._offs
+    header = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(e + "I", ifd_off)
+    ifd = struct.pack(e + "H", ntags) + body + struct.pack(e + "I", 0)
+    return header + ifd + bytes(arr) + b"".join(strips)
+
+
+def test_tiff_decode_roundtrips_both_endians_and_strips():
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    for c in (1, 3, 4):
+        img = rng.integers(0, 256, size=(7, 5, c), dtype=np.uint8)
+        for be in (False, True):
+            got = mm.decode_tiff(_make_tiff(img, big_endian=be))
+            assert got.shape == img.shape and (got == img).all(), (c, be)
+    # multi-strip layout
+    img = rng.integers(0, 256, size=(10, 4, 3), dtype=np.uint8)
+    got = mm.decode_tiff(_make_tiff(img, rows_per_strip=3))
+    assert (got == img).all()
+    # the real-decode gate routes TIFF natively with a resize
+    resized = mm._decode_image_real(_make_tiff(img), width=8, height=5)
+    assert resized.shape == (5, 8, 3)
+
+
+def test_tiff_rejects_unsupported_and_hostile():
+    import struct
+
+    import numpy as np
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = _make_tiff(img)
+    with pytest.raises(ValueError, match="not a TIFF"):
+        mm.decode_tiff(b"ABCD" + good[4:])
+    # LZW compression refused by name
+    lzw = bytearray(good)
+    at = lzw.index(struct.pack("<HH", 259, 3))
+    struct.pack_into("<H", lzw, at + 8, 5)
+    with pytest.raises(ValueError, match="uncompressed"):
+        mm.decode_tiff(bytes(lzw))
+    # dimension bomb fails before allocation
+    bomb = bytearray(good)
+    at = bomb.index(struct.pack("<HH", 256, 4))
+    struct.pack_into("<I", bomb, at + 8, 1 << 20)
+    at = bomb.index(struct.pack("<HH", 257, 4))
+    struct.pack_into("<I", bomb, at + 8, 1 << 20)
+    with pytest.raises(ValueError, match="out of bounds"):
+        mm.decode_tiff(bytes(bomb))
+    # truncated strip data
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        mm.decode_tiff(good[:-10])

@@ -2078,3 +2078,32 @@ def test_bloom_type_mismatched_probe_fails_open(spark, tmp_path):
     want = sorted(r.id for r in t.read().where("code = '042'").collect())
     got = sorted(r.id for r in hit.where("code = '042'").collect())
     assert got == want and got
+
+
+def test_bloom_with_partition_by_keeps_schema_and_answers(spark, tmp_path):
+    """blooms + hive partitioning compose: the sidecar rel-paths include
+    the partition subdirs, pruned reads keep the partition columns
+    (basePath), and point probes stay answer-preserving."""
+    df = (
+        spark.range(0, 6000)
+        .withColumn("day", (F.col("id") % 3).cast("int"))
+        .withColumn(
+            "user_id",
+            F.concat(F.lit("u"), ((F.col("id") * 2654435761) % 997).cast("string")),
+        )
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(df.repartitionByRange(4, "id"), partition_by=["day"],
+             bloom_cols=["user_id"])
+    full = t.read()
+    pruned = t.read(prune={"user_id": "u123"})
+    assert sorted(f.name for f in pruned.schema.fields) == sorted(
+        f.name for f in full.schema.fields
+    )
+    want = sorted(
+        (r.id, r.day) for r in full.where("user_id = 'u123'").collect()
+    )
+    got = sorted(
+        (r.id, r.day) for r in pruned.where("user_id = 'u123'").collect()
+    )
+    assert got == want and got
