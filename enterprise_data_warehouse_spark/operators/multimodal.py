@@ -528,6 +528,93 @@ def parse_mp3(payload: bytes) -> dict:
     }
 
 
+def parse_mp4(payload: bytes) -> dict:
+    """MP4/M4A (ISO BMFF) BOX-header parse — container duration, track
+    count, per-track handler types, and the first video track's coded
+    dimensions WITHOUT decoding any media (the metadata
+    `video_frame_sample_plan` / `audio_chunk_plan` window on). Walks the
+    box tree (moov → mvhd / trak → tkhd + mdia.hdlr), handles 64-bit
+    largesize boxes and version-1 mvhd/tkhd. Parse or ValueError,
+    nothing else (the hardened decoder contract); streams with the moov
+    after a huge mdat parse fine — only headers are touched."""
+    if len(payload) < 8 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (MP4/M4A) payload (missing ftyp)")
+
+    def boxes(buf, pos, end):
+        """Yield (type, body_start, body_end) for sibling boxes."""
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos:pos + 4], "big")
+            btype = buf[pos + 4:pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise ValueError("MP4 largesize box header truncated")
+                size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+                body = pos + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - pos
+            if size < body - pos or pos + size > end:
+                raise ValueError(
+                    f"MP4 box {btype!r} overruns its container")
+            yield btype, body, pos + size
+            pos += size
+
+    duration_s = None
+    tracks = []
+    video_wh = None
+    for btype, body, bend in boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in boxes(payload, body, bend):
+            if ctype == b"mvhd":
+                if cbody + 4 > cend:
+                    raise ValueError("MP4 mvhd truncated")
+                ver = payload[cbody]
+                if ver == 1:
+                    if cbody + 32 > cend:
+                        raise ValueError("MP4 mvhd v1 truncated")
+                    scale = int.from_bytes(payload[cbody + 20:cbody + 24], "big")
+                    dur = int.from_bytes(payload[cbody + 24:cbody + 32], "big")
+                else:
+                    if cbody + 20 > cend:
+                        raise ValueError("MP4 mvhd v0 truncated")
+                    scale = int.from_bytes(payload[cbody + 12:cbody + 16], "big")
+                    dur = int.from_bytes(payload[cbody + 16:cbody + 20], "big")
+                if not scale:
+                    raise ValueError("MP4 mvhd timescale is zero")
+                duration_s = dur / scale
+            elif ctype == b"trak":
+                handler = None
+                wh = None
+                for t, tb, te in boxes(payload, cbody, cend):
+                    if t == b"tkhd" and te - tb >= 4:
+                        ver = payload[tb]
+                        # width/height: last 8 bytes, 16.16 fixed point
+                        if te - tb >= (96 if ver == 1 else 84):
+                            at = te - 8
+                            w = int.from_bytes(payload[at:at + 4], "big") >> 16
+                            h = int.from_bytes(payload[at + 4:at + 8], "big") >> 16
+                            if w and h:
+                                wh = (w, h)
+                    elif t == b"mdia":
+                        for m, mb, me in boxes(payload, tb, te):
+                            if m == b"hdlr" and me - mb >= 12:
+                                handler = payload[mb + 8:mb + 12].decode(
+                                    "ascii", "replace")
+                tracks.append(handler or "unkn")
+                if handler == "vide" and wh and video_wh is None:
+                    video_wh = wh
+    if duration_s is None:
+        raise ValueError("MP4 payload has no moov/mvhd (no duration)")
+    return {
+        "duration_s": duration_s,
+        "n_tracks": len(tracks),
+        "track_handlers": tracks,
+        "video_width": video_wh[0] if video_wh else None,
+        "video_height": video_wh[1] if video_wh else None,
+    }
+
+
 _JPEG_ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,

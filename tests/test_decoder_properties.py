@@ -16,6 +16,7 @@ from tests.test_multimodal import (
     _make_bmp,
     _make_jpeg,
     _make_png,
+    _make_mp4,
     _make_progressive_jpeg,
     _make_tiff,
     _make_wav,
@@ -123,7 +124,7 @@ def test_jpeg_error_bounds_any_shape(h, w, gray, sub, rst, seed):
 
 @HYP
 @given(
-    which=st.sampled_from(["png", "bmp", "wav", "jpeg", "jpeg-prog", "tiff"]),
+    which=st.sampled_from(["png", "bmp", "wav", "jpeg", "jpeg-prog", "tiff", "mp4"]),
     seed=st.integers(0, 2**31 - 1),
     cut=st.integers(0, 200),
     flips=st.lists(st.tuples(st.integers(0, 199), st.integers(1, 255)),
@@ -160,6 +161,9 @@ def test_mangled_payloads_never_crash_outside_valueerror(which, seed, cut, flips
             _make_tiff(rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8))
         )
         decode = mm.decode_tiff
+    elif which == "mp4":
+        payload = bytearray(_make_mp4())
+        decode = mm.parse_mp4
     else:
         payload = bytearray(
             _make_wav(rng.integers(-100, 100, size=(8, 2)).astype(np.int16), 8000)

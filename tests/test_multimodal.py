@@ -1114,3 +1114,70 @@ def test_tiff_rejects_unsupported_and_hostile():
     # truncated strip data
     with pytest.raises(ValueError, match="overruns|truncated"):
         mm.decode_tiff(good[:-10])
+
+
+def _box(btype: bytes, body: bytes, largesize=False) -> bytes:
+    import struct
+
+    if largesize:
+        return (struct.pack(">I", 1) + btype
+                + struct.pack(">Q", 16 + len(body)) + body)
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _make_mp4(duration_s=12.5, timescale=1000, video_wh=(640, 360),
+              v1=False, largesize=False) -> bytes:
+    """Minimal ISO-BMFF: ftyp + mdat + moov(mvhd, video trak, audio trak)."""
+    import struct
+
+    dur = int(duration_s * timescale)
+    if v1:
+        mvhd = (b"\x01" + b"\x00" * 3 + b"\x00" * 16
+                + struct.pack(">IQ", timescale, dur) + b"\x00" * 80)
+    else:
+        mvhd = (b"\x00" * 4 + b"\x00" * 8
+                + struct.pack(">II", timescale, dur) + b"\x00" * 80)
+
+    def trak(handler, wh=None):
+        tkhd = b"\x00" * 4 + b"\x00" * 72  # v0 body sans width/height
+        if wh:
+            tkhd += struct.pack(">II", wh[0] << 16, wh[1] << 16)
+        else:
+            tkhd += b"\x00" * 8
+        hdlr = b"\x00" * 4 + b"\x00" * 4 + handler + b"\x00" * 12
+        mdia = _box(b"hdlr", hdlr)
+        return _box(b"trak", _box(b"tkhd", tkhd) + _box(b"mdia", mdia))
+
+    moov = _box(b"moov", _box(b"mvhd", mvhd)
+                + trak(b"vide", video_wh) + trak(b"soun"),
+                largesize=largesize)
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 4 + b"isomiso2")
+    mdat = _box(b"mdat", b"\x00" * 64)
+    return ftyp + mdat + moov
+
+
+def test_mp4_box_parse_duration_tracks_dimensions():
+    meta = mm.parse_mp4(_make_mp4())
+    assert abs(meta["duration_s"] - 12.5) < 1e-9
+    assert meta["n_tracks"] == 2
+    assert meta["track_handlers"] == ["vide", "soun"]
+    assert (meta["video_width"], meta["video_height"]) == (640, 360)
+    # version-1 mvhd (64-bit duration) and a largesize moov box
+    m1 = mm.parse_mp4(_make_mp4(duration_s=3.25, v1=True, largesize=True))
+    assert abs(m1["duration_s"] - 3.25) < 1e-9
+
+
+def test_mp4_hostile_payloads_raise_clearly():
+    good = _make_mp4()
+    with pytest.raises(ValueError, match="ftyp"):
+        mm.parse_mp4(b"\x00" * 32)
+    with pytest.raises(ValueError, match="overruns|truncated|moov"):
+        mm.parse_mp4(good[: len(good) - 30])
+    # zero timescale refused, not ZeroDivisionError
+    import struct
+
+    zt = bytearray(good)
+    at = zt.index(b"mvhd") + 4 + 4 + 8
+    struct.pack_into(">I", zt, at, 0)
+    with pytest.raises(ValueError, match="timescale"):
+        mm.parse_mp4(bytes(zt))
