@@ -843,20 +843,25 @@ class VersionedTable:
         meta: dict = {"m": m, "k": k, "cols": {}, "files": {}}
         needle = f"/{dirname}/"
         for c in present:
+            try:
+                pos = F.explode(F.array(*[
+                    F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m))
+                    for i in range(k)
+                ])).alias("_p")
+                rows = (
+                    df.select(F.input_file_name().alias("_f"), F.col(c))
+                    .where(F.col(c).isNotNull())
+                    .select("_f", pos)
+                    .groupBy("_f")
+                    .agg(F.collect_set("_p").alias("_ps"))
+                    .select("_f", _pack("_ps").alias("_b"))
+                    .collect()
+                )
+            except Exception:
+                continue  # unindexable column (e.g. unhashable type, name
+                # colliding with the aggregation alias): fail open — commit
+                # proceeds without a bloom for this column
             meta["cols"][c] = df.schema[c].dataType.simpleString()
-            pos = F.explode(F.array(*[
-                F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m))
-                for i in range(k)
-            ])).alias("_p")
-            rows = (
-                df.select(F.input_file_name().alias("_f"), F.col(c))
-                .where(F.col(c).isNotNull())
-                .select("_f", pos)
-                .groupBy("_f")
-                .agg(F.collect_set("_p").alias("_ps"))
-                .select("_f", _pack("_ps").alias("_b"))
-                .collect()
-            )
             if len(rows) > self.MAX_STATS_FILES:
                 return None  # grew past the pre-guard mid-pass (racer)
             for r in rows:

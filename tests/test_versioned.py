@@ -2107,3 +2107,33 @@ def test_bloom_with_partition_by_keeps_schema_and_answers(spark, tmp_path):
         (r.id, r.day) for r in pruned.where("user_id = 'u123'").collect()
     )
     assert got == want and got
+
+
+def test_bloom_pass_failure_on_one_column_fails_open(spark, tmp_path, monkeypatch):
+    """A per-column bloom pass that throws (here: injected) must skip
+    that column and commit the rest — never crash the commit."""
+    from pyspark.sql import functions as F_
+
+    df = spark.range(0, 2000).withColumn("k", F_.col("id") % 97).withColumn(
+        "j", (F_.col("id") * 7) % 31
+    ).repartition(4)
+    t = VersionedTable(spark, str(tmp_path / "t"))
+
+    real_explode = F.explode
+
+    def sabotage(col):
+        # blow up only the pass for column "k" (first arg is an array expr;
+        # detect via its string form)
+        if "xxhash64(k," in str(col):
+            raise RuntimeError("injected")
+        return real_explode(col)
+
+    monkeypatch.setattr(
+        "enterprise_data_warehouse_spark.sources.versioned.F.explode", sabotage
+    )
+    v = t.commit(df, bloom_cols=["k", "j"])
+    meta = t._read_marker(v)
+    assert "bloom" in meta and list(meta["bloom"]["cols"]) == ["j"]
+    # the surviving column still prunes answer-preservingly
+    got = t.read(prune={"j": 5}).where("j = 5").count()
+    assert got == t.read().where("j = 5").count() > 0
