@@ -782,7 +782,7 @@ def _make_progressive_jpeg(img, subsampling="444", q_luma=1, q_chroma=1) -> byte
         wtr.pad()
         return bytes(wtr.out)
 
-    def ac_scan(ci, ah, al):
+    def ac_scan(ci, ah, al, ss=1, se=63):
         wtr = _JpegBitWriter()
         eob = _EobRun(wtr, ac_codes)
         bw, bh = dims[ci]
@@ -790,9 +790,9 @@ def _make_progressive_jpeg(img, subsampling="444", q_luma=1, q_chroma=1) -> byte
             by, bx = divmod(u, bw)
             blk = zzs[ci][by, bx]
             if ah == 0:
-                _enc_ac_first_block(blk, eob, wtr, ac_codes, 1, 63, al)
+                _enc_ac_first_block(blk, eob, wtr, ac_codes, ss, se, al)
             else:
-                _enc_ac_refine_block(blk, eob, wtr, ac_codes, 1, 63, al)
+                _enc_ac_refine_block(blk, eob, wtr, ac_codes, ss, se, al)
         eob.flush()
         wtr.pad()
         return bytes(wtr.out)
@@ -816,10 +816,13 @@ def _make_progressive_jpeg(img, subsampling="444", q_luma=1, q_chroma=1) -> byte
     all_comps = [(ci + 1, 0, 0) for ci in range(ncomp)]
     out += sos(all_comps, 0, 0, 0, 1) + dc_scan(0, 1)
     out += sos(all_comps, 0, 0, 1, 0) + dc_scan(1, 0)
+    # split spectral bands (the cjpeg default script shape: 1-5 then 6-63)
     for ci in range(ncomp):
-        out += sos([(ci + 1, 0, 0)], 1, 63, 0, 1) + ac_scan(ci, 0, 1)
+        out += sos([(ci + 1, 0, 0)], 1, 5, 0, 1) + ac_scan(ci, 0, 1, 1, 5)
+        out += sos([(ci + 1, 0, 0)], 6, 63, 0, 1) + ac_scan(ci, 0, 1, 6, 63)
     for ci in range(ncomp):
-        out += sos([(ci + 1, 0, 0)], 1, 63, 1, 0) + ac_scan(ci, 1, 0)
+        out += sos([(ci + 1, 0, 0)], 1, 5, 1, 0) + ac_scan(ci, 1, 0, 1, 5)
+        out += sos([(ci + 1, 0, 0)], 6, 63, 1, 0) + ac_scan(ci, 1, 0, 6, 63)
     out += b"\xff\xd9"
     return bytes(out)
 
