@@ -299,9 +299,12 @@ class VersionedTable:
         live in older versions' immutable dirs.
 
         ``prune`` — manifest data skipping (the analog of Delta's add-file
-        stats): ``{col: value}`` or ``{col: (lo, hi)}`` (either bound None
-        = open) selects only the files whose marker-recorded min/max range
-        (see ``commit(stats_cols=...)``) overlaps the requested band,
+        stats): ``{col: value}`` (point), ``{col: (lo, hi)}`` (range,
+        either bound None = open), or ``{col: [v1, v2, ...]}`` (IN-list —
+        a file survives if ANY value could be in it) selects only the
+        files whose marker-recorded min/max range (see
+        ``commit(stats_cols=...)``) — and, for point/IN-list probes on
+        ``bloom_cols`` columns, whose bloom bitmap — could hold a match,
         BEFORE Spark ever lists the directory. Best-effort and strictly
         fail-open: files without stats for a pruning column are included,
         versions without stats (old commits, merge output, clones,
@@ -424,15 +427,26 @@ class VersionedTable:
         bloom = meta.get("bloom")
         if not bloom:
             return hit
-        points = {}
+        # point and IN-list predicates can use the bloom; every probed
+        # value must be type-compatible or the column fails open entirely
+        # (one unprobeable value means no file can be ruled out)
+        points: dict[str, list] = {}
         for colname, band in prune.items():
-            lo, hi = band if isinstance(band, tuple) else (band, band)
-            if (
-                lo is not None and lo == hi
-                and colname in bloom.get("cols", {})
-                and self._bloom_probe_compatible(lo, bloom["cols"][colname])
-            ):
-                points[colname] = lo
+            dtype = bloom.get("cols", {}).get(colname)
+            if dtype is None:
+                continue
+            if isinstance(band, (list, set, frozenset)):
+                vals = list(band)
+                if vals and all(
+                    v is not None and self._bloom_probe_compatible(v, dtype)
+                    for v in vals
+                ):
+                    points[colname] = vals
+            else:
+                lo, hi = band if isinstance(band, tuple) else (band, band)
+                if (lo is not None and lo == hi
+                        and self._bloom_probe_compatible(lo, dtype)):
+                    points[colname] = [lo]
         if not points:
             return hit
         side = self._read_json(self._anypath(bloom["path"]))
@@ -445,9 +459,14 @@ class VersionedTable:
 
         m, k = bloom["m"], bloom["k"]
         probe = {
-            c: self._bloom_positions(v, bloom["cols"][c], m, k)
-            for c, v in points.items()
+            c: [self._bloom_positions(v, bloom["cols"][c], m, k) for v in vals]
+            for c, vals in points.items()
         }
+        # a failed position computation fails the whole column open
+        probe = {c: ps for c, ps in probe.items()
+                 if all(p is not None for p in ps)}
+        if not probe:
+            return hit
         # When stats produced no candidate list, the sidecar's keys ARE the
         # inventory. A file whose bloom column is entirely NULL never
         # enters the sidecar and is therefore excluded here — deliberately
@@ -459,9 +478,9 @@ class VersionedTable:
             fb = files.get(rel)
             keep = True
             if fb:  # a file absent from the sidecar is kept (fail open)
-                for colname, positions in probe.items():
+                for colname, per_value in probe.items():
                     b64 = fb.get(colname)
-                    if not b64 or positions is None:
+                    if not b64:
                         continue
                     try:
                         bits = np.unpackbits(
@@ -471,9 +490,15 @@ class VersionedTable:
                             continue  # malformed bitmap: fail open
                     except Exception:
                         continue
-                    if not all(bits[p] for p in positions):
-                        keep = False  # definitely-absent: blooms have no
-                        break         # false negatives
+                    # IN-list: the file survives if ANY probed value might
+                    # be present; it is skipped only when every value is
+                    # definitely absent (blooms have no false negatives)
+                    if not any(
+                        all(bits[p] for p in positions)
+                        for positions in per_value
+                    ):
+                        keep = False
+                        break
             if keep:
                 kept.append(rel)
         return kept
@@ -481,12 +506,23 @@ class VersionedTable:
     def _prune_files(self, stats: dict, prune: dict) -> list[str] | None:
         """File list after min/max skipping, or None when the recorded
         stats cover none of the pruning columns (caller falls back to the
-        full directory read)."""
+        full directory read). Range bands drop files whose [min, max]
+        misses the band; IN-list bands drop files whose range contains
+        NONE of the values."""
         bounds = {}
+        inlists = {}
         for col, band in prune.items():
-            lo, hi = band if isinstance(band, tuple) else (band, band)
-            bounds[col] = (self._stat_norm(lo), self._stat_norm(hi))
-        if not any(c in stats.get("cols", []) for c in bounds):
+            if isinstance(band, (list, set, frozenset)):
+                vals = [self._stat_norm(v) for v in band]
+                if vals and all(v is not None for v in vals):
+                    inlists[col] = vals
+                # empty list / un-normalizable value: no constraint (open)
+            else:
+                lo, hi = band if isinstance(band, tuple) else (band, band)
+                bounds[col] = (self._stat_norm(lo), self._stat_norm(hi))
+        if not any(
+            c in stats.get("cols", []) for c in (*bounds, *inlists)
+        ):
             return None
         hit = []
         for rel, col_stats in stats.get("files", {}).items():
@@ -506,6 +542,18 @@ class VersionedTable:
                     continue  # bound type incomparable with the recorded
                     # stat type (str band on int stats, ...): fail open —
                     # keep the file, never crash a documented-best-effort read
+            if keep:
+                for col, vals in inlists.items():
+                    mn_mx = col_stats.get(col)
+                    if mn_mx is None:
+                        continue
+                    mn, mx = mn_mx
+                    try:
+                        if not any(mn <= v <= mx for v in vals):
+                            keep = False
+                            break
+                    except TypeError:
+                        continue  # incomparable value type: fail open
             if keep:
                 hit.append(rel)
         return hit

@@ -2137,3 +2137,44 @@ def test_bloom_pass_failure_on_one_column_fails_open(spark, tmp_path, monkeypatc
     # the surviving column still prunes answer-preservingly
     got = t.read(prune={"j": 5}).where("j = 5").count()
     assert got == t.read().where("j = 5").count() > 0
+
+
+def test_inlist_pruning_stats_and_bloom_answer_preserving(spark, tmp_path):
+    """prune={col: [v1, v2, ...]} — the Delta `col IN (...)` skipping
+    shape: stats keep a file when ANY value falls in its range; blooms
+    keep a file when ANY value might be present. Answers stay identical
+    to the full read + IN filter; mixed/incompatible value types fail
+    open."""
+    df = (
+        spark.range(0, 24000)
+        .withColumn(
+            "user_id",
+            F.concat(F.lit("u"),
+                     ((F.col("id") * 2654435761) % 6001).cast("string")),
+        )
+        .repartitionByRange(8, "id")
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(df, stats_cols=["id"], bloom_cols=["user_id"])
+    full = t.read()
+    n_files = len(full.inputFiles())
+
+    # stats IN-list: two points in distant files -> ~2 files, exact rows
+    ids = [150, 21000]
+    pruned = t.read(prune={"id": ids})
+    assert 0 < len(pruned.inputFiles()) < n_files
+    got = sorted(r.id for r in pruned.where(F.col("id").isin(ids)).collect())
+    assert got == ids
+    # bloom IN-list on the unclustered column
+    users = ["u777", "u4242", "u999999"]  # two hits + one absent
+    bp = t.read(prune={"user_id": users})
+    assert len(bp.inputFiles()) < n_files
+    want = sorted(
+        r.id for r in full.where(F.col("user_id").isin(users)).collect()
+    )
+    got = sorted(r.id for r in bp.where(F.col("user_id").isin(users)).collect())
+    assert got == want and got
+    # empty list and mixed-type lists fail open (full read)
+    assert t.read(prune={"id": []}).count() == 24000
+    assert t.read(prune={"id": [5, "oops"]}).count() == 24000
+    assert t.read(prune={"user_id": ["u1", 7]}).count() == 24000
