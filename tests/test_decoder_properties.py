@@ -196,3 +196,29 @@ def test_jpeg_non_divisible_sampling_refused_clearly():
     payload[comp0_hv + 3] = 0x31
     with pytest.raises(ValueError, match="sampling"):
         mm.decode_jpeg(bytes(payload))
+
+
+@HYP
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    mode=st.sampled_from(["gray", "420", "444"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_progressive_equals_baseline_any_shape(h, w, mode, seed):
+    """Progressive (SOF2) decode is bit-identical to baseline (SOF0)
+    decode of the same image for EVERY shape/subsampling — both scripts
+    transmit the same quantized coefficients, so any divergence is a
+    successive-approximation / EOB-run / band bookkeeping bug."""
+    rng = np.random.default_rng(seed)
+    if mode == "gray":
+        img = rng.integers(0, 256, size=(h, w, 1), dtype=np.uint8)
+        sub = "444"
+    else:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        sub = mode
+    base = mm.decode_jpeg(_make_jpeg(img, sub))
+    prog = mm.decode_jpeg(_make_progressive_jpeg(img, sub))
+    assert prog.shape == base.shape
+    assert (prog == base).all(), int(
+        np.abs(prog.astype(int) - base.astype(int)).max())
