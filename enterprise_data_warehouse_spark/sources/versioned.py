@@ -305,12 +305,15 @@ class VersionedTable:
         files whose marker-recorded min/max range (see
         ``commit(stats_cols=...)``) — and, for point/IN-list probes on
         ``bloom_cols`` columns, whose bloom bitmap — could hold a match,
-        BEFORE Spark ever lists the directory. Best-effort and strictly
-        fail-open: files without stats for a pruning column are included,
-        versions without stats (old commits, merge output, clones,
-        partition-mapped versions) read in full — the result is always a
-        SUPERSET of the matching rows, so the caller applies the real
-        filter on top exactly as with parquet row-group skipping."""
+        BEFORE Spark ever lists the directory. On partition-mapped
+        versions (merge_partitioned) a point/IN-list prune on the
+        recorded partition column selects only the matching mapped dirs.
+        Best-effort and strictly fail-open: files without stats for a
+        pruning column are included, versions without applicable skipping
+        info (old commits, plain merge output, clones) read in full — the
+        result is always a SUPERSET of the matching rows, so the caller
+        applies the real filter on top exactly as with parquet row-group
+        skipping."""
         if version is None:
             version = self.current_version()
             if version is None:
@@ -324,9 +327,22 @@ class VersionedTable:
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         if meta.get("parts"):
-            return reader.parquet(
-                *[self._abs(rel) for rel in sorted(meta["parts"].values())]
-            )
+            rels = sorted(meta["parts"].values())
+            # partition-value skipping: a point/IN-list prune on the
+            # recorded partition column selects only the mapped dirs whose
+            # key matches — the Delta partition-pruning analog. Strictly
+            # fail-open: no pcol recorded, range bands, or value types
+            # whose str() form isn't engine-faithful read the full union.
+            pcol = meta.get("pcol")
+            if prune and pcol in prune:
+                sel = self._prune_parts(meta["parts"], prune[pcol])
+                if sel is not None:
+                    if not sel:  # no mapped partition can match
+                        return reader.parquet(
+                            *[self._abs(rel) for rel in rels]
+                        ).where("1 = 0")
+                    rels = sorted(sel)
+            return reader.parquet(*[self._abs(rel) for rel in rels])
         if prune and (meta.get("stats") or meta.get("bloom")):
             hit = self._skip_files(meta, prune)
             if hit is not None:
@@ -342,6 +358,41 @@ class VersionedTable:
                     *[self._abs(rel) for rel in hit]
                 )
         return reader.parquet(self._abs(meta["dir"]))
+
+    @staticmethod
+    def _part_key(v) -> str | None:
+        """The parts-map key for a probe value, or None when the value's
+        Python str() form is not guaranteed to equal Spark's
+        CAST(x AS STRING) (the form merge_partitioned keyed the map with):
+        faithful for str and int; floats ('1e-07' vs '1.0E-7'), dates, and
+        booleans fail open."""
+        if isinstance(v, bool) or not isinstance(v, (str, int)):
+            return None
+        return str(v)
+
+    def _prune_parts(self, parts: dict, band) -> list | None:
+        """Mapped-dir list for a point/IN-list band over the partition
+        column, or None when the band can't be matched faithfully (range
+        bands — the keys are strings, lexicographic != numeric — or
+        unfaithful value types): caller reads the full union."""
+        if isinstance(band, (list, set, frozenset)):
+            vals = list(band)
+        elif isinstance(band, tuple):
+            lo, hi = band
+            if lo is None or lo != hi:
+                return None
+            vals = [lo]
+        else:
+            vals = [band]
+        if not vals:
+            return None
+        keys = []
+        for v in vals:
+            kv = self._part_key(v)
+            if kv is None:
+                return None
+            keys.append(kv)
+        return [parts[k] for k in keys if k in parts]
 
     @staticmethod
     def _stat_norm(v):
@@ -1115,16 +1166,21 @@ class VersionedTable:
             name = st.getPath().getName()
             if name.startswith("_pv="):
                 parts[unquote(name[len("_pv="):])] = f"{dirname}/{name}"
-        self._create_marker(
-            version,
-            {
-                "version": version,
-                "dir": dirname,
-                "parts": parts,
-                "touched": touched,  # this commit's blast radius (history())
-                "op": "merge_partitioned",
-            },
-        )
+        meta = {
+            "version": version,
+            "dir": dirname,
+            "parts": parts,
+            "touched": touched,  # this commit's blast radius (history())
+            "op": "merge_partitioned",
+        }
+        # record the partition column so read(prune={pcol: value}) can
+        # skip unmapped partitions — but only when the whole map is keyed
+        # by ONE column (a caller that switched partition_col mid-history
+        # has mixed keys; recording either name would mis-prune)
+        prev_pcol = (prev or {}).get("pcol")
+        if prev is None or not (prev or {}).get("parts") or prev_pcol == partition_col:
+            meta["pcol"] = partition_col
+        self._create_marker(version, meta)
         return version
 
     def incremental(self, source: DataFrame, watermark_col: str,

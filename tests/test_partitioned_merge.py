@@ -259,3 +259,58 @@ def test_read_partitions_raises_on_unmapped_current_version(spark, tmp_path):
     t.commit(mk([(1, "a", "x"), (2, "b", "y")]))  # plain commit on top
     with _pytest.raises(ValueError, match="not partition-mapped"):
         t.read_partitions(["a"])
+
+
+def test_partition_mapped_prune_selects_mapped_dirs(spark, tmp_path):
+    """read(prune={pcol: value}) on a partition-mapped version touches
+    only the matching mapped dirs (Delta partition pruning on the
+    manifest); ranges, unfaithful value types, and foreign columns fail
+    open to the full union; a value with no mapped partition returns an
+    empty frame with the full schema."""
+    from pyspark.sql import functions as F
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id int, day string, val string")
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.merge_partitioned(mk([(1, "d1", "a"), (2, "d2", "b")]), ["id"], "day")
+    t.merge_partitioned(mk([(3, "d3", "c")]), ["id"], "day")
+    meta = t._read_marker(t.current_version())
+    assert meta["pcol"] == "day" and len(meta["parts"]) == 3
+    full = t.read()
+    n_full = len(full.inputFiles())
+    one = t.read(prune={"day": "d2"})
+    assert len(one.inputFiles()) < n_full
+    assert [(r.id, r.val) for r in one.where("day = 'd2'").collect()] == [(2, "b")]
+    # IN-list selects exactly the named partitions
+    two = t.read(prune={"day": ["d1", "d3", "nope"]})
+    assert sorted(r.id for r in two.collect()) == [1, 3]
+    # missing value: empty result, schema intact
+    empty = t.read(prune={"day": "never"})
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "day", "val"]
+    # fail-open shapes: range band, float probe, foreign column
+    assert t.read(prune={"day": ("d1", "d3")}).count() == 3
+    assert t.read(prune={"day": 1.5}).count() == 3
+    assert t.read(prune={"val": "a"}).count() == 3
+
+
+def test_partition_mapped_prune_int_keys_and_pcol_continuity(spark, tmp_path):
+    """Int partition values match through the str() key form; switching
+    partition_col mid-history drops pcol so pruning fails open instead of
+    matching keys from the wrong column."""
+    def mk(rows):
+        return spark.createDataFrame(rows, "id int, bucket int, region string")
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.merge_partitioned(mk([(1, 10, "eu"), (2, 20, "us")]), ["id"], "bucket")
+    got = t.read(prune={"bucket": 20}).where("bucket = 20").collect()
+    assert [(r.id, r.region) for r in got] == [(2, "us")]
+    # same column again: pcol persists
+    t.merge_partitioned(mk([(3, 30, "ap")]), ["id"], "bucket")
+    assert t._read_marker(t.current_version())["pcol"] == "bucket"
+    # switch columns: mixed keys -> pcol dropped -> prune fails open
+    t.merge_partitioned(mk([(4, 40, "sa")]), ["id"], "region")
+    meta = t._read_marker(t.current_version())
+    assert "pcol" not in meta
+    assert t.read(prune={"bucket": 20}).count() == 4
