@@ -91,7 +91,10 @@ def main(argv: list[str] | None = None) -> int:
             # a table with no committed version reports cleanly (v: null)
             meta = (t._read_marker(v) or {}) if v is not None else {}
             out = {"version": v, "stats": meta.get("stats"),
-                   "bloom": meta.get("bloom")}
+                   "bloom": meta.get("bloom"),
+                   "pcol": meta.get("pcol"),
+                   "n_mapped": (len(meta["parts"])
+                                if meta.get("parts") else None)}
             print(json.dumps(out, sort_keys=True))
         else:
             print(json.dumps({"released": t.release_parent_ref()}))

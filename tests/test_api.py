@@ -102,4 +102,5 @@ def test_cli_table_skipping_handles_empty_table(spark, tmp_path, capsys, monkeyp
     monkeypatch.setattr(spark, "stop", lambda: None)
     assert cli.main(["table-skipping", str(tmp_path / "nothing-here")]) == 0
     out = json.loads(capsys.readouterr().out)
-    assert out == {"version": None, "stats": None, "bloom": None}
+    assert out == {"version": None, "stats": None, "bloom": None,
+                   "pcol": None, "n_mapped": None}
