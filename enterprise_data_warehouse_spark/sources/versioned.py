@@ -391,7 +391,11 @@ class VersionedTable:
             kv = self._part_key(v)
             if kv is None:
                 return None
-            keys.append(kv)
+            # Spark writes BOTH null and '' partition values into the
+            # hive default dir (the original column keeps '' inside the
+            # files) — an empty-string probe must select that dir or its
+            # matching rows would be wrongly skipped
+            keys.append("__HIVE_DEFAULT_PARTITION__" if kv == "" else kv)
         return [parts[k] for k in keys if k in parts]
 
     @staticmethod

@@ -314,3 +314,22 @@ def test_partition_mapped_prune_int_keys_and_pcol_continuity(spark, tmp_path):
     meta = t._read_marker(t.current_version())
     assert "pcol" not in meta
     assert t.read(prune={"bucket": 20}).count() == 4
+
+
+def test_partition_mapped_prune_empty_string_routes_to_default_dir(spark, tmp_path):
+    """'' partition values live in __HIVE_DEFAULT_PARTITION__ (with the
+    original column keeping '' inside the files); pruning on '' must
+    select that dir, not return a wrongly-empty frame."""
+    def mk(rows):
+        return spark.createDataFrame(rows, "id int, day string, val string")
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.merge_partitioned(
+        mk([(1, "", "empty"), (2, None, "null"), (3, "d1", "a")]),
+        ["id"], "day",
+    )
+    got = t.read(prune={"day": ""}).where("day = ''").collect()
+    assert [(r.id, r.val) for r in got] == [(1, "empty")]
+    # the default dir is shared with nulls; the superset + filter stays exact
+    n = t.read(prune={"day": ["", "d1"]})
+    assert sorted(r.id for r in n.where("day = '' OR day = 'd1'").collect()) == [1, 3]
