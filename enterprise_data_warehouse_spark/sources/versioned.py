@@ -1402,6 +1402,8 @@ class VersionedTable:
             clone_meta["parts"] = {
                 k: self._abs(rel) for k, rel in meta["parts"].items()
             }
+            if meta.get("pcol"):  # partition pruning survives the clone
+                clone_meta["pcol"] = meta["pcol"]
         # Linkage BEFORE marker: _clone.json without a marker is inert
         # (dest.exists() is still False), but a marker without linkage
         # would be a live clone whose parent ref can never be released

@@ -333,3 +333,16 @@ def test_partition_mapped_prune_empty_string_routes_to_default_dir(spark, tmp_pa
     # the default dir is shared with nulls; the superset + filter stays exact
     n = t.read(prune={"day": ["", "d1"]})
     assert sorted(r.id for r in n.where("day = '' OR day = 'd1'").collect()) == [1, 3]
+
+
+def test_partition_mapped_prune_survives_clone(spark, tmp_path):
+    def mk(rows):
+        return spark.createDataFrame(rows, "id int, day string, val string")
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.merge_partitioned(mk([(1, "d1", "a"), (2, "d2", "b")]), ["id"], "day")
+    c = t.clone(str(tmp_path / "dev"))
+    assert c._read_marker(1)["pcol"] == "day"
+    pruned = c.read(prune={"day": "d2"})
+    assert len(pruned.inputFiles()) < len(c.read().inputFiles())
+    assert [(r.id, r.val) for r in pruned.where("day = 'd2'").collect()] == [(2, "b")]
