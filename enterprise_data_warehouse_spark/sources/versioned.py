@@ -396,7 +396,10 @@ class VersionedTable:
             # files) — an empty-string probe must select that dir or its
             # matching rows would be wrongly skipped
             keys.append("__HIVE_DEFAULT_PARTITION__" if kv == "" else kv)
-        return [parts[k] for k in keys if k in parts]
+        # dedupe: repeated IN-list values (or '' next to a null probe)
+        # must not select the same dir twice — Spark would read its files
+        # twice and DUPLICATE rows, an answer-level corruption
+        return [parts[k] for k in dict.fromkeys(keys) if k in parts]
 
     @staticmethod
     def _stat_norm(v):

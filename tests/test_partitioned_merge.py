@@ -346,3 +346,37 @@ def test_partition_mapped_prune_survives_clone(spark, tmp_path):
     pruned = c.read(prune={"day": "d2"})
     assert len(pruned.inputFiles()) < len(c.read().inputFiles())
     assert [(r.id, r.val) for r in pruned.where("day = 'd2'").collect()] == [(2, "b")]
+
+
+def test_partition_prune_random_probes_always_answer_preserving(spark, tmp_path):
+    """Randomized sweep over the partition-prune surface: random point
+    and IN-list probes (hits, misses, '', int-typed) against a
+    multi-merge partition-mapped table must equal full-read + filter."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(13)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id int, day string, val string")
+
+    days = [f"d{i}" for i in range(9)] + [""]
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    rows = [(i, days[int(rng.integers(0, len(days)))], f"v{i}")
+            for i in range(400)]
+    t.merge_partitioned(mk(rows[:250]), ["id"], "day")
+    t.merge_partitioned(mk(rows[250:]), ["id"], "day")
+    full = t.read()
+
+    universe = days + ["nope", "d99"]
+    for _ in range(20):
+        k = int(rng.integers(1, 4))
+        probe = [universe[int(rng.integers(0, len(universe)))]
+                 for _ in range(k)]
+        band = probe[0] if k == 1 else probe
+        cond = F.col("day").isin(probe)
+        want = sorted(r.id for r in full.where(cond).collect())
+        got = sorted(
+            r.id for r in t.read(prune={"day": band}).where(cond).collect()
+        )
+        assert got == want, (probe, len(got), len(want))
