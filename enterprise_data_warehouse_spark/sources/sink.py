@@ -298,10 +298,27 @@ def incremental_build(
     """The dbt incremental-merge materialization: filter source past the
     target's watermark, MERGE on unique key. Idempotent under replays —
     re-merging the same delta is a no-op row-count-wise. Scheduled loops
-    should set ``retain_versions`` (see merge_upsert) to bound history."""
-    wm = read_watermark(spark, path, watermark_col, default_watermark)
-    delta = source.where(F.col(watermark_col) > F.lit(wm).cast("timestamp"))
-    merge_upsert(spark, path, delta, keys, retain_versions=retain_versions)
+    should set ``retain_versions`` (see merge_upsert) to bound history.
+
+    Runs on ``VersionedTable.incremental``, which MEMOIZES the watermark
+    in the commit marker: steady-state runs read ``max(watermark_col)``
+    from the marker in O(1) instead of re-scanning the whole target (the
+    S3 scalar-subquery term — a full pass over the fact at 100 TB). A
+    pre-existing plain-parquet target is adopted as v1 first; races
+    retry like merge_upsert."""
+    from .versioned import ConcurrentWriteError
+
+    _adopt_plain(spark, path, False)
+    t = _versioned(spark, path, False)
+    for attempt in range(3):
+        try:
+            t.incremental(source, watermark_col, keys, default_watermark)
+            break
+        except ConcurrentWriteError:
+            if attempt == 2:
+                raise
+    if retain_versions is not None:
+        t.vacuum(keep=retain_versions)
 
 
 def read_csv_seed(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:

@@ -994,7 +994,8 @@ class VersionedTable:
                op: str = "overwrite", at_version: int | None = None,
                stats_cols: Sequence[str] | None = None,
                bloom_cols: Sequence[str] | None = None,
-               bloom_bits: int = 65536, bloom_hashes: int = 5) -> int:
+               bloom_bits: int = 65536, bloom_hashes: int = 5,
+               extra_meta: dict | None = None) -> int:
         """Stage ``df`` and commit it. ``at_version`` PINS the commit to a
         specific version number: read-modify-write ops (merge/incremental/
         erase/adopt) pass the version they READ plus one, so a rival commit
@@ -1019,11 +1020,18 @@ class VersionedTable:
         inside the version dir) so POINT lookups skip files even on
         columns the layout is NOT clustered by — the Delta bloom-index /
         Snowflake search-optimization analog. Min/max wants clustering;
-        blooms don't care. Both are fail-open supersets."""
+        blooms don't care. Both are fail-open supersets.
+
+        ``extra_meta`` lets protocol ops attach auxiliary marker fields
+        (e.g. incremental()'s ``wm`` watermark memo); core fields can
+        never be overridden (setdefault semantics)."""
         if at_version is None:
             at_version = (self.current_version() or 0) + 1
         dirname = self._stage_data(df, at_version, partition_by)
         meta = {"version": at_version, "dir": dirname, "op": op}
+        if extra_meta:
+            for kk, vv in extra_meta.items():
+                meta.setdefault(kk, vv)
         if stats_cols:
             stats = self._collect_file_stats(dirname, stats_cols)
             if stats:
@@ -1065,7 +1073,8 @@ class VersionedTable:
                 "bloom_hashes": b["k"]}
 
     def merge(
-        self, src: DataFrame, keys: Sequence[str], evolve_schema: bool = False
+        self, src: DataFrame, keys: Sequence[str], evolve_schema: bool = False,
+        extra_meta: dict | None = None,
     ) -> int:
         """MERGE with no unreadable window: anti-join survivors ∪ src into
         v{n+1}, marker last. Source rows win on key collision. On Delta this
@@ -1084,12 +1093,14 @@ class VersionedTable:
         either way, it is fail-open)."""
         current = self.current_version()
         if current is None:
-            return self.commit(src, op="merge", at_version=1)
+            return self.commit(src, op="merge", at_version=1,
+                               extra_meta=extra_meta)
         target = self.read(version=current, merge_schema=evolve_schema)
         survivors = target.join(src.select(*keys).distinct(), list(keys), "left_anti")
         merged = src.unionByName(survivors, allowMissingColumns=evolve_schema)
         return self.commit(merged, op="merge", at_version=current + 1,
                            stats_cols=self._inherited_stats_cols(current),
+                           extra_meta=extra_meta,
                            **self._inherited_bloom(current))
 
     def merge_partitioned(
@@ -1196,14 +1207,37 @@ class VersionedTable:
         """dbt incremental-merge materialization on the versioned layout:
         watermark from the CURRENT version, delta-filter, merge. Idempotent
         under replays; a crash mid-build replays from the same watermark
-        because the watermark source never moved."""
-        if self.exists():
-            row = self.read().agg(F.max(watermark_col).alias("wm")).collect()[0]
-            wm = str(row["wm"]) if row["wm"] is not None else default_watermark
-        else:
+        because the watermark source never moved.
+
+        The watermark is MEMOIZED in the commit marker (``wm`` field): an
+        incremental commit records ``max(old watermark, max(delta))``, so
+        the next run reads it from the marker in O(1) instead of scanning
+        the whole table for ``max(watermark_col)`` — at 100 TB that scan
+        is a full pass over the fact just to find one scalar. Strictly
+        safe: any commit that does NOT carry the memo (plain merge/
+        overwrite landing on top) simply drops it, and the next
+        incremental falls back to the exact table scan. The memo'd value
+        equals the scanned value inductively: str(timestamp) forms are
+        canonical and lexicographic == chronological, the same convention
+        _stat_norm relies on."""
+        current = self.current_version()
+        wm = None
+        if current is not None:
+            rec = ((self._live_meta(current) or {}).get("wm") or {}).get(
+                watermark_col)
+            if rec is not None:
+                wm = rec
+            else:
+                row = self.read(version=current).agg(
+                    F.max(watermark_col).alias("wm")).collect()[0]
+                wm = str(row["wm"]) if row["wm"] is not None else None
+        if wm is None:
             wm = default_watermark
         delta = source.where(F.col(watermark_col) > F.lit(wm).cast("timestamp"))
-        return self.merge(delta, keys)
+        dmax = delta.agg(F.max(watermark_col).alias("m")).first()["m"]
+        new_wm = max(wm, str(dmax)) if dmax is not None else wm
+        return self.merge(delta, keys,
+                          extra_meta={"wm": {watermark_col: new_wm}})
 
     def erase(self, subject_keys: DataFrame, keys: Sequence[str]) -> dict:
         """Right-to-be-forgotten (GDPR Art. 17) erasure: drop every row

@@ -2178,3 +2178,61 @@ def test_inlist_pruning_stats_and_bloom_answer_preserving(spark, tmp_path):
     assert t.read(prune={"id": []}).count() == 24000
     assert t.read(prune={"id": [5, "oops"]}).count() == 24000
     assert t.read(prune={"user_id": ["u1", 7]}).count() == 24000
+
+
+def test_incremental_watermark_memoized_in_marker(spark, tmp_path, monkeypatch):
+    """incremental() records max(old wm, max(delta)) in the marker and
+    the NEXT run reads it there — no full-table max() scan. A commit
+    that doesn't carry the memo (plain merge) drops it, and the next
+    incremental falls back to the exact scan."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+
+    def src(rows):
+        return spark.createDataFrame(
+            rows, "id int, updated_at string, val string"
+        ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+
+    t.incremental(src([(1, "2024-01-01 10:00:00", "a"),
+                       (2, "2024-01-02 10:00:00", "b")]), "updated_at", ["id"])
+    m1 = t._read_marker(t.current_version())
+    assert m1["wm"] == {"updated_at": "2024-01-02 10:00:00"}
+
+    # second run must take the watermark from the marker, not a scan:
+    # sabotage DataFrame.agg on max(updated_at) of the TABLE read — the
+    # only agg allowed is over the (filtered) delta
+    real_read = VersionedTable.read
+    reads = []
+
+    def spy_read(self, *a, **kw):
+        reads.append(1)
+        return real_read(self, *a, **kw)
+
+    monkeypatch.setattr(VersionedTable, "read", spy_read)
+    t.incremental(src([(2, "2024-01-03 09:00:00", "B"),
+                       (3, "2024-01-01 00:00:00", "stale")]),
+                  "updated_at", ["id"])
+    # one read only: the merge's survivors scan (no watermark scan)
+    assert sum(reads) == 1
+    monkeypatch.undo()
+    m2 = t._read_marker(t.current_version())
+    assert m2["wm"] == {"updated_at": "2024-01-03 09:00:00"}
+    # the stale row (below the memo'd watermark) was filtered out
+    got = {(r["id"], r["val"]) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "B")}
+
+    # empty delta keeps the old watermark
+    t.incremental(src([(9, "2020-01-01 00:00:00", "old")]),
+                  "updated_at", ["id"])
+    assert t._read_marker(t.current_version())["wm"] == m2["wm"]
+
+    # a plain merge drops the memo; the next incremental re-scans exactly
+    t.merge(src([(4, "2024-02-01 00:00:00", "d")]), keys=["id"])
+    assert "wm" not in t._read_marker(t.current_version())
+    t.incremental(src([(5, "2024-02-02 00:00:00", "e"),
+                       (4, "2024-01-15 00:00:00", "SHOULD_SKIP")]),
+                  "updated_at", ["id"])
+    got = {(r["id"], r["val"]) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "B"), (4, "d"), (5, "e")}
+    assert t._read_marker(t.current_version())["wm"] == {
+        "updated_at": "2024-02-02 00:00:00"
+    }
