@@ -380,3 +380,56 @@ def test_partition_prune_random_probes_always_answer_preserving(spark, tmp_path)
             r.id for r in t.read(prune={"day": band}).where(cond).collect()
         )
         assert got == want, (probe, len(got), len(want))
+
+
+def test_incremental_partitioned_memoized_watermark_and_touched_scope(
+    spark, tmp_path, monkeypatch
+):
+    """incremental_partitioned = O(1) watermark + O(touched partition)
+    merge: the second run reads its watermark from the marker (no table
+    scan) and rewrites only the delta's partitions."""
+    from pyspark.sql import functions as F
+
+    def src(rows):
+        return spark.createDataFrame(
+            rows, "id int, updated_at string, day string, val string"
+        ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.incremental_partitioned(
+        src([(1, "2024-01-01 10:00:00", "d1", "a"),
+             (2, "2024-01-02 10:00:00", "d2", "b")]),
+        "updated_at", ["id"], "day",
+    )
+    m1 = t._read_marker(t.current_version())
+    assert m1["op"] == "merge_partitioned"
+    assert m1["wm"] == {"updated_at": "2024-01-02 10:00:00"}
+    assert m1["pcol"] == "day"
+
+    real_read = VersionedTable.read
+    reads = []
+    monkeypatch.setattr(
+        VersionedTable, "read",
+        lambda self, *a, **kw: reads.append(1) or real_read(self, *a, **kw),
+    )
+    t.incremental_partitioned(
+        src([(3, "2024-01-03 10:00:00", "d2", "c"),
+             (4, "2023-12-31 00:00:00", "d9", "stale")]),
+        "updated_at", ["id"], "day",
+    )
+    monkeypatch.undo()
+    # NO table read at all: watermark came from the marker and the merge
+    # read only the touched partition's existing dir (direct parquet read)
+    assert not reads
+    m2 = t._read_marker(t.current_version())
+    assert m2["wm"] == {"updated_at": "2024-01-03 10:00:00"}
+    assert m2["touched"] == ["d2"], "stale row must not touch d9"
+    got = {(r["id"], r["val"]) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # replay: same delta, no duplicates, watermark unchanged
+    t.incremental_partitioned(
+        src([(3, "2024-01-03 10:00:00", "d2", "c")]),
+        "updated_at", ["id"], "day",
+    )
+    assert {(r["id"], r["val"]) for r in t.read().collect()} == got
+    assert t._read_marker(t.current_version())["wm"] == m2["wm"]
