@@ -321,6 +321,38 @@ def incremental_build(
         t.vacuum(keep=retain_versions)
 
 
+def incremental_build_partitioned(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    watermark_col: str,
+    keys: Sequence[str],
+    partition_col: str,
+    default_watermark: str = "1900-01-01 00:00:00",
+    retain_versions: int | None = None,
+) -> None:
+    """incremental_build's partition-scoped twin — the steady-state 100 TB
+    materialization loop: O(1) marker-memoized watermark + one delta scan
+    + O(touched-partition) rewrite per run (see
+    VersionedTable.incremental_partitioned). Use for day/hour-partitioned
+    facts where plain incremental_build would rewrite the whole table
+    every run."""
+    from .versioned import ConcurrentWriteError
+
+    _adopt_plain(spark, path, False)
+    t = _versioned(spark, path, False)
+    for attempt in range(3):
+        try:
+            t.incremental_partitioned(
+                source, watermark_col, keys, partition_col, default_watermark)
+            break
+        except ConcurrentWriteError:
+            if attempt == 2:
+                raise
+    if retain_versions is not None:
+        t.vacuum(keep=retain_versions)
+
+
 def read_csv_seed(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
     """S4: CSV seed load (reference setup_dbt_environment.py:350-394)."""
     reader = spark.read.option("header", True)

@@ -220,3 +220,40 @@ def test_dense_surrogate_keys_continue_and_are_gap_free(spark):
     # bootstrap: no dimension yet → keys start at 1
     boot = {r["nk"]: r["sk"] for r in assign_surrogate_keys(None, new, "nk").collect()}
     assert boot == {4: 1, 7: 2, 9: 3}
+
+
+def test_incremental_build_partitioned_scoped_and_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from enterprise_data_warehouse_spark.sources.sink import (
+        incremental_build_partitioned,
+        read_table,
+    )
+    from enterprise_data_warehouse_spark.sources.versioned import VersionedTable
+
+    path = str(tmp_path / "fact")
+
+    def src(rows):
+        return spark.createDataFrame(
+            rows, "id int, updated_at string, day string, val string"
+        ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+
+    batch1 = src([(1, "2024-01-01 08:00:00", "d1", "a"),
+                  (2, "2024-01-02 08:00:00", "d2", "b")])
+    incremental_build_partitioned(spark, path, batch1, "updated_at",
+                                  ["id"], "day")
+    t = VersionedTable(spark, path)
+    assert t._read_marker(t.current_version())["wm"] == {
+        "updated_at": "2024-01-02 08:00:00"
+    }
+    batch2 = src([(3, "2024-01-03 08:00:00", "d2", "c")])
+    incremental_build_partitioned(spark, path, batch2, "updated_at",
+                                  ["id"], "day", retain_versions=2)
+    assert t._read_marker(t.current_version())["touched"] == ["d2"]
+    got = {(r["id"], r["val"]) for r in read_table(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # replay: no duplicates
+    incremental_build_partitioned(spark, path, batch2, "updated_at",
+                                  ["id"], "day")
+    assert {(r["id"], r["val"])
+            for r in read_table(spark, path).collect()} == got
