@@ -173,6 +173,38 @@ def probe_stats_pruning(spark, sf: str) -> None:
     shutil.rmtree(WORK, ignore_errors=True)
 
 
+def probe_watermark(spark, sf: str) -> None:
+    """r08 leg: the marker-memoized incremental watermark. Steady-state
+    watermark resolution must be O(1) (one marker read) regardless of
+    table size, vs the exact max() scan the non-memo path pays. Prints
+    both resolutions' best-of-3 wall time at this SF."""
+    root = WORK / f"wm_sf{sf.replace('.', '_')}"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, SF_DIRS[sf], "orders")
+    n = orders.count()
+    t = VersionedTable(spark, str(root))
+    t.incremental(orders, "o_orderdate", ["o_orderkey"])
+
+    def best(fn, runs=3):
+        out = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            out = min(out, time.perf_counter() - t0)
+        return out
+
+    memo_s = best(lambda: t._resolve_watermark("o_orderdate", "1900-01-01"))
+    # drop the memo the documented way: a plain merge doesn't carry it
+    t.merge(orders.limit(1), keys=["o_orderkey"])
+    assert "wm" not in (t._read_marker(t.current_version()) or {})
+    scan_s = best(lambda: t._resolve_watermark("o_orderdate", "1900-01-01"))
+    print(
+        f"sf{sf:<5}{n:>9}  wm(memo){memo_s * 1000:>8.1f}ms"
+        f"  wm(scan){scan_s * 1000:>9.1f}ms  ratio{scan_s / memo_s:>7.1f}x"
+    )
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
 def probe_stats_distributed(spark, sf: str) -> None:
     """VERDICT r07 #2 done-criterion: the DISTRIBUTED stats pass (footer
     path force-disabled — the object-store shape) must record ranges that
@@ -273,6 +305,11 @@ def main() -> None:
         sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
         spark = get_spark("protocol-probe")
         probe_stats_distributed(spark, sf)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "wm":
+        sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
+        spark = get_spark("protocol-probe")
+        probe_watermark(spark, sf)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "clone":
         sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
