@@ -719,12 +719,15 @@ def _enc_ac_refine_block(zzblk, eob, writer, ac_codes, ss, se, al):
             eob.flush()
 
 
-def _make_progressive_jpeg(img, subsampling="444", q_luma=1, q_chroma=1) -> bytes:
+def _make_progressive_jpeg(img, subsampling="444", q_luma=1, q_chroma=1,
+                           restart_interval=0) -> bytes:
     """Serialize as PROGRESSIVE JPEG (SOF2) with a full successive-
     approximation script: interleaved DC first (Al=1) → DC refine, then
     per component AC first Ss=1..63 (Al=1) → AC refine (Ah=1, Al=0) —
     exercising spectral selection, both bit planes, EOB runs with
-    buffered correction bits, ZRL, and multi-scan accumulation."""
+    buffered correction bits, ZRL, multi-scan accumulation, and (when
+    ``restart_interval`` is set) per-scan RSTn resync with DC-pred and
+    EOB-run resets."""
     import struct
 
     import numpy as np
@@ -759,10 +762,19 @@ def _make_progressive_jpeg(img, subsampling="444", q_luma=1, q_chroma=1) -> byte
         body += bytes([ss, se, (ah << 4) | al])
         return seg(0xDA, body)
 
+    def rst_marker(wtr, count):
+        wtr.pad()
+        wtr.out += bytes([0xFF, 0xD0 + count % 8])
+
     def dc_scan(ah, al):
         wtr = _JpegBitWriter()
         pred = [0] * ncomp
+        rst = 0
         for m in range(mcus_x * mcus_y):
+            if restart_interval and m and m % restart_interval == 0:
+                rst_marker(wtr, rst)
+                rst += 1
+                pred = [0] * ncomp
             my, mx = divmod(m, mcus_x)
             for ci, (hi, vi) in enumerate(samp):
                 for by in range(vi):
@@ -786,7 +798,12 @@ def _make_progressive_jpeg(img, subsampling="444", q_luma=1, q_chroma=1) -> byte
         wtr = _JpegBitWriter()
         eob = _EobRun(wtr, ac_codes)
         bw, bh = dims[ci]
+        rst = 0
         for u in range(bw * bh):
+            if restart_interval and u and u % restart_interval == 0:
+                eob.flush()  # EOB runs and buffered bits never cross RSTn
+                rst_marker(wtr, rst)
+                rst += 1
             by, bx = divmod(u, bw)
             blk = zzs[ci][by, bx]
             if ah == 0:
@@ -811,6 +828,8 @@ def _make_progressive_jpeg(img, subsampling="444", q_luma=1, q_chroma=1) -> byte
     dht = (bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
            + bytes([0x10]) + bytes(_JPEG_ACP_BITS) + bytes(_JPEG_ACP_VALS))
     out += seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     # scan script: DC first (all comps, Al=1), DC refine, then per-comp
     # AC first (Al=1) and AC refine (Ah=1, Al=0)
     all_comps = [(ci + 1, 0, 0) for ci in range(ncomp)]
@@ -1184,3 +1203,21 @@ def test_mp4_hostile_payloads_raise_clearly():
     struct.pack_into(">I", zt, at, 0)
     with pytest.raises(ValueError, match="timescale"):
         mm.parse_mp4(bytes(zt))
+
+
+def test_progressive_jpeg_with_restart_intervals_matches_baseline():
+    """Progressive + DRI: every scan resyncs at RSTn (DC predictions and
+    EOB runs reset) — decode must still be bit-identical to baseline."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    base = mm.decode_jpeg(_make_jpeg(img, "444"))
+    for rst in (1, 2, 5):
+        prog = mm.decode_jpeg(_make_progressive_jpeg(img, "444",
+                                                     restart_interval=rst))
+        assert (prog == base).all(), rst
+    gray = rng.integers(0, 256, size=(17, 9, 1), dtype=np.uint8)
+    gb = mm.decode_jpeg(_make_jpeg(gray))
+    gp = mm.decode_jpeg(_make_progressive_jpeg(gray, restart_interval=2))
+    assert (gp == gb).all()
