@@ -21,7 +21,10 @@ Timestamps and categorical values repeat across copies (10 users share
 each behavior trace) — fine for throughput probing, which is this set's
 only purpose. NOT driver data: correctness runs stay on /root/testdata.
 
-Usage: python tools/make_sf1.py  [out_dir]   (default /root/repo/testdata_sf1)
+Usage: python tools/make_sf1.py  [out_dir] [copies]
+       (defaults /root/repo/testdata_sf1, 10 copies of sf0.1; pass 100
+       for an sf10-scale set — 60M lineitem rows, ~1.7 GB — the THIRD
+       measured decade for tools/scaling_probe.py)
 """
 
 from __future__ import annotations
@@ -75,6 +78,8 @@ def replicate(df, name: str, i: int):
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
+    scale = copies // 10  # file counts sized to keep partitions ~even
     spark = get_spark("make-sf1")
     for name in (
         "region nation customer supplier part orders lineitem events "
@@ -85,9 +90,9 @@ def main() -> None:
             scaled = base
         else:
             scaled = replicate(base, name, 0)
-            for i in range(1, COPIES):
+            for i in range(1, copies):
                 scaled = scaled.unionByName(replicate(base, name, i))
-        n_files = FILES.get(name, 4)
+        n_files = FILES.get(name, 4) * max(1, scale)
         scaled.repartition(n_files).write.mode("overwrite").parquet(
             f"{out_dir}/{name}.parquet"
         )

@@ -33,6 +33,8 @@ SF_DIRS = {
     "0.01": "/root/testdata/sf0.01",
     "0.1": "/root/testdata/sf0.1",
     "1": "/root/repo/testdata_sf1",
+    # optional THIRD decade: python tools/make_sf1.py /root/repo/testdata_sf10 100
+    "10": "/root/repo/testdata_sf10",
 }
 ALL_SFS = list(SF_DIRS)
 SFS = [sf for sf in ALL_SFS if os.path.isdir(SF_DIRS[sf])]
@@ -43,20 +45,20 @@ SF_IDX = [ALL_SFS.index(sf) for sf in SFS]
 
 # query -> (driving table, rows at each sf, runs)
 PROBES = {
-    "pricing_summary": ("lineitem", [6e3, 6e4, 6e5, 6e6], 3),
-    "star_revenue_rollup": ("lineitem", [6e3, 6e4, 6e5, 6e6], 3),
-    "large_orders": ("lineitem", [6e3, 6e4, 6e5, 6e6], 3),
-    "session_metrics_batch": ("events", [1e3, 1e4, 1e5, 1e6], 3),
-    "sequence_packing": ("documents", [500, 500, 5000, 50000], 3),
-    "minhash_lsh_candidates": ("documents", [500, 500, 5000, 50000], 3),
-    "ngram_jaccard_pairs": ("documents", [500, 500, 5000, 50000], 3),
-    "text_quality_scores": ("documents", [500, 500, 5000, 50000], 3),
-    "cosine_topk": ("embeddings", [500, 500, 2000, 20000], 3),
+    "pricing_summary": ("lineitem", [6e3, 6e4, 6e5, 6e6, 6e7], 3),
+    "star_revenue_rollup": ("lineitem", [6e3, 6e4, 6e5, 6e6, 6e7], 3),
+    "large_orders": ("lineitem", [6e3, 6e4, 6e5, 6e6, 6e7], 3),
+    "session_metrics_batch": ("events", [1e3, 1e4, 1e5, 1e6, 1e7], 3),
+    "sequence_packing": ("documents", [500, 500, 5000, 50000, 500000], 3),
+    "minhash_lsh_candidates": ("documents", [500, 500, 5000, 50000, 500000], 3),
+    "ngram_jaccard_pairs": ("documents", [500, 500, 5000, 50000, 500000], 3),
+    "text_quality_scores": ("documents", [500, 500, 5000, 50000, 500000], 3),
+    "cosine_topk": ("embeddings", [500, 500, 2000, 20000, 200000], 3),
     # heavy ops (VERDICT r03 #6): best-of-2 — each single run is already
     # seconds-long, so steal averages out within the run
-    "prefix_filter_jaccard_pairs": ("documents", [500, 500, 5000, 50000], 2),
-    "bipartite_pagerank": ("events", [1e3, 1e4, 1e5, 1e6], 2),
-    "near_dup_clusters": ("documents", [500, 500, 5000, 50000], 2),
+    "prefix_filter_jaccard_pairs": ("documents", [500, 500, 5000, 50000, 500000], 2),
+    "bipartite_pagerank": ("events", [1e3, 1e4, 1e5, 1e6, 1e7], 2),
+    "near_dup_clusters": ("documents", [500, 500, 5000, 50000, 500000], 2),
 }
 
 
