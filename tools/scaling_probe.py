@@ -78,11 +78,21 @@ def main() -> None:
     for sf in SFS:
         spark = get_spark(f"scaling-sf{sf}")
         sf_dir = SF_DIRS[sf]
+        # size the shuffle to the data (constant rows/partition — the rule
+        # any real cluster applies): the local default of 32 is sized for
+        # the <= sf1 sets; at sf10 fixed-32 partitions spill and read as a
+        # bogus super-linear term (measured: prefix_filter 72s at 32
+        # partitions vs 48-51s at 128-320 = exactly linear from sf1)
+        if float(sf) > 1:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(int(32 * float(sf)))
+            )
         # warm JVM/classloading once per session
         force(reg["pricing_summary"].fn(spark, sf_dir))
         for name, (_, _, runs) in PROBES.items():
             best = min(_timed(reg[name].fn, spark, sf_dir) for _ in range(runs))
             times[name].append(best)
+            print(f"# sf{sf} {name}: {best:.2f}s", flush=True)
         spark.stop()
 
     hdr = f"{'query':28s} " + "".join(f"{'sf' + sf:>9s}" for sf in SFS)
