@@ -42,7 +42,8 @@ from enterprise_data_warehouse_spark.sources.versioned import (  # noqa: E402
     VersionedTable,
 )
 
-SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": "/root/repo/testdata_sf1"}
+SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": "/root/repo/testdata_sf1",
+           "10": "/root/repo/testdata_sf10"}
 DELTA_DAY = "1995-06-17"  # mid-range order date present at both SFs
 WORK = Path("/tmp/protocol_probe")
 
