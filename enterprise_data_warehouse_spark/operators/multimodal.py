@@ -649,9 +649,23 @@ class _JpegBitReader:
             if nxt == 0x00:
                 self.pos += 1  # byte-stuffed literal 0xFF
             else:
-                self.marker = nxt
-                self.pos += 1
-                raise ValueError("JPEG entropy stream truncated at a marker")
+                # runs of 0xFF are spec-legal FILL bytes before a marker
+                # (ITU T.81 B.1.1.2): skip to the first non-0xFF byte,
+                # which is the marker code (a trailing 0x00 means the
+                # last 0xFF was a stuffed literal after fill padding)
+                while nxt == 0xFF:
+                    self.pos += 1
+                    if self.pos >= len(self.buf):
+                        raise ValueError(
+                            "JPEG entropy stream ends inside a marker")
+                    nxt = self.buf[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed literal 0xFF after fill bytes
+                else:
+                    self.marker = nxt
+                    self.pos += 1
+                    raise ValueError(
+                        "JPEG entropy stream truncated at a marker")
         self.bits = (self.bits << 8) | b
         self.nbits += 8
 
@@ -672,7 +686,9 @@ class _JpegBitReader:
         self.bits, self.nbits = 0, 0
         if self.marker is None:
             while self.pos + 1 < len(self.buf):
-                if self.buf[self.pos] == 0xFF and self.buf[self.pos + 1] != 0x00:
+                if (self.buf[self.pos] == 0xFF
+                        and self.buf[self.pos + 1]
+                        not in (0x00, 0xFF)):  # 0xFF = fill byte, skip
                     self.marker = self.buf[self.pos + 1]
                     self.pos += 2
                     break
@@ -733,6 +749,9 @@ def decode_jpeg(payload: bytes):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at offset {pos}")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI (standalone)
             break
         if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
@@ -1005,9 +1024,10 @@ def _jpeg_prog_scan(payload, data_pos, frame, scan, scan_order, band,
     # (skip stuffed 0xFF00 and any stray RSTn)
     p = reader.pos - (2 if reader.marker is not None else 0)
     while p + 1 < len(payload):
-        if payload[p] == 0xFF and payload[p + 1] != 0x00 and not (
-            0xD0 <= payload[p + 1] <= 0xD7
-        ):
+        # 0xFF 0xFF is a FILL byte run (T.81 B.1.1.2), not a marker —
+        # advance to the LAST 0xFF of the run so payload[p+1] is the code
+        if payload[p] == 0xFF and payload[p + 1] not in (0x00, 0xFF) \
+                and not (0xD0 <= payload[p + 1] <= 0xD7):
             return p
         p += 1
     return len(payload)

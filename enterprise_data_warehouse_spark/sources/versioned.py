@@ -92,6 +92,16 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first. Re-read and retry."""
 
 
+def _parse_ts(s: str):
+    """A watermark string as a comparable datetime: ISO date/timestamp
+    forms (space or 'T' separator, any sub-second precision) parse; a
+    bare date means midnight. Raises ValueError on anything else — the
+    caller decides the fail-open path (drop the memo)."""
+    import datetime
+
+    return datetime.datetime.fromisoformat(str(s).strip())
+
+
 # process-wide memo of bloom probe bit positions: (value, dtype, m, k) ->
 # [k positions]. Deterministic (pure xxhash64), so session-scoped caching
 # is always safe; bounded at 4096 entries (~200 KB).
@@ -335,7 +345,9 @@ class VersionedTable:
             # whose str() form isn't engine-faithful read the full union.
             pcol = meta.get("pcol")
             if prune and pcol in prune:
-                sel = self._prune_parts(meta["parts"], prune[pcol])
+                sel = self._prune_parts(
+                    meta["parts"], prune[pcol], meta.get("ptype")
+                )
                 if sel is not None:
                     if not sel:  # no mapped partition can match
                         return reader.parquet(
@@ -360,21 +372,39 @@ class VersionedTable:
         return reader.parquet(self._abs(meta["dir"]))
 
     @staticmethod
-    def _part_key(v) -> str | None:
+    def _part_key(v, ptype: str | None) -> str | None:
         """The parts-map key for a probe value, or None when the value's
         Python str() form is not guaranteed to equal Spark's
         CAST(x AS STRING) (the form merge_partitioned keyed the map with):
         faithful for str and int; floats ('1e-07' vs '1.0E-7'), dates, and
-        booleans fail open."""
+        booleans fail open.
+
+        The probe must also match the RECORDED partition-column dtype
+        (``ptype``, stamped by merge_partitioned): Spark's real equality
+        filter coerces across types — ``int_probe = string_col`` casts the
+        COLUMN, so string '020' matches probe 20 — while the parts map is
+        keyed by the raw cast-to-string values ('020'), so a cross-typed
+        probe would key-miss and wrongly skip matching partitions. Same
+        contract as _bloom_probe_compatible; markers written before ptype
+        existed (ptype None) fail open entirely."""
         if isinstance(v, bool) or not isinstance(v, (str, int)):
+            return None
+        if ptype is None:
+            return None  # pre-ptype marker: can't prove type agreement
+        if isinstance(v, str):
+            if not (ptype == "string" or ptype.startswith(("varchar",
+                                                           "char"))):
+                return None
+        elif ptype not in ("tinyint", "smallint", "int", "bigint"):
             return None
         return str(v)
 
-    def _prune_parts(self, parts: dict, band) -> list | None:
+    def _prune_parts(self, parts: dict, band, ptype: str | None) -> list | None:
         """Mapped-dir list for a point/IN-list band over the partition
         column, or None when the band can't be matched faithfully (range
         bands — the keys are strings, lexicographic != numeric — or
-        unfaithful value types): caller reads the full union."""
+        unfaithful / dtype-mismatched value types): caller reads the full
+        union."""
         if isinstance(band, (list, set, frozenset)):
             vals = list(band)
         elif isinstance(band, tuple):
@@ -388,7 +418,7 @@ class VersionedTable:
             return None
         keys = []
         for v in vals:
-            kv = self._part_key(v)
+            kv = self._part_key(v, ptype)
             if kv is None:
                 return None
             # Spark writes BOTH null and '' partition values into the
@@ -918,8 +948,6 @@ class VersionedTable:
                 return None
         except Exception:
             return None
-        import pandas as pd
-
         base = self._abs(dirname)
         try:
             df = self.spark.read.option("basePath", base).parquet(base)
@@ -929,22 +957,30 @@ class VersionedTable:
         if not present:
             return None
 
-        def _pack_fn(ps):
-            import base64 as b64mod
+        # pandas/pyarrow are optional at this layer: an environment
+        # without them must keep commit(bloom_cols=...) strictly
+        # fail-open (commit WITHOUT a bloom), not crash the commit
+        try:
+            import pandas as pd
 
-            import numpy as np
+            def _pack_fn(ps):
+                import base64 as b64mod
 
-            out = []
-            for arr in ps:
-                bits = np.zeros(m, dtype=bool)
-                bits[np.asarray(arr, dtype=np.int64)] = True
-                out.append(b64mod.b64encode(np.packbits(bits)).decode())
-            return pd.Series(out)
+                import numpy as np
 
-        # real class objects (this module postpones annotations, so inline
-        # hints would reach pyspark as unresolvable strings)
-        _pack_fn.__annotations__ = {"ps": pd.Series, "return": pd.Series}
-        _pack = F.pandas_udf(_pack_fn, "string")
+                out = []
+                for arr in ps:
+                    bits = np.zeros(m, dtype=bool)
+                    bits[np.asarray(arr, dtype=np.int64)] = True
+                    out.append(b64mod.b64encode(np.packbits(bits)).decode())
+                return pd.Series(out)
+
+            # real class objects (this module postpones annotations, so
+            # inline hints would reach pyspark as unresolvable strings)
+            _pack_fn.__annotations__ = {"ps": pd.Series, "return": pd.Series}
+            _pack = F.pandas_udf(_pack_fn, "string")
+        except Exception:
+            return None
 
         meta: dict = {"m": m, "k": k, "cols": {}, "files": {}}
         needle = f"/{dirname}/"
@@ -1197,8 +1233,18 @@ class VersionedTable:
         # by ONE column (a caller that switched partition_col mid-history
         # has mixed keys; recording either name would mis-prune)
         prev_pcol = (prev or {}).get("pcol")
-        if prev is None or not (prev or {}).get("parts") or prev_pcol == partition_col:
+        fresh_map = prev is None or not (prev or {}).get("parts")
+        if fresh_map or prev_pcol == partition_col:
             meta["pcol"] = partition_col
+            # also record the column's DTYPE so read-side pruning can
+            # refuse cross-typed probes (see _part_key) — but only when
+            # every key in the map is provably of this type: a fresh map
+            # is keyed entirely from this write's cast, an inherited map
+            # only if the previous marker recorded the same dtype. A
+            # marker without ptype prunes nothing (strict fail-open).
+            ptype = merged.schema[partition_col].dataType.simpleString()
+            if fresh_map or (prev or {}).get("ptype") == ptype:
+                meta["ptype"] = ptype
         if extra_meta:
             for kk, vv in extra_meta.items():
                 meta.setdefault(kk, vv)
@@ -1264,9 +1310,27 @@ class VersionedTable:
     @staticmethod
     def _wm_meta(watermark_col: str, wm: str, delta: DataFrame) -> dict:
         """extra_meta carrying max(old watermark, max(delta)) — one scalar
-        agg over the (already-filtered) delta, never the table."""
+        agg over the (already-filtered) delta, never the table.
+
+        The two sides are compared AS TIMESTAMPS, not strings: the old
+        watermark may be a caller-supplied ``default_watermark`` whose
+        string form isn't zero-padded ISO (e.g. '1900-1-1'), and a bare
+        str() max() over mixed second/microsecond precision only orders
+        lexicographically by luck of the uniform format. If either side
+        doesn't parse as a timestamp the memo is DROPPED (empty dict) —
+        the next incremental falls back to the exact max() table scan,
+        which is the strictly-safe degradation everywhere in this
+        protocol."""
         dmax = delta.agg(F.max(watermark_col).alias("m")).first()["m"]
-        new_wm = max(wm, str(dmax)) if dmax is not None else wm
+        if dmax is None:
+            new_wm = wm
+        else:
+            try:
+                new_wm = (str(dmax)
+                          if _parse_ts(str(dmax)) > _parse_ts(wm) else wm)
+            except ValueError:
+                return {}  # unparseable watermark form: no memo, next
+                # run resolves via the exact table scan
         return {"wm": {watermark_col: new_wm}}
 
     def erase(self, subject_keys: DataFrame, keys: Sequence[str]) -> dict:
@@ -1471,6 +1535,8 @@ class VersionedTable:
             }
             if meta.get("pcol"):  # partition pruning survives the clone
                 clone_meta["pcol"] = meta["pcol"]
+                if meta.get("ptype"):
+                    clone_meta["ptype"] = meta["ptype"]
         # Linkage BEFORE marker: _clone.json without a marker is inert
         # (dest.exists() is still False), but a marker without linkage
         # would be a live clone whose parent ref can never be released

@@ -1221,3 +1221,40 @@ def test_progressive_jpeg_with_restart_intervals_matches_baseline():
     gb = mm.decode_jpeg(_make_jpeg(gray))
     gp = mm.decode_jpeg(_make_progressive_jpeg(gray, restart_interval=2))
     assert (gp == gb).all()
+
+
+def test_jpeg_fill_bytes_before_markers_decode_identically():
+    """Runs of 0xFF FILL bytes before a marker are spec-legal (ITU T.81
+    B.1.1.2): a padded stream must decode bit-identically to the
+    unpadded one — in the header segment loop (fill after SOI), the
+    progressive next-marker tail scan (fill before EOI), and the two
+    entropy-stream resync paths (fill before every RSTn)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+
+    cases = [
+        (_make_jpeg, {}),
+        (_make_jpeg, {"restart_interval": 2}),
+        (_make_progressive_jpeg, {}),
+        (_make_progressive_jpeg, {"restart_interval": 2}),
+    ]
+    for enc, kw in cases:
+        data = enc(img, "444", **kw)
+        want = mm.decode_jpeg(data)
+        # fill after SOI (exercises the header loop) and before EOI
+        # (exercises the progressive tail marker scan)
+        padded = (data[:2] + b"\xff" * 4 + data[2:-2]
+                  + b"\xff" * 3 + data[-2:])
+        # fill before every RSTn in the entropy region: any 0xFF
+        # followed by 0xD0-0xD7 after the first SOS is a real restart
+        # marker (entropy data stuffs literal 0xFF as 0xFF00)
+        at = padded.find(b"\xff\xda")
+        tail = padded[at:]
+        for n in range(8):
+            tail = tail.replace(bytes([0xFF, 0xD0 + n]),
+                                b"\xff\xff" + bytes([0xFF, 0xD0 + n]))
+        padded = padded[:at] + tail
+        got = mm.decode_jpeg(padded)
+        assert np.array_equal(got, want), (enc.__name__, kw)

@@ -433,3 +433,149 @@ def test_incremental_partitioned_memoized_watermark_and_touched_scope(
     )
     assert {(r["id"], r["val"]) for r in t.read().collect()} == got
     assert t._read_marker(t.current_version())["wm"] == m2["wm"]
+
+
+def test_cross_typed_partition_probe_fails_open(spark, tmp_path):
+    """A probe whose Python type doesn't match the RECORDED partition
+    column dtype must fail open to the full read, never key-miss: Spark's
+    real equality filter coerces across types (int 20 matches string
+    '020'; string '020' matches int 20), while the parts map is keyed by
+    raw cast-to-string values — a cross-typed key lookup would wrongly
+    skip matching partitions (ADVICE r08)."""
+    # string partition column holding a zero-padded value
+    s = VersionedTable(spark, str(tmp_path / "s"))
+    s.merge_partitioned(
+        spark.createDataFrame([(1, "020", "pad"), (2, "7", "plain")],
+                              "id int, bucket string, val string"),
+        ["id"], "bucket",
+    )
+    assert s._read_marker(s.current_version())["ptype"] == "string"
+    # int probe on the string column: filter `bucket = 20` casts the
+    # COLUMN, so row '020' matches — the prune must not skip its dir
+    got = s.read(prune={"bucket": 20}).where("bucket = 20").collect()
+    assert [(r.id, r.val) for r in got] == [(1, "pad")]
+
+    # int partition column probed with a padded string
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.merge_partitioned(
+        spark.createDataFrame([(1, 20, "a"), (2, 7, "b")],
+                              "id int, bucket int, val string"),
+        ["id"], "bucket",
+    )
+    assert t._read_marker(t.current_version())["ptype"] == "int"
+    got = t.read(prune={"bucket": "020"}).where("bucket = '020'").collect()
+    assert [(r.id, r.val) for r in got] == [(1, "a")]
+    # same-typed probes still prune
+    assert len(t.read(prune={"bucket": 20}).inputFiles()) < len(
+        t.read().inputFiles())
+
+
+def test_pre_ptype_marker_fails_open(spark, tmp_path):
+    """Markers written before ptype existed (or whose ptype was dropped
+    on dtype drift) must not prune at all — the key family of the parts
+    map is unprovable."""
+    import json
+    import os
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.merge_partitioned(
+        spark.createDataFrame([(1, "d1", "a"), (2, "d2", "b")],
+                              "id int, day string, val string"),
+        ["id"], "day",
+    )
+    # simulate an old marker: strip ptype from the committed JSON
+    mpath = os.path.join(str(tmp_path / "t"), "_commits", "v00000001.json")
+    meta = json.load(open(mpath))
+    del meta["ptype"]
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    # drop the Hadoop LocalFS checksum sidecar the raw rewrite broke
+    crc = os.path.join(os.path.dirname(mpath), ".v00000001.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    full_n = len(t.read().inputFiles())
+    pruned = t.read(prune={"day": "d2"})
+    assert len(pruned.inputFiles()) == full_n  # fail open: no skip
+    assert [(r.id,) for r in pruned.where("day = 'd2'").collect()] == [(2,)]
+
+
+def test_ptype_survives_clone_and_continuity(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(rows, "id int, day string, v string")
+    t.merge_partitioned(mk([(1, "d1", "a"), (2, "d2", "b")]), ["id"], "day")
+    t.merge_partitioned(mk([(3, "d3", "c")]), ["id"], "day")
+    assert t._read_marker(t.current_version())["ptype"] == "string"
+    c = t.clone(str(tmp_path / "dev"))
+    assert c._read_marker(1)["ptype"] == "string"
+    pruned = c.read(prune={"day": "d2"})
+    assert len(pruned.inputFiles()) < len(c.read().inputFiles())
+
+
+def test_wm_memo_is_timestamp_compared_not_string_compared(spark, tmp_path):
+    """A non-ISO default_watermark whose STRING form sorts above the ISO
+    delta max ('2024-2-5' > '2024-10-01' lexicographically) must never be
+    memoized as the new watermark: the memo is either the chronologically
+    correct max or absent (next run falls back to the exact scan)."""
+    from pyspark.sql import functions as F
+
+    def src(rows):
+        return spark.createDataFrame(
+            rows, "id int, updated_at string, day string"
+        ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.incremental_partitioned(
+        src([(1, "2024-10-01 00:00:00", "d1")]),
+        "updated_at", ["id"], "day",
+        default_watermark="2024-2-5 00:00:00",
+    )
+    m = t._read_marker(t.current_version())
+    wm = (m.get("wm") or {}).get("updated_at")
+    assert wm is None or wm == "2024-10-01 00:00:00", wm
+    # the next incremental still resolves a correct watermark (memo or
+    # scan) — a replay row at the ingested max must not duplicate
+    t.incremental_partitioned(
+        src([(1, "2024-10-01 00:00:00", "d1"),
+             (2, "2024-11-02 00:00:00", "d2")]),
+        "updated_at", ["id"], "day",
+    )
+    rows = {(r.id, str(r.updated_at)) for r in t.read().collect()}
+    assert rows == {(1, "2024-10-01 00:00:00"), (2, "2024-11-02 00:00:00")}
+    m2 = t._read_marker(t.current_version())
+    assert m2["wm"] == {"updated_at": "2024-11-02 00:00:00"}
+
+
+def test_wm_memo_mixed_second_and_microsecond_precision(spark, tmp_path):
+    """Watermark strings of mixed sub-second precision order as
+    TIMESTAMPS in the memo: a microsecond max must survive a later batch
+    whose (earlier) delta max prints without the fraction."""
+    from pyspark.sql import functions as F
+
+    def src(rows):
+        return spark.createDataFrame(
+            rows, "id int, updated_at string, day string"
+        ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.incremental_partitioned(
+        src([(1, "2024-01-02 10:00:00.500000", "d1")]),
+        "updated_at", ["id"], "day",
+    )
+    wm1 = t._read_marker(t.current_version())["wm"]["updated_at"]
+    assert wm1 == "2024-01-02 10:00:00.500000"
+    # a batch whose rows all sit AT or BELOW the memo is a no-op
+    t.incremental_partitioned(
+        src([(1, "2024-01-02 10:00:00", "d1"),
+             (2, "2024-01-02 10:00:00.500000", "d1")]),
+        "updated_at", ["id"], "day",
+    )
+    assert t._read_marker(t.current_version())["wm"]["updated_at"] == wm1
+    assert sorted(r.id for r in t.read().collect()) == [1]
+    # and one strictly above advances it, fraction intact
+    t.incremental_partitioned(
+        src([(3, "2024-01-02 10:00:00.600000", "d2")]),
+        "updated_at", ["id"], "day",
+    )
+    assert (t._read_marker(t.current_version())["wm"]["updated_at"]
+            == "2024-01-02 10:00:00.600000")
+    assert sorted(r.id for r in t.read().collect()) == [1, 3]

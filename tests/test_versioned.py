@@ -2236,3 +2236,24 @@ def test_incremental_watermark_memoized_in_marker(spark, tmp_path, monkeypatch):
     assert t._read_marker(t.current_version())["wm"] == {
         "updated_at": "2024-02-02 00:00:00"
     }
+
+
+def test_bloom_collection_fails_open_without_pandas_udf(spark, tmp_path, monkeypatch):
+    """An environment where the Arrow/pandas boundary is unavailable must
+    keep commit(bloom_cols=...) strictly fail-open: the commit lands
+    WITHOUT a bloom instead of crashing (ADVICE r08)."""
+    from pyspark.sql import functions as F
+
+    def boom(*a, **k):
+        raise ImportError("pandas unavailable")
+
+    monkeypatch.setattr(F, "pandas_udf", boom)
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("user_id"))
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    v = t.commit(df, bloom_cols=["user_id"])
+    meta = t._read_marker(v)
+    assert "bloom" not in meta
+    assert t.read().count() == 100
+    # probing still works (no bloom -> full read, answer preserved)
+    assert t.read(prune={"user_id": 3}).where("user_id = 3").count() > 0
