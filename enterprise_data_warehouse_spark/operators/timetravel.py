@@ -310,3 +310,126 @@ def bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = o.agg(F.min("o_custkey")).first()[0]
     return t.read(prune={"o_custkey": probe}).where(F.col("o_custkey") == probe)
+
+
+INCR_PART_ORACLE = """
+WITH f AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         o_orderdate
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+  CASE WHEN o_orderkey % 89 = 0 AND o_orderdate >= TIMESTAMP '1998-01-01'
+            AND o_orderdate < TIMESTAMP '1999-01-01' THEN cents + 500
+       WHEN o_orderkey % 97 = 0 AND o_orderdate < TIMESTAMP '1999-01-01'
+            THEN cents + 1000
+       ELSE cents END AS price_cents,
+  o_year,
+  CASE WHEN o_orderkey % 89 = 0 AND o_orderdate >= TIMESTAMP '1998-01-01'
+            AND o_orderdate < TIMESTAMP '1999-01-01'
+            THEN TIMESTAMP '2000-06-15'
+       WHEN o_orderkey % 97 = 0 AND o_orderdate < TIMESTAMP '1999-01-01'
+            THEN TIMESTAMP '1999-06-15'
+       ELSE o_orderdate END AS updated_at,
+  CASE WHEN o_orderkey % 89 = 0 AND o_orderdate >= TIMESTAMP '1998-01-01'
+            AND o_orderdate < TIMESTAMP '1999-01-01' THEN 'b2'
+       WHEN o_orderkey % 97 = 0 AND o_orderdate < TIMESTAMP '1999-01-01'
+            THEN 'b1'
+       WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN 'base'
+       WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 'b1'
+       ELSE 'b2' END AS batch_id
+FROM f
+"""
+
+
+def _incr_fact(o: DataFrame, where, batch: str) -> DataFrame:
+    return o.where(where).select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("price_cents"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.col("o_orderdate").alias("updated_at"),
+        F.lit(batch).alias("batch_id"),
+    )
+
+
+def _incr_corrections(o: DataFrame, where, add_cents: int, ts: str,
+                      batch: str) -> DataFrame:
+    """Restatements of EXISTING keys: original business values with an
+    integer-cents price adjustment and a fresh updated_at (integer
+    arithmetic only — no float path for the oracle hash to diverge on).
+    o_year stays derived from o_orderdate: the merge key is
+    partition-stable by construction, the merge_partitioned contract."""
+    return o.where(where).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.floor(F.col("o_totalprice") * 100).cast("bigint")
+         + F.lit(add_cents)).alias("price_cents"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.lit(ts).cast("timestamp").alias("updated_at"),
+        F.lit(batch).alias("batch_id"),
+    )
+
+
+@query("incremental_fact_merge_partitioned", oracle=INCR_PART_ORACLE)
+def incremental_fact_merge_partitioned(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """The full 100 TB incremental shape, driver-pinned end to end
+    (VERDICT r08 #1 — the final registry slot): a year-partitioned fact
+    maintained by ``VersionedTable.incremental_partitioned`` — O(1)
+    marker-memoized watermark + partition-SCOPED merge — through a base
+    load and TWO incremental batches, the second deliberately REPLAYING
+    the whole first batch under a different batch tag. The watermark must
+    drop every replayed row (their batch_id would flip to 'b2' otherwise
+    — a value-level corruption the oracle hash catches, not just a row
+    count), key restatements must land in their original partitions, and
+    untouched partitions ride along from their existing immutable dirs.
+    Oracle = a closed-form full recompute of the merged state (reference
+    parity: models/marts/facts/fact_sales_daily.sql:2-6 incremental merge
+    on a composite unique_key + dbt_project.yml:79-82).
+
+    Batch anatomy (orders span 1995..2001):
+      base  = facts dated < 1999          (updated_at = o_orderdate)
+      b1    = 1999's facts + a +$10 restatement of keys %97 dated < 1999
+              (updated_at 1999-06-15)
+      b2    = 2000+'s facts + a +$5 restatement of keys %89 dated in 1998
+              (updated_at 2000-06-15) + a full REPLAY of b1 tagged 'b2'
+    Steady-state cost shape (pinned in tests/test_partitioned_merge.py):
+    one marker read, one delta scan, one touched-partition rewrite —
+    b2 touches {1998, 2000, 2001} of seven year partitions."""
+    o = load_table(spark, sf_dir, "orders")
+    d = lambda s: F.lit(s).cast("timestamp")
+    root = _work_dir("incrpart", sf_dir)
+    t = VersionedTable(spark, f"{root}/fact")
+
+    base = _incr_fact(o, F.col("o_orderdate") < d("1999-01-01"), "base")
+    t.merge_partitioned(base, ["o_orderkey"], "o_year")
+
+    b1 = _incr_fact(
+        o, (F.col("o_orderdate") >= d("1999-01-01"))
+        & (F.col("o_orderdate") < d("2000-01-01")), "b1",
+    ).unionByName(_incr_corrections(
+        o, (F.col("o_orderkey") % 97 == 0)
+        & (F.col("o_orderdate") < d("1999-01-01")),
+        1000, "1999-06-15 00:00:00", "b1",
+    ))
+    t.incremental_partitioned(b1, "updated_at", ["o_orderkey"], "o_year")
+
+    replay = b1.withColumn("batch_id", F.lit("b2"))
+    b2 = _incr_fact(
+        o, F.col("o_orderdate") >= d("2000-01-01"), "b2",
+    ).unionByName(_incr_corrections(
+        o, (F.col("o_orderkey") % 89 == 0)
+        & (F.col("o_orderdate") >= d("1998-01-01"))
+        & (F.col("o_orderdate") < d("1999-01-01")),
+        500, "2000-06-15 00:00:00", "b2",
+    )).unionByName(replay)
+    t.incremental_partitioned(b2, "updated_at", ["o_orderkey"], "o_year")
+
+    return t.read().select(
+        "o_orderkey", "o_custkey", "price_cents", "o_year",
+        "updated_at", "batch_id",
+    )

@@ -65,76 +65,20 @@ _OPERATOR_MODULES = [
 
 # The verify driver evaluates registry entries in dict order with a budget
 # (exactly the first 50 each round), so this list pins a curated front.
-# Round-5 curation (VERDICT r04 items 1/2): slots 1-36 are the ENTIRE
-# remaining never-driver-recorded set — 33 oracle-paired (all
-# judge-local-green in r04's verify_local run) + 3 rows-only — so
-# CORRECTNESS_r05 drives driver coverage to 209/209. Slots 37-50 spend the
-# spare budget on re-confirmation: the three formerly-red array-output
-# queries (green in r04, re-pinned after this round's churn) plus the 11
-# oldest D1-only greens whose last record predates three rounds of code
-# movement. Everything after slot 50 already has a fresh driver record.
+# The standing freshness rotation: each round, the oldest-recorded cohort
+# moves to the front and last round's front drops to the tail, so no
+# query's newest driver record ever ages more than ~4 rounds.
 PRIORITY_ORDER = [
-    # Round-8 curation (VERDICT r07 items 1/4). The driver records exactly
-    # the first 50 each round. Slot 1: this round's sanctioned registry
-    # addition, bloom_pruned_lookup (VERDICT r07 #4 — oracle-paired driver
-    # pin for the bloom file-skipping path; registry 213 -> 214 <= 215).
-    "bloom_pruned_lookup",
-    # -- slots 2-17: the 16 remaining r03-only cohort — the last queries
-    # whose newest driver record is r03 (all judge- or sweep-green).
-    "kmeans_pp_embeddings",
-    "range_bin_lookup",
-    "order_rollup_hierarchy",
-    "order_window_frames",
-    "stratified_order_sample",
-    "event_type_pivot",
-    "order_grouping_sets",
-    "order_rank_distributions",
-    "doc_chunks_udtf",
-    "sequence_packing",
-    "image_feature_extract",
-    "catalog_dim_part",
-    "catalog_fact_events_daily",
-    "referential_integrity",
-    "date_dimension",
-    "freshness_rollup",
-    # -- slots 18-50: the 33 oldest r04-cohort entries (of 47). After r08
-    # records these, no registry query's newest driver record is older
-    # than r04 and only 14 r04-cohort entries remain for r09's front.
-    "streaming_hourly_counts",
-    "streaming_dedup_events",
-    "streaming_session_metrics",
-    "streaming_segment_counts",
-    "streaming_view_click_join",
-    "stateful_user_ewma",
-    "ttl_feature_cache",
-    "streaming_corpus_ingest",
-    "feature_vector_conform",
-    "train_test_split",
-    "video_frame_sample_plan",
-    "audio_chunk_plan",
-    "sliding_hourly_counts",
-    "segment_hourly_counts",
-    "view_click_within_30m",
-    "semantic_dedup",
-    "pq_adc_topk",
-    "catalog_fact_customer_behavior",
-    "catalog_fact_inventory_daily",
-    "catalog_dim_product",
-    "catalog_dim_employee",
-    "catalog_dim_geography",
-    "catalog_fact_financial",
-    "catalog_fact_employee_perf",
-    "catalog_fact_marketing",
-    "catalog_dim_date",
-    "catalog_quality_suite",
-    "zorder_keys",
-    "inverted_index_topk",
-    "mad_outliers",
-    "weighted_doc_sample",
-    "corpus_temperature_mix",
-    "gopher_quality_filters",
-    # ---------------- slot 50 boundary (driver budget) ---------------------
-    # -- remaining r04 cohort (14) = r09's front ----------------------------
+    # Round-9 curation (VERDICT r08 items 1/2). The driver records exactly
+    # the first 50 each round. Slot 1: the FINAL registry addition under
+    # the 215 freeze — incremental_fact_merge_partitioned, the oracle-
+    # paired driver pin for VersionedTable.incremental_partitioned + the
+    # marker-memoized watermark (the repo's most load-bearing 100 TB
+    # pattern). The registry is now FROZEN at 215: future rounds rotate
+    # freshness only.
+    "incremental_fact_merge_partitioned",
+    # -- slots 2-15: the 14 remaining r04-cohort queries (pre-cleared
+    # 14/14 value-exact at sf0.01 in r08's final tree).
     "dedup_representatives",
     "record_linkage_pairs",
     "lineitem_measure_unpivot",
@@ -149,7 +93,9 @@ PRIORITY_ORDER = [
     "pca_power_iteration",
     "orders_column_profile",
     "token_budget_mix",
-    # -- newest record r05 (50) ---------------------------------------------
+    # -- slots 16-50: the 35 oldest r05-cohort entries. After r09 records
+    # these, no registry query's newest driver record is older than r05
+    # and only 15 r05-cohort entries remain for r10's front.
     "length_bucket_stats",
     "line_dedup_reconstruct",
     "bipartite_pagerank",
@@ -185,6 +131,8 @@ PRIORITY_ORDER = [
     "score_customers_pandas",
     "minhash_lsh_candidates",
     "simhash_signatures",
+    # ---------------- slot 50 boundary (driver budget) ---------------------
+    # -- remaining r05 cohort (15) = r10's front ----------------------------
     "ann_lsh_buckets",
     "embedding_centroids",
     "embedding_quantize",
@@ -200,7 +148,7 @@ PRIORITY_ORDER = [
     "union_order_sets",
     "hash_sample_unit_price",
     "segment_status_rollup",
-    # -- newest record r06 (50): last round's front, freshest records -------
+    # -- newest record r06 (50) ----------------------------------------------
     "time_travel_read",
     "schema_evolution_merge",
     "zero_copy_clone",
@@ -251,7 +199,7 @@ PRIORITY_ORDER = [
     "ann_lsh_verified",
     "feature_fetch_inlist",
     "training_dataset",
-    # -- newest record r07 (50): last round's front, freshest records -------
+    # -- newest record r07 (50) ----------------------------------------------
     "stats_pruned_lookup",
     "minhash_lsh_verified",
     "star_revenue_rollup",
@@ -302,6 +250,57 @@ PRIORITY_ORDER = [
     "ivf_topk",
     "ann_multiprobe_topk",
     "kmeans_embeddings",
+    # -- newest record r08 (50): last round's front, freshest records --------
+    "bloom_pruned_lookup",
+    "kmeans_pp_embeddings",
+    "range_bin_lookup",
+    "order_rollup_hierarchy",
+    "order_window_frames",
+    "stratified_order_sample",
+    "event_type_pivot",
+    "order_grouping_sets",
+    "order_rank_distributions",
+    "doc_chunks_udtf",
+    "sequence_packing",
+    "image_feature_extract",
+    "catalog_dim_part",
+    "catalog_fact_events_daily",
+    "referential_integrity",
+    "date_dimension",
+    "freshness_rollup",
+    "streaming_hourly_counts",
+    "streaming_dedup_events",
+    "streaming_session_metrics",
+    "streaming_segment_counts",
+    "streaming_view_click_join",
+    "stateful_user_ewma",
+    "ttl_feature_cache",
+    "streaming_corpus_ingest",
+    "feature_vector_conform",
+    "train_test_split",
+    "video_frame_sample_plan",
+    "audio_chunk_plan",
+    "sliding_hourly_counts",
+    "segment_hourly_counts",
+    "view_click_within_30m",
+    "semantic_dedup",
+    "pq_adc_topk",
+    "catalog_fact_customer_behavior",
+    "catalog_fact_inventory_daily",
+    "catalog_dim_product",
+    "catalog_dim_employee",
+    "catalog_dim_geography",
+    "catalog_fact_financial",
+    "catalog_fact_employee_perf",
+    "catalog_fact_marketing",
+    "catalog_dim_date",
+    "catalog_quality_suite",
+    "zorder_keys",
+    "inverted_index_topk",
+    "mad_outliers",
+    "weighted_doc_sample",
+    "corpus_temperature_mix",
+    "gopher_quality_filters",
 ]
 
 

@@ -71,3 +71,34 @@ def test_work_dir_is_per_process_and_reaps_only_stale_peers(tmp_path, monkeypatc
     assert root2 == root
     assert os.path.isdir(fresh_peer), "live peer must survive"
     assert not os.path.exists(stale_peer), "stale peer must be reaped"
+
+
+def test_incremental_fact_merge_partitioned_protocol_shape(spark):
+    """The registry query's SECOND incremental commit must show the
+    steady-state 100 TB shape in its marker: a wm memo (next run reads
+    the watermark in O(1)), a narrow touched list ({1998, 2000, 2001} of
+    seven year partitions — the replayed batch-1 rows were dropped by
+    the watermark, or 1999 would appear), and typed partition pruning
+    metadata (pcol/ptype)."""
+    from enterprise_data_warehouse_spark.sources.versioned import VersionedTable
+
+    sf = "/root/testdata/sf0.001"
+    REG["incremental_fact_merge_partitioned"].fn(spark, sf).count()
+    base = os.path.join(tempfile.gettempdir(), "edw_query_work",
+                        f"incrpart_{os.path.basename(sf)}_pid{os.getpid()}")
+    t = VersionedTable(spark, os.path.join(base, "fact"))
+    assert t.current_version() == 3
+    m = t._read_marker(3)
+    assert m["op"] == "merge_partitioned"
+    assert m["pcol"] == "o_year" and m["ptype"] == "int"
+    assert m["touched"] == ["1998", "2000", "2001"], m["touched"]
+    assert m["wm"]["updated_at"] >= "2000-06-15 00:00:00"
+    # batch 1's marker memoized its own watermark too
+    m2 = t._read_marker(2)
+    assert m2["wm"]["updated_at"] < "2000-01-01"
+    # untouched year partitions (1995-1997, 1999) still point at the
+    # PREVIOUS version's immutable dirs — only touched ones were rewritten
+    assert all(m["parts"][y].startswith("v00000002-")
+               for y in ("1995", "1996", "1997", "1999"))
+    assert all(m["parts"][y].startswith("v00000003-")
+               for y in ("1998", "2000", "2001"))
