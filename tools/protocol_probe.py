@@ -280,6 +280,55 @@ def probe_bloom_pruning(spark, sf: str) -> None:
     shutil.rmtree(WORK, ignore_errors=True)
 
 
+def probe_incr_partitioned(spark, sf: str) -> None:
+    """r09 leg (VERDICT r08 #5): the COMPOSED steady-state loop —
+    ``incremental_build_partitioned`` = marker-memoized watermark +
+    partition-scoped merge — measured per batch. After the base build,
+    each run ingests ONE new day; per-batch wall must be near-flat
+    across the sf0.1 → sf10 decades (the touched day is 62 → 6.2k rows,
+    all overhead-dominated; the years-deep table itself is never
+    scanned: watermark from the marker, survivors from the one touched
+    dir)."""
+    from enterprise_data_warehouse_spark.sources.sink import (
+        incremental_build_partitioned,
+    )
+
+    root = WORK / f"incrp_sf{sf.replace('.', '_')}"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = _orders(spark, SF_DIRS[sf])
+    cutoff = "2001-07-01"
+    days = ["2001-07-02", "2001-07-03", "2001-07-04"]
+
+    t0 = time.perf_counter()
+    incremental_build_partitioned(
+        spark, str(root),
+        orders.where(F.col("date_key") < cutoff),
+        "o_orderdate", ["o_orderkey"], "date_key",
+    )
+    build_s = time.perf_counter() - t0
+    t = VersionedTable(spark, str(root))
+    n_parts = len(t._read_marker(t.current_version())["parts"])
+
+    batch_rows, batch_times = [], []
+    for day in days:
+        src = orders.where(F.col("date_key") == day)
+        t0 = time.perf_counter()
+        incremental_build_partitioned(
+            spark, str(root), src, "o_orderdate", ["o_orderkey"], "date_key")
+        batch_times.append(time.perf_counter() - t0)
+        m = t._read_marker(t.current_version())
+        assert m["touched"] == [day], m["touched"]  # one-day blast radius
+        assert m["wm"]["o_orderdate"].startswith(day)  # memo advanced
+        batch_rows.append(src.count())
+    per = "/".join(f"{s:.2f}" for s in batch_times)
+    print(
+        f"sf{sf:<5}{n_parts:>6}parts  build{build_s:>8.1f}s"
+        f"  day_rows={batch_rows[0]:<6} batch(s) {per}"
+        f"  best{min(batch_times):>6.2f}s"
+    )
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
 def main() -> None:
     # one leg per invocation (each prints immediately):
     #   python tools/protocol_probe.py 0.1 12
@@ -306,6 +355,11 @@ def main() -> None:
         sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
         spark = get_spark("protocol-probe")
         probe_stats_distributed(spark, sf)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "incr-part":
+        sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
+        spark = get_spark("protocol-probe")
+        probe_incr_partitioned(spark, sf)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "wm":
         sf = sys.argv[2] if len(sys.argv) > 2 else "0.1"
