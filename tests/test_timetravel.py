@@ -42,9 +42,11 @@ def test_repeated_runs_reuse_one_scratch_tree(spark):
     for _ in range(2):
         REG["time_travel_read"].fn(spark, SF).collect()
     trees = [d for d in os.listdir(base) if d.startswith("timetravel_")]
-    # one tree per (query, sf): the previous run's table was removed,
-    # not accumulated (sf0.01 runs from other harnesses may coexist)
-    assert trees.count("timetravel_sf0.001") == 1
+    # one tree per (query, sf, process): the previous run's tree was
+    # removed, not accumulated (trees from OTHER harness processes on the
+    # same sf may coexist — that's the pid suffix's whole point)
+    mine = f"timetravel_sf0.001_pid{os.getpid()}"
+    assert trees.count(mine) == 1
 
 def test_work_dir_is_per_process_and_reaps_only_stale_peers(tmp_path, monkeypatch):
     """Concurrent harness processes (bench + verify_local on the same sf)

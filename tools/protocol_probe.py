@@ -295,7 +295,12 @@ def probe_incr_partitioned(spark, sf: str) -> None:
 
     root = WORK / f"incrp_sf{sf.replace('.', '_')}"
     shutil.rmtree(root, ignore_errors=True)
-    orders = _orders(spark, SF_DIRS[sf])
+    # bare-day partition key (o_orderdate is a TIMESTAMP; _orders'
+    # cast-to-string form carries " 00:00:00" and would never match the
+    # bare-day probe values)
+    orders = load_table(spark, SF_DIRS[sf], "orders").withColumn(
+        "date_key", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
     cutoff = "2001-07-01"
     days = ["2001-07-02", "2001-07-03", "2001-07-04"]
 
