@@ -1190,11 +1190,12 @@ def _jpeg_prog_finish(frame, qt, state):
 def _decode_image_real(payload: bytes, width: int, height: int):
     """The real decode path. Uncompressed 24-bit BMP (decode_bmp), 8-bit
     non-interlaced PNG (decode_png, stdlib zlib), baseline + progressive
-    huffman JPEG (decode_jpeg), and uncompressed TIFF (decode_tiff) all
-    decode IN-CONTAINER with a nearest-neighbor resize; the remaining
-    exotic image format (WebP) requires PIL, absent here, and stays
-    import-gated so the pipeline degrades to the deterministic fake
-    rather than crashing."""
+    huffman JPEG (decode_jpeg), uncompressed TIFF (decode_tiff), and
+    lossless WebP (webp.decode_webp — VP8L prefix codes + LZ77 + color
+    cache + all four transforms) all decode IN-CONTAINER with a
+    nearest-neighbor resize; the remaining gated formats (lossy VP8
+    WebP, compressed TIFF) require a codec library, absent here, and
+    degrade to the deterministic fake rather than crashing."""
     img = None
     if payload[:2] == b"BM":
         img = decode_bmp(payload)
@@ -1204,6 +1205,10 @@ def _decode_image_real(payload: bytes, width: int, height: int):
         img = decode_jpeg(payload)
     elif payload[:4] in (b"II*\x00", b"MM\x00*"):
         img = decode_tiff(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        img = decode_webp(payload)  # VP8L native; lossy VP8 raises NIE
     if img is not None:
         import numpy as np
 
@@ -1215,10 +1220,11 @@ def _decode_image_real(payload: bytes, width: int, height: int):
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "exotic image formats (WebP, compressed TIFF) require pillow; "
-            "deterministic fake used instead (uncompressed BMP/TIFF, 8-bit "
-            "PNG, and baseline/progressive JPEG decode natively — "
-            "decode_bmp/decode_tiff/decode_png/decode_jpeg)"
+            "remaining exotic image formats (compressed TIFF) require "
+            "pillow; deterministic fake used instead (uncompressed "
+            "BMP/TIFF, 8-bit PNG, baseline/progressive JPEG, and lossless "
+            "WebP decode natively — decode_bmp/decode_tiff/decode_png/"
+            "decode_jpeg/decode_webp)"
         ) from exc
     raise NotImplementedError("real decode wired at deploy time")
 
