@@ -307,14 +307,124 @@ def decode_png(payload: bytes):
     return out.reshape(height, width, bpp)
 
 
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first code packing, Clear=256,
+    EOI=257, 9→12-bit codes with the EARLY size change (the code width
+    grows one code before the table fills — TIFF's historical quirk).
+    Output is capped at ``max_out`` so a crafted strip cannot balloon."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    prev = b""
+    acc = accbits = pos = 0
+    code_size = 9
+
+    def read_code() -> int:
+        nonlocal acc, accbits, pos
+        while accbits < code_size:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            accbits += 8
+        accbits -= code_size
+        code = (acc >> accbits) & ((1 << code_size) - 1)
+        acc &= (1 << accbits) - 1
+        return code
+
+    started = False
+    while True:
+        code = read_code()
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            code_size = 9
+            code = read_code()
+            if code == EOI:
+                break
+            if code >= 256:
+                raise ValueError("TIFF LZW: invalid code after Clear")
+            prev = table[code]
+            out += prev
+            started = True
+        else:
+            if not started:
+                raise ValueError("TIFF LZW stream must start with Clear")
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("TIFF LZW code out of range")
+            out += entry
+            table.append(prev + entry[:1])
+            prev = entry
+        if len(out) > max_out:
+            raise ValueError(
+                f"TIFF LZW strip inflates past its declared {max_out} bytes"
+            )
+        # early change: width grows when the NEXT append would hit 2^size
+        if len(table) >= (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+    return bytes(out)
+
+
+def _tiff_packbits_decode(data: bytes, max_out: int) -> bytes:
+    """Apple PackBits RLE (TIFF spec §9): n in 0..127 copies n+1
+    literals, n in -127..-1 repeats the next byte 1-n times, -128 is a
+    no-op. Output capped at ``max_out``."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < max_out:
+        n = data[i] - 256 if data[i] >= 128 else data[i]
+        i += 1
+        if n >= 0:
+            if i + n + 1 > len(data):
+                raise ValueError("TIFF PackBits literal run truncated")
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n != -128:
+            if i >= len(data):
+                raise ValueError("TIFF PackBits repeat run truncated")
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+    if len(out) > max_out:
+        raise ValueError(
+            f"TIFF PackBits strip inflates past its declared {max_out} bytes"
+        )
+    return bytes(out)
+
+
+def _tiff_inflate(data: bytes, max_out: int) -> bytes:
+    """Deflate-in-TIFF (codes 8 / 32946): bounded zlib inflate — a bomb
+    fails HERE, not in an executor OOM (same contract as decode_png)."""
+    import zlib
+
+    inflater = zlib.decompressobj()
+    try:
+        out = inflater.decompress(data, max_out + 1)
+    except zlib.error as exc:
+        raise ValueError(f"TIFF deflate strip is not valid zlib: {exc}") \
+            from exc
+    if len(out) > max_out or inflater.unconsumed_tail:
+        raise ValueError(
+            f"TIFF deflate strip inflates past its declared {max_out} bytes"
+        )
+    return out
+
+
 def decode_tiff(payload: bytes):
-    """REAL image decode for UNCOMPRESSED baseline TIFF — pure stdlib
-    struct + numpy. Both byte orders (II/MM), 8-bit grayscale/RGB/RGBA,
-    chunky layout, multi-strip. Returns (H, W, C) uint8 with C=1/3/4.
-    Compressed TIFF (LZW/Deflate/JPEG-in-TIFF), planar layout, tiled
-    layout, palette, and >8-bit samples are rejected with a clear error;
-    hostile payloads (bad offsets, dimension bombs, truncated strips)
-    raise ValueError before any large allocation."""
+    """REAL image decode for baseline TIFF — pure stdlib struct/zlib +
+    numpy. Both byte orders (II/MM), 8-bit grayscale/RGB/RGBA, chunky
+    layout, multi-strip; compression none/LZW/Deflate/PackBits (1, 5,
+    8/32946, 32773 — pinned bit-exact against libtiff-written files in
+    tests/test_multimodal.py) with the horizontal-differencing predictor
+    (tag 317 = 2). Returns (H, W, C) uint8 with C=1/3/4. JPEG-in-TIFF,
+    planar layout, tiled layout, palette, and >8-bit samples are
+    rejected with a clear error; hostile payloads (bad offsets,
+    dimension bombs, truncated or ballooning strips) raise ValueError
+    before any large allocation."""
     import struct
 
     import numpy as np
@@ -361,8 +471,14 @@ def decode_tiff(payload: bytes):
     if width * height > _JPEG_MAX_PIXELS:  # same bomb cap as the others
         raise ValueError(f"TIFF dimensions {width}x{height} out of bounds")
     comp = first(259, 1)
-    if comp != 1:
-        raise ValueError(f"only uncompressed TIFF (compression={comp})")
+    if comp not in (1, 5, 8, 32946, 32773):
+        raise ValueError(
+            f"unsupported TIFF compression {comp} (none/LZW/Deflate/"
+            f"PackBits decode natively)"
+        )
+    predictor = first(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     spp = first(277, 1)
     if spp not in (1, 3, 4):
         raise ValueError(f"unsupported TIFF samples-per-pixel {spp}")
@@ -379,18 +495,41 @@ def decode_tiff(payload: bytes):
     offs, counts = tags.get(273), tags.get(279)
     if not offs or not counts or len(offs) != len(counts):
         raise ValueError("TIFF missing/mismatched strip offsets")
+    rows_per_strip = first(278, height) or height
+    stride = width * spp
     data = bytearray()
-    need = width * height * spp
-    for o, c in zip(offs, counts):
+    need = stride * height
+    for i, (o, c) in enumerate(zip(offs, counts)):
         if o + c > len(payload):
             raise ValueError("TIFF strip overruns the payload")
-        data += payload[o:o + c]
+        n_rows = min(rows_per_strip, height - i * rows_per_strip)
+        if n_rows <= 0:
+            break
+        expected = n_rows * stride
+        raw = payload[o:o + c]
+        if comp == 1:
+            chunk = raw[:expected]
+        elif comp == 5:
+            chunk = _tiff_lzw_decode(raw, expected)
+        elif comp == 32773:
+            chunk = _tiff_packbits_decode(raw, expected)
+        else:  # 8 / 32946: zip-in-TIFF (Adobe + legacy code points)
+            chunk = _tiff_inflate(raw, expected)
+        if len(chunk) < expected:
+            raise ValueError(
+                f"TIFF strip {i} decodes to {len(chunk)} bytes, "
+                f"expected {expected}"
+            )
+        data += chunk[:expected]
         if len(data) >= need:
             break
     if len(data) < need:
         raise ValueError(f"TIFF pixel data truncated: {len(data)} < {need}")
     img = np.frombuffer(bytes(data[:need]), np.uint8).reshape(
         height, width, spp)
+    if predictor == 2:  # horizontal differencing: rows are per-channel
+        # deltas off the left neighbor; invert with a wrapping cumsum
+        img = np.add.accumulate(img, axis=1, dtype=np.uint8)
     return np.ascontiguousarray(img)
 
 

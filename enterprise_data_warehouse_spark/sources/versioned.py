@@ -1061,6 +1061,20 @@ class VersionedTable:
         ``extra_meta`` lets protocol ops attach auxiliary marker fields
         (e.g. incremental()'s ``wm`` watermark memo); core fields can
         never be overridden (setdefault semantics)."""
+        if bloom_cols:
+            # explicit user input → validate loudly (the fail-open
+            # contract covers environmental failures, not bad arguments).
+            # The upper bound caps the per-file-column position set the
+            # executor-side collect_set materializes before packing
+            # (m=2^22 → ≤0.5 MB packed, ~32 MB boxed worst-case per
+            # file-column during the aggregation — safe; unbounded m is
+            # an executor-OOM lever).
+            if not 64 <= bloom_bits <= (1 << 22):
+                raise ValueError(
+                    f"bloom_bits={bloom_bits} out of range [64, 2^22]")
+            if not 1 <= bloom_hashes <= 16:
+                raise ValueError(
+                    f"bloom_hashes={bloom_hashes} out of range [1, 16]")
         if at_version is None:
             at_version = (self.current_version() or 0) + 1
         dirname = self._stage_data(df, at_version, partition_by)

@@ -1119,12 +1119,13 @@ def test_tiff_rejects_unsupported_and_hostile():
     good = _make_tiff(img)
     with pytest.raises(ValueError, match="not a TIFF"):
         mm.decode_tiff(b"ABCD" + good[4:])
-    # LZW compression refused by name
-    lzw = bytearray(good)
-    at = lzw.index(struct.pack("<HH", 259, 3))
-    struct.pack_into("<H", lzw, at + 8, 5)
-    with pytest.raises(ValueError, match="uncompressed"):
-        mm.decode_tiff(bytes(lzw))
+    # JPEG-in-TIFF compression refused by name (LZW/Deflate/PackBits
+    # decode natively since r09 — see the compressed-TIFF tests below)
+    jpg = bytearray(good)
+    at = jpg.index(struct.pack("<HH", 259, 3))
+    struct.pack_into("<H", jpg, at + 8, 7)
+    with pytest.raises(ValueError, match="unsupported TIFF compression"):
+        mm.decode_tiff(bytes(jpg))
     # dimension bomb fails before allocation
     bomb = bytearray(good)
     at = bomb.index(struct.pack("<HH", 256, 4))
@@ -1136,6 +1137,187 @@ def test_tiff_rejects_unsupported_and_hostile():
     # truncated strip data
     with pytest.raises(ValueError, match="overruns|truncated"):
         mm.decode_tiff(good[:-10])
+
+
+def _lzw_encode_literals(data: bytes) -> bytes:
+    """Independent minimal TIFF-LZW encoder for fixture streams: emits
+    Clear then every byte as a literal code, tracking the decoder-side
+    table growth and the EARLY code-width change — so a long stream
+    exercises 10/11/12-bit codes and re-Clears without libtiff."""
+    out = bytearray()
+    acc = accbits = 0
+
+    def put(code, size):
+        nonlocal acc, accbits
+        acc = (acc << size) | code
+        accbits += size
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+            acc &= (1 << accbits) - 1
+
+    size, table_len = 9, 258
+    put(256, size)  # Clear
+    first = True  # the decoder appends NO table entry for the first
+    for b in data:  # code after a Clear — mirror that exactly
+        put(b, size)
+        if first:
+            first = False
+        else:
+            table_len += 1
+        if table_len >= (1 << size) - 1:
+            if size < 12:
+                size += 1
+            else:  # table full: re-Clear, reset width
+                put(256, size)
+                size, table_len, first = 9, 258, True
+    put(257, size)  # EOI
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_tiff_lzw_and_packbits_decode_pure_fixtures():
+    """Oracle-free layer: hand-built LZW/PackBits strips decode exactly
+    (the libtiff cross-check below is skip-gated; this is not)."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    # long enough to push LZW through the 10/11/12-bit widths + a re-Clear
+    data = rng.integers(0, 256, 9000, dtype=np.uint8).tobytes()
+    assert mm._tiff_lzw_decode(_lzw_encode_literals(data), len(data)) == data
+    # PackBits: literal + repeat + noop mix
+    pb = bytes([2, 10, 20, 30]) + bytes([256 - 3, 7]) + b"\x80" + bytes([0, 9])
+    assert mm._tiff_packbits_decode(pb, 10) == bytes([10, 20, 30, 7, 7, 7, 7, 9])
+
+
+def test_tiff_compression_hostile_payloads():
+    import zlib
+
+    import numpy as np
+
+    # LZW must start with Clear
+    with pytest.raises(ValueError, match="start with Clear"):
+        mm._tiff_lzw_decode(b"\x00\x00\x00", 100)
+    # a code after Clear must be a literal
+    acc = (256 << 9) | 300  # Clear then 300: not a valid first code
+    raw = bytes([(acc >> 10) & 0xFF, (acc >> 2) & 0xFF,
+                 (acc << 6) & 0xFF])
+    with pytest.raises(ValueError, match="invalid code after Clear"):
+        mm._tiff_lzw_decode(raw, 100)
+    # LZW code beyond the table: Clear, literal 'a', then code 400
+    # (table holds 258 entries + the KwKwK slot 258 — 400 is unmapped)
+    acc = (((256 << 9) | ord("a")) << 9) | 400
+    raw = acc << (32 - 27)  # pad to a byte boundary
+    with pytest.raises(ValueError, match="out of range"):
+        mm._tiff_lzw_decode(raw.to_bytes(4, "big"), 100)
+    # LZW balloon: repeated growing sequences exceeding the declared size
+    data = _lzw_encode_literals(b"\x55" * 5000)
+    with pytest.raises(ValueError, match="inflates past"):
+        mm._tiff_lzw_decode(data, 100)
+    # PackBits truncated runs
+    with pytest.raises(ValueError, match="truncated"):
+        mm._tiff_packbits_decode(bytes([5, 1, 2]), 100)
+    with pytest.raises(ValueError, match="truncated"):
+        mm._tiff_packbits_decode(bytes([256 - 3]), 100)
+    # deflate bomb: 1 MB of zeros behind a small declared strip
+    bomb = zlib.compress(bytes(1 << 20))
+    with pytest.raises(ValueError, match="inflates past"):
+        mm._tiff_inflate(bomb, 1000)
+    assert mm._tiff_inflate(zlib.compress(b"xyz"), 3) == b"xyz"
+    # end-to-end: an LZW-tagged TIFF whose strip is garbage refuses cleanly
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    payload = bytearray(_make_tiff(img))
+    import struct
+
+    at = payload.index(struct.pack("<HH", 259, 3))
+    struct.pack_into("<H", payload, at + 8, 5)
+    with pytest.raises(ValueError):
+        mm.decode_tiff(bytes(payload))
+
+
+try:
+    import ctypes as _ct
+
+    _LIBTIFF = _ct.CDLL("libtiff.so.6")
+    _LIBTIFF.TIFFOpen.restype = _ct.c_void_p
+    _LIBTIFF.TIFFOpen.argtypes = [_ct.c_char_p, _ct.c_char_p]
+    _LIBTIFF.TIFFWriteScanline.restype = _ct.c_int
+    _LIBTIFF.TIFFWriteScanline.argtypes = [
+        _ct.c_void_p, _ct.c_void_p, _ct.c_uint32, _ct.c_uint16
+    ]
+    _LIBTIFF.TIFFClose.argtypes = [_ct.c_void_p]
+    _LIBTIFF.TIFFSetField.restype = _ct.c_int
+except OSError:  # pragma: no cover - exercised only off-container
+    _LIBTIFF = None
+
+
+def _libtiff_write(path, img, comp, predictor=None, rows_per_strip=5,
+                   big_endian=False):
+    import numpy as np
+
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    tif = _LIBTIFF.TIFFOpen(
+        str(path).encode(), b"wb" if big_endian else b"w")
+    assert tif
+
+    def setf(tag, val):
+        assert _LIBTIFF.TIFFSetField(
+            _ct.c_void_p(tif), _ct.c_uint32(tag), _ct.c_int(val)) == 1, tag
+
+    setf(256, w)
+    setf(257, h)
+    setf(258, 8)
+    setf(259, comp)
+    setf(262, 2 if spp >= 3 else 1)
+    setf(277, spp)
+    setf(284, 1)
+    setf(278, rows_per_strip)
+    if spp == 4:
+        arr = (_ct.c_uint16 * 1)(2)  # unassociated alpha
+        assert _LIBTIFF.TIFFSetField(
+            _ct.c_void_p(tif), _ct.c_uint32(338), _ct.c_uint16(1), arr) == 1
+    if predictor:
+        setf(317, predictor)
+    for y in range(h):
+        assert _LIBTIFF.TIFFWriteScanline(
+            _ct.c_void_p(tif),
+            np.ascontiguousarray(img[y]).tobytes(), y, 0) == 1
+    _LIBTIFF.TIFFClose(_ct.c_void_p(tif))
+
+
+@pytest.mark.skipif(_LIBTIFF is None,
+                    reason="system libtiff not available for oracle runs")
+def test_tiff_compressed_decode_bit_exact_vs_libtiff(tmp_path):
+    """Reference-encoder oracle: libtiff-written LZW/Deflate/PackBits
+    strips (both predictors, both byte orders, strip sizes from 1 row to
+    single-strip, gray/RGB/RGBA, plus a 200x180 noise image that drives
+    LZW through its 12-bit codes and re-Clears) decode bit-exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    cases = {
+        "gray": rng.integers(0, 256, (40, 33), dtype=np.uint8),
+        "rgba": rng.integers(0, 256, (19, 21, 4), dtype=np.uint8),
+        "noise": rng.integers(0, 256, (200, 180, 3), dtype=np.uint8),
+        "smooth": (np.add.outer(np.arange(60), np.arange(64))
+                   % 256).astype(np.uint8),
+    }
+    p = tmp_path / "case.tif"
+    for name, img in cases.items():
+        want = img if img.ndim == 3 else img[:, :, None]
+        for comp in (5, 8, 32773):
+            for pred in ((1, 2) if comp in (5, 8) else (1,)):
+                for be in (False, True):
+                    for rps in (1, 7, 10000):
+                        _libtiff_write(
+                            p, img, comp,
+                            predictor=(2 if pred == 2 else None),
+                            rows_per_strip=rps, big_endian=be)
+                        got = mm.decode_tiff(p.read_bytes())
+                        assert (got == want).all(), (name, comp, pred, be,
+                                                     rps)
 
 
 def _box(btype: bytes, body: bytes, largesize=False) -> bytes:

@@ -2032,6 +2032,25 @@ def test_bloom_sidecar_payloads_are_packed_executor_side(spark, tmp_path):
     assert payloads and all(len(b) == packed_len for b in payloads)
 
 
+def test_bloom_params_validated_loudly(spark, tmp_path):
+    """bloom_bits/bloom_hashes are explicit user arguments: out-of-range
+    values raise a named ValueError BEFORE staging any data (an unbounded
+    m is an executor-OOM lever via the pre-pack position sets; fail-open
+    covers environmental failures, not bad inputs)."""
+    df = spark.range(0, 10).withColumn("k", F.col("id") % 3)
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="bloom_bits"):
+        t.commit(df, bloom_cols=["k"], bloom_bits=(1 << 22) + 1)
+    with pytest.raises(ValueError, match="bloom_bits"):
+        t.commit(df, bloom_cols=["k"], bloom_bits=32)
+    with pytest.raises(ValueError, match="bloom_hashes"):
+        t.commit(df, bloom_cols=["k"], bloom_hashes=0)
+    assert t.current_version() is None  # nothing staged, nothing committed
+    # in-range still commits
+    t.commit(df, bloom_cols=["k"], bloom_bits=1024, bloom_hashes=3)
+    assert t.current_version() == 1
+
+
 def test_bloom_probe_positions_are_memoized(spark, tmp_path, monkeypatch):
     """VERDICT r07 #7: the second probe of the same (value, dtype, m, k)
     must come from the process-wide memo — no one-row Spark job."""
