@@ -200,14 +200,102 @@ def decode_bmp(payload: bytes):
     return np.ascontiguousarray(img)
 
 
+_PNG_ADAM7 = [  # (x_start, y_start, x_step, y_step) per pass
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_defilter(raw, height: int, rowbytes: int, bpp: int):
+    """Reverse the per-row PNG filters (None/Sub/Up/Average/Paeth, spec
+    §9) over ``height`` rows of ``rowbytes`` filtered bytes each.
+    ``bpp`` is the filter's byte offset (max(1, bytes per pixel)).
+    Returns an (height, rowbytes) uint8 array."""
+    import numpy as np
+
+    rows = raw.reshape(height, rowbytes + 1)
+    out = np.zeros((height, rowbytes), np.uint8)
+    prev = np.zeros(rowbytes, np.uint8)
+    for y in range(height):
+        ftype, row = int(rows[y, 0]), rows[y, 1:].copy()
+        if ftype == 0:  # None
+            recon = row
+        elif ftype == 1:  # Sub: + left → modular cumsum along x per lane
+            if rowbytes % bpp:
+                row = np.concatenate(
+                    [row, np.zeros(bpp - rowbytes % bpp, np.uint8)])
+            recon = np.add.accumulate(
+                row.reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).reshape(-1)[:rowbytes]
+        elif ftype == 2:  # Up: + above (uint8 wrap is the spec's mod 256)
+            recon = row + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential along x.
+            # The left-pixel recurrence forces a serial pass; plain Python
+            # ints over list buffers run ~10× faster than per-element
+            # numpy scalar indexing here (at deploy scale compressed decode
+            # routes through a native codec anyway — this keeps the
+            # pure-python path usable for real images, not just fixtures).
+            r = row.tolist()
+            p = prev.tolist()
+            if ftype == 3:
+                for i in range(rowbytes):
+                    a = r[i - bpp] if i >= bpp else 0
+                    r[i] = (r[i] + ((a + p[i]) >> 1)) & 0xFF
+            else:
+                for i in range(rowbytes):
+                    a = r[i - bpp] if i >= bpp else 0
+                    b = p[i]
+                    c = p[i - bpp] if i >= bpp else 0
+                    pa = abs(b - c)
+                    pb = abs(a - c)
+                    pc = abs(a + b - 2 * c)
+                    pred = (a if pa <= pb and pa <= pc
+                            else (b if pb <= pc else c))
+                    r[i] = (r[i] + pred) & 0xFF
+            recon = np.asarray(r, np.uint8)
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = recon
+        prev = out[y]
+    return out
+
+
+def _png_rows_to_samples(rows, width: int, channels: int, depth: int):
+    """Defiltered row bytes → (height, width, channels) uint16 samples
+    (sub-byte depths unpack MSB-first; 16-bit is big-endian)."""
+    import numpy as np
+
+    height = rows.shape[0]
+    if depth == 8:
+        return rows[:, :width * channels].reshape(
+            height, width, channels).astype(np.uint16)
+    if depth == 16:
+        flat = rows[:, :width * channels * 2].reshape(
+            height, width * channels, 2).astype(np.uint16)
+        return ((flat[..., 0] << 8) | flat[..., 1]).reshape(
+            height, width, channels)
+    bits = np.unpackbits(rows, axis=1)  # MSB-first, spec bit order
+    idx = np.arange(width * channels)
+    sel = bits[:, (idx[:, None] * depth + np.arange(depth)).reshape(-1)]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    samples = sel.reshape(height, width * channels, depth).astype(
+        np.uint16) @ weights
+    return samples.reshape(height, width, channels)
+
+
 def decode_png(payload: bytes):
-    """REAL image decode for 8-bit non-interlaced PNG — stdlib zlib +
-    numpy, no external codec. Walks the chunk stream (IHDR/IDAT/IEND),
-    inflates the concatenated IDAT bodies, reverses the per-row filters
-    (None/Sub/Up/Average/Paeth per the PNG spec §9), and returns an
-    (H, W, C) uint8 array with C=3 (RGB), 4 (RGBA), or 1 (grayscale).
-    Palette, 16-bit, and Adam7-interlaced PNGs are rejected with a clear
-    error; JPEG stays behind the PIL gate in _decode_image_real."""
+    """REAL image decode for PNG — stdlib zlib + numpy, no external
+    codec. Walks the chunk stream (IHDR/PLTE/tRNS/IDAT/IEND), inflates
+    the concatenated IDAT bodies with a bounded inflater, reverses the
+    per-row filters (spec §9), and returns an (H, W, C) uint8 array.
+    Full variant coverage: bit depths 1/2/4/8/16, all five color types
+    (gray, RGB, palette — with tRNS expanding to RGBA — gray+alpha,
+    RGBA), and Adam7 interlacing (seven independently filtered
+    sub-images reassembled on the pass grid). Sub-byte gray samples
+    scale to 8-bit per the spec (255/(2^d-1)); 16-bit samples take the
+    high byte. Hostile payloads (IDAT bombs, truncated streams, absurd
+    dimensions, missing PLTE) raise ValueError before any large
+    allocation."""
     import struct
     import zlib
 
@@ -216,6 +304,7 @@ def decode_png(payload: bytes):
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
     pos, ihdr, idat = 8, None, bytearray()
+    plte = trns = None
     while pos + 8 <= len(payload):
         size, ctype = struct.unpack_from(">I4s", payload, pos)
         body = pos + 8
@@ -225,6 +314,10 @@ def decode_png(payload: bytes):
             if size < 13:
                 raise ValueError(f"PNG IHDR chunk truncated ({size} bytes)")
             ihdr = struct.unpack_from(">IIBBBBB", payload, body)
+        elif ctype == b"PLTE":
+            plte = payload[body:body + size]
+        elif ctype == b"tRNS":
+            trns = payload[body:body + size]
         elif ctype == b"IDAT":
             idat += payload[body:body + size]
         elif ctype == b"IEND":
@@ -232,23 +325,39 @@ def decode_png(payload: bytes):
         pos = body + size + 4  # skip the CRC
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
-    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if bit_depth != 8 or channels is None or comp != 0 or filt != 0:
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    legal_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    if channels is None or comp != 0 or filt != 0 \
+            or depth not in legal_depths[color_type]:
         raise ValueError(
-            f"only 8-bit gray/RGB/RGBA PNG (got depth={bit_depth}, "
+            f"invalid PNG depth/color combination (depth={depth}, "
             f"color_type={color_type})"
         )
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
-    if width <= 0 or height <= 0:
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if width <= 0 or height <= 0 or width * height > _JPEG_MAX_PIXELS:
         raise ValueError(f"invalid PNG dimensions {width}x{height}")
-    bpp = channels  # bytes per pixel at depth 8
-    stride = width * bpp
-    expected = height * (stride + 1)
-    # bounded inflate: a crafted IDAT can expand a few KB into tens of GB,
-    # so never materialize more than the dimensions declare (+1 byte to
-    # detect overflow) — the bomb fails HERE, not in an executor OOM
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG is missing its PLTE chunk")
+
+    if interlace == 0:
+        passes = [(0, 0, 1, 1)]
+    else:
+        passes = _PNG_ADAM7
+    dims = []
+    expected = 0
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        rb = (pw * channels * depth + 7) // 8
+        dims.append((pw, ph, rb))
+        if pw and ph:
+            expected += ph * (rb + 1)
+    # bounded inflate: a crafted IDAT can expand a few KB into tens of
+    # GB, so never materialize more than the dimensions declare (+1 byte
+    # to detect overflow) — the bomb fails HERE, not in an executor OOM
     inflater = zlib.decompressobj()
     try:
         inflated = inflater.decompress(bytes(idat), expected + 1)
@@ -264,47 +373,37 @@ def decode_png(payload: bytes):
         raise ValueError(
             f"PNG pixel stream is {raw.size} bytes, expected {expected}"
         )
-    rows = raw.reshape(height, stride + 1)
-    out = np.zeros((height, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)
-    for y in range(height):
-        ftype, row = int(rows[y, 0]), rows[y, 1:].copy()
-        if ftype == 0:  # None
-            recon = row
-        elif ftype == 1:  # Sub: + left → modular cumsum along x per lane
-            recon = np.add.accumulate(
-                row.reshape(width, bpp), axis=0, dtype=np.uint8
-            ).reshape(stride)
-        elif ftype == 2:  # Up: + above (uint8 wrap is the spec's mod 256)
-            recon = row + prev
-        elif ftype in (3, 4):  # Average / Paeth: sequential along x.
-            # The left-pixel recurrence forces a serial pass; plain Python
-            # ints over list buffers run ~10× faster than per-element
-            # numpy scalar indexing here (at deploy scale compressed decode
-            # routes through PIL anyway — this keeps the pure-python path
-            # usable for real images, not just fixtures).
-            r = row.tolist()
-            p = prev.tolist()
-            if ftype == 3:
-                for i in range(stride):
-                    a = r[i - bpp] if i >= bpp else 0
-                    r[i] = (r[i] + ((a + p[i]) >> 1)) & 0xFF
-            else:
-                for i in range(stride):
-                    a = r[i - bpp] if i >= bpp else 0
-                    b = p[i]
-                    c = p[i - bpp] if i >= bpp else 0
-                    pa = abs(b - c)
-                    pb = abs(a - c)
-                    pc = abs(a + b - 2 * c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                    r[i] = (r[i] + pred) & 0xFF
-            recon = np.asarray(r, np.uint8)
-        else:
-            raise ValueError(f"invalid PNG filter type {ftype}")
-        out[y] = recon
-        prev = out[y]
-    return out.reshape(height, width, bpp)
+
+    bpp = max(1, channels * depth // 8)
+    grid = np.zeros((height, width, channels), np.uint16)
+    at = 0
+    for (x0, y0, dx, dy), (pw, ph, rb) in zip(passes, dims):
+        if not pw or not ph:
+            continue
+        rows = _png_defilter(raw[at:at + ph * (rb + 1)], ph, rb, bpp)
+        at += ph * (rb + 1)
+        grid[y0::dy, x0::dx] = _png_rows_to_samples(rows, pw, channels,
+                                                    depth)
+
+    if color_type == 3:  # palette lookup (+ tRNS alpha → RGBA)
+        pal = np.frombuffer(plte, np.uint8)
+        pal = pal[: len(pal) - len(pal) % 3].reshape(-1, 3)
+        idx = grid[..., 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of PLTE range")
+        rgb = pal[idx]
+        if trns is None:
+            return np.ascontiguousarray(rgb)
+        alpha = np.full(len(pal), 255, np.uint8)
+        alpha[: min(len(trns), len(pal))] = np.frombuffer(
+            trns[: len(pal)], np.uint8)
+        return np.ascontiguousarray(np.dstack([rgb, alpha[idx]]))
+    if depth == 16:
+        return np.ascontiguousarray((grid >> 8).astype(np.uint8))
+    if depth < 8:  # sub-byte gray: linear expansion per the spec
+        scale = 255 // ((1 << depth) - 1)
+        return np.ascontiguousarray((grid * scale).astype(np.uint8))
+    return np.ascontiguousarray(grid.astype(np.uint8))
 
 
 def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:

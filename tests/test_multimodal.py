@@ -301,23 +301,191 @@ def test_png_unsupported_variants_raise_clearly():
     with pytest.raises(ValueError, match="not a PNG"):
         mm.decode_png(b"JFIF....")
 
-    # 16-bit depth
+    # since r09 depth 16 / palette / Adam7 all DECODE (see the variant
+    # tests below); flipping only the IHDR byte leaves the stream sized
+    # for the old layout, which must still refuse cleanly, never crash
     deep = bytearray(good)
-    deep[8 + 8 + 8] = 16  # IHDR bit_depth byte
-    with pytest.raises(ValueError, match="only 8-bit"):
+    deep[8 + 8 + 8] = 16  # IHDR bit_depth byte, stream still 8-bit sized
+    with pytest.raises(ValueError, match="expected|inflates"):
         mm.decode_png(bytes(deep))
 
-    # palette color type
+    # palette color type without a PLTE chunk
     pal = bytearray(good)
+    pal[8 + 8 + 8] = 8
     pal[8 + 8 + 9] = 3  # IHDR color_type byte
-    with pytest.raises(ValueError, match="only 8-bit"):
+    with pytest.raises(ValueError, match="PLTE"):
         mm.decode_png(bytes(pal))
 
-    # Adam7 interlace
+    # illegal depth/color combination
+    deep2 = bytearray(good)
+    deep2[8 + 8 + 8] = 2  # depth 2 is illegal for truecolor
+    with pytest.raises(ValueError, match="depth/color"):
+        mm.decode_png(bytes(deep2))
+
+    # interlace byte flipped: per-pass stream sizes no longer match
     lace = bytearray(good)
     lace[8 + 8 + 12] = 1  # IHDR interlace byte
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="expected|inflates"):
         mm.decode_png(bytes(lace))
+
+    # unknown interlace method
+    lace2 = bytearray(good)
+    lace2[8 + 8 + 12] = 2
+    with pytest.raises(ValueError, match="interlace"):
+        mm.decode_png(bytes(lace2))
+
+
+def _make_png_variant(samples, color_type, depth, palette=None, trns=None,
+                      interlace=0, filters=None) -> bytes:
+    """Full-variant PNG test encoder: any legal depth/color combination,
+    optional PLTE/tRNS, Adam7 interlacing (pass grid imported from the
+    decoder's table — the exactly-once cover is pinned separately), and
+    None/Sub/Up filters. ``samples`` is (H, W, C) uint16 (palette: C=1
+    of indices; depth 16 uses the full range)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    def pack_row(row, d):
+        flat = row.reshape(-1)
+        if d == 8:
+            return flat.astype(np.uint8).tobytes()
+        if d == 16:
+            return flat.astype(">u2").tobytes()
+        bits = ((flat[:, None] >> np.arange(d - 1, -1, -1)) & 1).astype(
+            np.uint8).reshape(-1)
+        bits = np.concatenate([bits, np.zeros((-len(bits)) % 8, np.uint8)])
+        return np.packbits(bits).tobytes()
+
+    h, w, c = samples.shape
+    stream = bytearray()
+    fi = 0
+    passes = [(0, 0, 1, 1)] if interlace == 0 else mm._PNG_ADAM7
+    for x0, y0, dx, dy in passes:
+        sub = samples[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if not ph or not pw:
+            continue
+        prev = None
+        for y in range(ph):
+            rb = np.frombuffer(pack_row(sub[y], depth), np.uint8).astype(
+                np.int16)
+            ft = (filters[fi % len(filters)] if filters else 0)
+            fi += 1
+            bpp = max(1, c * depth // 8)
+            if ft == 1 and len(rb) > bpp:
+                out = rb - np.concatenate(
+                    [np.zeros(bpp, np.int16), rb[:-bpp]])
+            elif ft == 2:
+                out = rb - (prev if prev is not None else 0)
+            else:
+                ft = 0
+                out = rb
+            stream += bytes([ft]) + (out & 0xFF).astype(np.uint8).tobytes()
+            prev = rb
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", zlib.compress(bytes(stream))) \
+        + chunk(b"IEND", b"")
+
+
+def test_png_adam7_pass_grid_covers_exactly_once():
+    import numpy as np
+
+    for h, w in ((1, 1), (1, 3), (8, 8), (13, 11), (21, 17)):
+        g = np.zeros((h, w), int)
+        for x0, y0, dx, dy in mm._PNG_ADAM7:
+            g[y0::dy, x0::dx] += 1
+        assert (g == 1).all(), (h, w)
+    # the spec's canonical 8x8 pass-number pattern
+    pat = np.zeros((8, 8), int)
+    for i, (x0, y0, dx, dy) in enumerate(mm._PNG_ADAM7):
+        pat[y0::dy, x0::dx] = i + 1
+    assert pat[0].tolist() == [1, 6, 4, 6, 2, 6, 4, 6]
+    assert pat[4].tolist() == [3, 6, 4, 6, 3, 6, 4, 6]
+    assert (pat[1::2] == 7).all() and (pat[2::4, ::2] == 5).all()
+
+
+def test_png_subbyte_gray_depths_decode_scaled():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for d in (1, 2, 4):
+        idx = rng.integers(0, 1 << d, (13, 11, 1)).astype(np.uint16)
+        want = (idx * (255 // ((1 << d) - 1))).astype(np.uint8)
+        for il in (0, 1):
+            got = mm.decode_png(
+                _make_png_variant(idx, 0, d, interlace=il))
+            assert (got == want).all(), (d, il)
+
+
+def test_png_16bit_decodes_high_byte():
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    for ct, c in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        img = rng.integers(0, 65536, (9, 14, c)).astype(np.uint16)
+        for il in (0, 1):
+            got = mm.decode_png(
+                _make_png_variant(img, ct, 16, interlace=il))
+            assert (got == (img >> 8).astype(np.uint8)).all(), (ct, il)
+
+
+def test_png_palette_with_and_without_trns():
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    for d in (1, 2, 4, 8):
+        n = 1 << d
+        pal = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+        idx = rng.integers(0, n, (15, 12, 1)).astype(np.uint16)
+        got = mm.decode_png(_make_png_variant(idx, 3, d, palette=pal))
+        assert (got == pal[idx[..., 0]]).all(), d
+        trns = list(rng.integers(0, 256, min(n, 4)))
+        alpha = np.full(n, 255, np.uint8)
+        alpha[: len(trns)] = trns
+        want = np.dstack([pal[idx[..., 0]], alpha[idx[..., 0]]])
+        got = mm.decode_png(_make_png_variant(
+            idx, 3, d, palette=pal, trns=trns, interlace=1))
+        assert got.shape[-1] == 4 and (got == want).all(), d
+
+
+def test_png_adam7_roundtrips_all_color_types_and_tiny_shapes():
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    for ct, c in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        img = rng.integers(0, 256, (21, 17, c)).astype(np.uint16)
+        got = mm.decode_png(_make_png_variant(
+            img, ct, 8, interlace=1, filters=[0, 1, 2]))
+        assert (got == img.astype(np.uint8)).all(), ct
+    for h, w in ((1, 1), (1, 3), (3, 1), (2, 2), (5, 5), (9, 9)):
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint16)
+        got = mm.decode_png(_make_png_variant(img, 2, 8, interlace=1))
+        assert (got == img.astype(np.uint8)).all(), (h, w)
+
+
+def test_png_palette_index_out_of_range_rejected():
+    import numpy as np
+
+    pal = np.zeros((4, 3), np.uint8)  # 4 entries, but depth-8 indices
+    idx = np.full((3, 3, 1), 200, np.uint16)
+    with pytest.raises(ValueError, match="PLTE range"):
+        mm.decode_png(_make_png_variant(idx, 3, 8, palette=pal))
+
+
+def test_png_truncated_stream_rejected():
+    import struct
+    import zlib
 
     # truncated pixel stream: fewer rows than IHDR declares
     short_stream = zlib.compress(b"\x00" + b"\x00" * 6)  # 1 row, IHDR says 2
