@@ -820,13 +820,106 @@ def decode_gif(payload: bytes):
     raise ValueError("GIF contains no image frame")
 
 
+# IMA ADPCM tables (IMA Recommended Practices / WAV fmt 0x11)
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _g711_ulaw_to_int16(u):
+    """Exact G.711 µ-law expansion (the audioop/ITU table formula)."""
+    import numpy as np
+
+    u = (~u.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def _g711_alaw_to_int16(a):
+    """Exact G.711 A-law expansion."""
+    import numpy as np
+
+    a = a.astype(np.int64) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    # A-law: a SET sign bit means positive (the inverse of µ-law)
+    return np.where(sign != 0, mag, -mag).astype(np.int16)
+
+
+def _ima_adpcm_blocks(data: bytes, n_ch: int, block_align: int,
+                      spb: int):
+    """IMA ADPCM (WAV fmt 0x11) block decode: per-channel 4-byte header
+    (seed sample + step index), then channel-interleaved 4-byte nibble
+    groups, LOW nibble first. Exact integer recurrence per the IMA
+    tables above."""
+    import struct
+
+    import numpy as np
+
+    out: list[list[int]] = [[] for _ in range(n_ch)]
+    for at in range(0, len(data) - block_align + 1, block_align):
+        preds, idxs = [], []
+        for c in range(n_ch):
+            p, i, _ = struct.unpack_from("<hBB", data, at + 4 * c)
+            if i > 88:
+                raise ValueError(f"IMA ADPCM step index {i} out of range")
+            preds.append(p)
+            idxs.append(i)
+            out[c].append(p)  # header seed IS the block's first sample
+        body = data[at + 4 * n_ch: at + block_align]
+        # channel-interleaved 4-byte groups → per-channel nibble streams
+        groups = np.frombuffer(body, np.uint8).reshape(-1, n_ch, 4)
+        for c in range(n_ch):
+            stream = groups[:, c, :].reshape(-1)
+            nibs = np.empty(stream.size * 2, np.uint8)
+            nibs[0::2] = stream & 0x0F  # low nibble = earlier sample
+            nibs[1::2] = stream >> 4
+            pred, idx = preds[c], idxs[c]
+            sink = out[c]
+            for n in nibs[: spb - 1]:
+                step = _IMA_STEPS[idx]
+                diff = step >> 3
+                if n & 1:
+                    diff += step >> 2
+                if n & 2:
+                    diff += step >> 1
+                if n & 4:
+                    diff += step
+                pred = pred - diff if n & 8 else pred + diff
+                pred = -32768 if pred < -32768 else (
+                    32767 if pred > 32767 else pred)
+                sink.append(pred)
+                idx += _IMA_INDEX[n & 7]
+                idx = 0 if idx < 0 else (88 if idx > 88 else idx)
+    n = min(len(ch) for ch in out)
+    arr = np.empty((n, n_ch), np.int16)
+    for c in range(n_ch):
+        arr[:, c] = out[c][:n]
+    return arr
+
+
 def decode_wav(payload: bytes):
-    """REAL audio decode for PCM WAV — pure numpy RIFF parsing. Returns
+    """REAL audio decode for WAV — pure numpy RIFF parsing. Returns
     (sample_rate, n_channels, samples) with samples shaped (n_frames,
-    n_channels) as int16. Compressed codecs (MP3/AAC) remain gated on an
-    external decoder for SAMPLE access — this covers the uncompressed
-    interchange format; ``parse_mp3`` extracts MP3 duration/bitrate
-    metadata in-container without decoding."""
+    n_channels) as int16. Formats: PCM 8/16/24/32-bit (fmt 1), IEEE
+    float32 (fmt 3), G.711 A-law/µ-law (fmt 6/7 — exact ITU expansion,
+    pinned against audioop), and IMA ADPCM (fmt 0x11, block decode with
+    the exact integer recurrence). Wider samples fold to int16 by
+    keeping the top 16 bits; floats clip-scale. Perceptual codecs
+    (MP3/AAC) remain gated on an external decoder for SAMPLE access;
+    ``parse_mp3`` extracts MP3 duration/bitrate metadata in-container
+    without decoding."""
     import struct
 
     import numpy as np
@@ -834,6 +927,7 @@ def decode_wav(payload: bytes):
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, n_ch, bits, data = 12, None, None, None, None
+    fmt = block_align = spb = None
     while pos + 8 <= len(payload):
         chunk_id, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = pos + 8
@@ -844,11 +938,28 @@ def decode_wav(payload: bytes):
                     f"{len(payload) - body} remain)"
                 )
             fmt, n_ch, rate = struct.unpack_from("<HHI", payload, body)
+            block_align = struct.unpack_from("<H", payload, body + 12)[0]
             bits = struct.unpack_from("<H", payload, body + 14)[0]
-            if fmt != 1 or bits != 16:
-                raise ValueError(f"only PCM16 WAV (got fmt={fmt}, bits={bits})")
+            legal = {1: (8, 16, 24, 32), 3: (32,), 6: (8,), 7: (8,),
+                     17: (4,)}
+            if fmt not in legal or bits not in legal[fmt]:
+                raise ValueError(
+                    f"unsupported WAV format (fmt={fmt}, bits={bits}); "
+                    f"PCM/float/G.711/IMA-ADPCM decode natively"
+                )
             if n_ch < 1:
                 raise ValueError(f"invalid WAV channel count {n_ch}")
+            if fmt == 17:
+                if size < 20 or body + 20 > len(payload):
+                    raise ValueError("IMA ADPCM fmt extension missing")
+                spb = struct.unpack_from("<H", payload, body + 18)[0]
+                min_align = 4 * n_ch + ((spb - 1 + 1) // 2) * n_ch
+                if spb < 1 or block_align < 4 * n_ch \
+                        or block_align < min_align:
+                    raise ValueError(
+                        f"IMA ADPCM block geometry invalid (align="
+                        f"{block_align}, samples_per_block={spb})"
+                    )
         elif chunk_id == b"data":
             if body + size > len(payload):
                 raise ValueError(
@@ -859,13 +970,37 @@ def decode_wav(payload: bytes):
         pos = body + size + (size & 1)  # chunks pad to even offsets
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    frame = 2 * n_ch
+    if fmt == 17:
+        samples = _ima_adpcm_blocks(data, n_ch, block_align, spb)
+        return rate, n_ch, samples
+    width = bits // 8
+    frame = width * n_ch
     if len(data) % frame:
         raise ValueError(
             f"WAV data chunk truncated mid-frame: {len(data)} bytes is not "
-            f"a multiple of the {frame}-byte frame ({n_ch} ch × 16-bit)"
+            f"a multiple of the {frame}-byte frame ({n_ch} ch × "
+            f"{bits}-bit)"
         )
-    samples = np.frombuffer(data, np.int16).reshape(-1, n_ch)
+    if fmt == 6:
+        flat = _g711_alaw_to_int16(np.frombuffer(data, np.uint8))
+    elif fmt == 7:
+        flat = _g711_ulaw_to_int16(np.frombuffer(data, np.uint8))
+    elif fmt == 3:
+        f32 = np.frombuffer(data, "<f4")
+        flat = (np.clip(f32, -1.0, 1.0) * 32767.0).astype(np.int16)
+    elif bits == 8:
+        flat = ((np.frombuffer(data, np.uint8).astype(np.int16) - 128)
+                << 8)
+    elif bits == 16:
+        flat = np.frombuffer(data, "<i2")
+    elif bits == 24:
+        raw = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        flat = ((raw[:, 2].astype(np.int32) << 24
+                 | raw[:, 1].astype(np.int32) << 16
+                 | raw[:, 0].astype(np.int32) << 8) >> 16).astype(np.int16)
+    else:  # 32-bit PCM
+        flat = (np.frombuffer(data, "<i4") >> 16).astype(np.int16)
+    samples = flat.reshape(-1, n_ch)
     return rate, n_ch, samples
 
 

@@ -120,6 +120,124 @@ def test_wav_decode_roundtrips_real_samples():
     assert (out == stereo).all()
 
 
+def _make_wav_fmt(fmt, n_ch, rate, bits, data, block_align=None,
+                  spb=None) -> bytes:
+    """WAV container around arbitrary fmt-code payloads (G.711, float,
+    IMA ADPCM with its samples-per-block extension)."""
+    import struct
+
+    ext = struct.pack("<HH", 2, spb) if spb else b""
+    ba = block_align or max(1, (bits // 8)) * n_ch
+    fmtc = struct.pack("<HHIIHH", fmt, n_ch, rate, rate * ba, ba, bits) + ext
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmtc) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_wav_g711_exact_vs_audioop():
+    """All 256 µ-law and A-law codes expand to exactly the ITU table
+    (audioop is the stdlib reference; skipped where it's been removed)."""
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")
+    codes = np.arange(256, dtype=np.uint8)
+    want_u = np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), np.int16)
+    assert (mm._g711_ulaw_to_int16(codes) == want_u).all()
+    want_a = np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), np.int16)
+    assert (mm._g711_alaw_to_int16(codes) == want_a).all()
+    # end-to-end through the container
+    rng = np.random.default_rng(21)
+    raw = rng.integers(0, 256, 1000, dtype=np.uint8)
+    rate, n_ch, s = mm.decode_wav(_make_wav_fmt(7, 2, 8000, 8, raw.tobytes()))
+    assert (rate, n_ch) == (8000, 2)
+    assert (s.reshape(-1) == want_u[raw]).all()
+    _, _, s = mm.decode_wav(_make_wav_fmt(6, 1, 8000, 8, raw.tobytes()))
+    assert (s.reshape(-1) == want_a[raw]).all()
+
+
+def test_wav_pcm_widths_and_float():
+    import numpy as np
+
+    rng = np.random.default_rng(22)
+    pcm8 = rng.integers(0, 256, 200, dtype=np.uint8)
+    _, _, s = mm.decode_wav(_make_wav_fmt(1, 1, 22050, 8, pcm8.tobytes()))
+    assert (s.reshape(-1) == ((pcm8.astype(np.int16) - 128) << 8)).all()
+    v24 = rng.integers(-2**23, 2**23, 99, dtype=np.int32)
+    b24 = b"".join(int(x).to_bytes(3, "little", signed=True) for x in v24)
+    _, _, s = mm.decode_wav(_make_wav_fmt(1, 3, 48000, 24, b24))
+    assert (s.reshape(-1) == (v24 >> 8).astype(np.int16)).all()
+    pcm32 = rng.integers(-2**31, 2**31, 100, dtype=np.int64).astype(np.int32)
+    _, _, s = mm.decode_wav(_make_wav_fmt(1, 1, 48000, 32, pcm32.tobytes()))
+    assert (s.reshape(-1) == (pcm32 >> 16).astype(np.int16)).all()
+    f32 = (rng.random(100, dtype=np.float32) * 2 - 1).astype("<f4")
+    _, _, s = mm.decode_wav(_make_wav_fmt(3, 1, 16000, 32, f32.tobytes()))
+    assert (s.reshape(-1)
+            == (np.clip(f32, -1, 1) * 32767).astype(np.int16)).all()
+
+
+def test_wav_ima_adpcm_exact_vs_audioop_mono_and_stereo():
+    """IMA ADPCM blocks decode to the exact integer recurrence: audioop's
+    adpcm2lin (the same IMA core) seeded from each block header must
+    reproduce every post-seed sample, mono and stereo (the stereo path
+    exercises the channel-interleaved 4-byte nibble groups)."""
+    import struct
+
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")
+    rng = np.random.default_rng(23)
+    for n_ch in (1, 2):
+        spb = 249  # odd nibble count per channel exercises the tail nibble
+        align = 4 * n_ch + (spb - 1) // 2 * n_ch
+        blocks = b""
+        expect_ch = [[] for _ in range(n_ch)]
+        for _ in range(3):
+            packs = []
+            for c in range(n_ch):
+                pred = int(rng.integers(-30000, 30000))
+                idx = int(rng.integers(0, 89))
+                nibs = rng.integers(0, 16, spb - 1).astype(np.uint8)
+                even = np.concatenate([nibs, np.zeros((-len(nibs)) % 2,
+                                                      np.uint8)])
+                # audioop packs the FIRST sample in the HIGH nibble
+                lin, _ = audioop.adpcm2lin(
+                    ((even[0::2] << 4) | even[1::2]).astype(
+                        np.uint8).tobytes(), 2, (pred, idx))
+                expect_ch[c].append(pred)
+                expect_ch[c].extend(
+                    np.frombuffer(lin, np.int16)[: spb - 1].tolist())
+                packed = (even[0::2] | (even[1::2] << 4)).astype(np.uint8)
+                packs.append((struct.pack("<hBB", pred, idx, 0), packed))
+            blocks += b"".join(p[0] for p in packs)
+            # channel-interleaved 4-byte groups
+            streams = [p[1] for p in packs]
+            for g in range(0, len(streams[0]), 4):
+                for c in range(n_ch):
+                    blocks += streams[c][g:g + 4].tobytes()
+        payload = _make_wav_fmt(17, n_ch, 8000, 4, blocks,
+                                block_align=align, spb=spb)
+        rate, ch, s = mm.decode_wav(payload)
+        assert (rate, ch) == (8000, n_ch)
+        assert s.shape == (3 * spb, n_ch)
+        for c in range(n_ch):
+            assert (s[:, c] == np.asarray(expect_ch[c], np.int16)).all(), \
+                (n_ch, c)
+
+
+def test_wav_unsupported_formats_refused_by_name():
+    import numpy as np
+
+    rng = np.random.default_rng(24)
+    raw = rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+    with pytest.raises(ValueError, match="unsupported WAV format"):
+        mm.decode_wav(_make_wav_fmt(85, 1, 44100, 16, raw))  # MP3-in-WAV
+    with pytest.raises(ValueError, match="unsupported WAV format"):
+        mm.decode_wav(_make_wav_fmt(1, 1, 44100, 12, raw))  # odd width
+    with pytest.raises(ValueError, match="IMA ADPCM"):
+        # fmt 17 without the samples-per-block extension
+        mm.decode_wav(_make_wav_fmt(17, 1, 8000, 4, raw))
+
+
 def test_bmp_decode_through_spark_arrow_boundary(spark):
     """The decoder running where it runs in production: inside a
     mapInPandas batch over a binary payload column."""
