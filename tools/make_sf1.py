@@ -24,7 +24,13 @@ only purpose. NOT driver data: correctness runs stay on /root/testdata.
 Usage: python tools/make_sf1.py  [out_dir] [copies]
        (defaults /root/repo/testdata_sf1, 10 copies of sf0.1; pass 100
        for an sf10-scale set — 60M lineitem rows, ~1.7 GB — the THIRD
-       measured decade for tools/scaling_probe.py)
+       measured decade for tools/scaling_probe.py; pass 1000 for sf100 —
+       600M lineitem rows, ~17 GB — the FOURTH)
+
+Replication is a single explode of a replica-index column (not a
+copies-way unionByName chain — at 1000 branches Catalyst analysis alone
+is the bottleneck), written in <=100-copy chunks so each append's shuffle
+stays sf10-sized regardless of the target scale.
 """
 
 from __future__ import annotations
@@ -57,23 +63,48 @@ KEY_COLS = {
 FILES = {"lineitem": 16, "orders": 8, "events": 8}
 
 
-def replicate(df, name: str, i: int):
-    out = df
+CHUNK = 100  # replica indices per append — caps each write's shuffle at
+# sf10 volume (~6M lineitem rows) no matter how large the target set is
+
+
+def replicate(df, name: str, lo: int, hi: int):
+    """Replica indices [lo, hi) in ONE plan: explode a replica-index
+    column and derive every per-copy mutation from it. Produces exactly
+    the same multiset as the historical per-index unionByName chain
+    (pinned by tests/test_make_replicas.py) — same key offsets, same
+    per-copy token suffixes, same first-component embedding bump, and
+    index 0 bit-untouched."""
+    ri = F.col("_ri")
+    out = df.withColumn(
+        "_ri", F.explode(F.sequence(F.lit(lo), F.lit(hi - 1)))
+    )
     for k in KEY_COLS.get(name, []):
-        out = out.withColumn(k, F.col(k) + F.lit(i * OFF))
-    if name == "documents" and i > 0:
+        out = out.withColumn(k, F.col(k) + ri * F.lit(OFF))
+    if name == "documents":
+        suffixed = F.regexp_replace(
+            F.col("text"), F.lit(r"(\S+)"),
+            F.concat(F.lit("$1x"), ri.cast("string")),
+        )
         out = out.withColumn(
-            "text", F.regexp_replace("text", r"(\S+)", f"$1x{i}")
-        ).withColumn("n_chars", F.length("text").cast("long"))
-    if name == "embeddings" and i > 0:
+            "text", F.when(ri == 0, F.col("text")).otherwise(suffixed)
+        ).withColumn(
+            "n_chars",
+            F.when(ri == 0, F.col("n_chars"))
+            .otherwise(F.length("text").cast("long")),
+        )
+    if name == "embeddings":
+        bumped = F.concat(
+            F.array(
+                F.element_at("embedding", 1)
+                + ri.cast("double") * F.lit(0.01)
+            ),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).cast("array<float>")
         out = out.withColumn(
             "embedding",
-            F.concat(
-                F.array(F.element_at("embedding", 1) + F.lit(i * 0.01)),
-                F.slice("embedding", 2, F.size("embedding") - 1),
-            ).cast("array<float>"),
+            F.when(ri == 0, F.col("embedding")).otherwise(bumped),
         )
-    return out
+    return out.drop("_ri")
 
 
 def main() -> None:
@@ -81,22 +112,27 @@ def main() -> None:
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
     scale = copies // 10  # file counts sized to keep partitions ~even
     spark = get_spark("make-sf1")
+    chunks = [
+        (lo, min(lo + CHUNK, copies)) for lo in range(0, copies, CHUNK)
+    ]
     for name in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
         base = load_table(spark, SRC, name)
-        if name in ("region", "nation"):
-            scaled = base
-        else:
-            scaled = replicate(base, name, 0)
-            for i in range(1, copies):
-                scaled = scaled.unionByName(replicate(base, name, i))
         n_files = FILES.get(name, 4) * max(1, scale)
-        scaled.repartition(n_files).write.mode("overwrite").parquet(
-            f"{out_dir}/{name}.parquet"
-        )
-        print(f"{name}: {spark.read.parquet(f'{out_dir}/{name}.parquet').count()} rows")
+        dest = f"{out_dir}/{name}.parquet"
+        if name in ("region", "nation"):
+            base.repartition(n_files).write.mode("overwrite").parquet(dest)
+        else:
+            files_per_chunk = max(1, n_files // len(chunks))
+            for ci, (lo, hi) in enumerate(chunks):
+                replicate(base, name, lo, hi).repartition(
+                    files_per_chunk
+                ).write.mode("overwrite" if ci == 0 else "append").parquet(
+                    dest
+                )
+        print(f"{name}: {spark.read.parquet(dest).count()} rows")
     spark.stop()
 
 
