@@ -79,7 +79,10 @@ def replicate(df, name: str, lo: int, hi: int):
         "_ri", F.explode(F.sequence(F.lit(lo), F.lit(hi - 1)))
     )
     for k in KEY_COLS.get(name, []):
-        out = out.withColumn(k, F.col(k) + ri * F.lit(OFF))
+        # long arithmetic: index × OFF passes 2^31 at replica 215 (sf100)
+        out = out.withColumn(
+            k, F.col(k) + ri.cast("long") * F.lit(OFF).cast("long")
+        )
     if name == "documents":
         suffixed = F.regexp_replace(
             F.col("text"), F.lit(r"(\S+)"),

@@ -43,7 +43,8 @@ from enterprise_data_warehouse_spark.sources.versioned import (  # noqa: E402
 )
 
 SF_DIRS = {"0.1": "/root/testdata/sf0.1", "1": "/root/repo/testdata_sf1",
-           "10": "/root/repo/testdata_sf10"}
+           "10": "/root/repo/testdata_sf10",
+           "100": "/root/repo/testdata_sf100"}
 DELTA_DAY = "1995-06-17"  # mid-range order date present at both SFs
 WORK = Path("/tmp/protocol_probe")
 

@@ -1,5 +1,6 @@
-"""Scaling probe: measure headline-query wall time across sf0.001 → sf1
-(four decades total, two decades of 10× steps at the top) and report
+"""Scaling probe: measure headline-query wall time across every data set
+present, sf0.001 → sf100 (up to 100,000× total span, four decades of 10×
+steps at the top once sf1/sf10/sf100 are generated) and report
 per-query throughput (input rows/sec) at each scale — the evidence that
 plans are linear in input size (flat-or-rising throughput as fixed
 JVM/planning overhead amortizes) rather than quadratic (collapsing
@@ -35,6 +36,9 @@ SF_DIRS = {
     "1": "/root/repo/testdata_sf1",
     # optional THIRD decade: python tools/make_sf1.py /root/repo/testdata_sf10 100
     "10": "/root/repo/testdata_sf10",
+    # optional FOURTH decade (600M lineitem rows, ~17 GB):
+    #   python tools/make_sf1.py /root/repo/testdata_sf100 1000
+    "100": "/root/repo/testdata_sf100",
 }
 ALL_SFS = list(SF_DIRS)
 SFS = [sf for sf in ALL_SFS if os.path.isdir(SF_DIRS[sf])]
@@ -45,20 +49,20 @@ SF_IDX = [ALL_SFS.index(sf) for sf in SFS]
 
 # query -> (driving table, rows at each sf, runs)
 PROBES = {
-    "pricing_summary": ("lineitem", [6e3, 6e4, 6e5, 6e6, 6e7], 3),
-    "star_revenue_rollup": ("lineitem", [6e3, 6e4, 6e5, 6e6, 6e7], 3),
-    "large_orders": ("lineitem", [6e3, 6e4, 6e5, 6e6, 6e7], 3),
-    "session_metrics_batch": ("events", [1e3, 1e4, 1e5, 1e6, 1e7], 3),
-    "sequence_packing": ("documents", [500, 500, 5000, 50000, 500000], 3),
-    "minhash_lsh_candidates": ("documents", [500, 500, 5000, 50000, 500000], 3),
-    "ngram_jaccard_pairs": ("documents", [500, 500, 5000, 50000, 500000], 3),
-    "text_quality_scores": ("documents", [500, 500, 5000, 50000, 500000], 3),
-    "cosine_topk": ("embeddings", [500, 500, 2000, 20000, 200000], 3),
+    "pricing_summary": ("lineitem", [6e3, 6e4, 6e5, 6e6, 6e7, 6e8], 3),
+    "star_revenue_rollup": ("lineitem", [6e3, 6e4, 6e5, 6e6, 6e7, 6e8], 3),
+    "large_orders": ("lineitem", [6e3, 6e4, 6e5, 6e6, 6e7, 6e8], 3),
+    "session_metrics_batch": ("events", [1e3, 1e4, 1e5, 1e6, 1e7, 1e8], 3),
+    "sequence_packing": ("documents", [500, 500, 5000, 50000, 500000, 5000000], 3),
+    "minhash_lsh_candidates": ("documents", [500, 500, 5000, 50000, 500000, 5000000], 3),
+    "ngram_jaccard_pairs": ("documents", [500, 500, 5000, 50000, 500000, 5000000], 3),
+    "text_quality_scores": ("documents", [500, 500, 5000, 50000, 500000, 5000000], 3),
+    "cosine_topk": ("embeddings", [500, 500, 2000, 20000, 200000, 2000000], 3),
     # heavy ops (VERDICT r03 #6): best-of-2 — each single run is already
     # seconds-long, so steal averages out within the run
-    "prefix_filter_jaccard_pairs": ("documents", [500, 500, 5000, 50000, 500000], 2),
-    "bipartite_pagerank": ("events", [1e3, 1e4, 1e5, 1e6, 1e7], 2),
-    "near_dup_clusters": ("documents", [500, 500, 5000, 50000, 500000], 2),
+    "prefix_filter_jaccard_pairs": ("documents", [500, 500, 5000, 50000, 500000, 5000000], 2),
+    "bipartite_pagerank": ("events", [1e3, 1e4, 1e5, 1e6, 1e7, 1e8], 2),
+    "near_dup_clusters": ("documents", [500, 500, 5000, 50000, 500000, 5000000], 2),
 }
 
 
@@ -90,6 +94,12 @@ def main() -> None:
         # warm JVM/classloading once per session
         force(reg["pricing_summary"].fn(spark, sf_dir))
         for name, (_, _, runs) in PROBES.items():
+            if float(sf) >= 100:
+                # single runs at sf100: every run is minutes-long, so host
+                # steal averages out WITHIN the run (same rationale as the
+                # heavy-op best-of-2 above) and best-of-3 would triple an
+                # already ~40-minute decade
+                runs = 1
             best = min(_timed(reg[name].fn, spark, sf_dir) for _ in range(runs))
             times[name].append(best)
             print(f"# sf{sf} {name}: {best:.2f}s", flush=True)
