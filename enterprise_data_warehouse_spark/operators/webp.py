@@ -30,7 +30,15 @@ OOM, or an unbounded loop.
 
 from __future__ import annotations
 
-_MAX_PIXELS = 1 << 26  # 64 Mpx: same executor-OOM cap as the JPEG/TIFF legs
+from array import array
+
+# 16 Mpx, deliberately TIGHTER than the JPEG/TIFF legs' 64 Mpx: those
+# decoders are numpy-vectorized, but VP8L is a per-symbol Python loop, so
+# the cap bounds hostile CPU (a dimension-bombing stream costs tens of
+# seconds, not minutes) as well as the pixel buffer (array('I'): 4 B/px,
+# 67 MB at the cap). Real lossless WebP (icons/screenshots/textures)
+# sits far below this.
+_MAX_PIXELS = 1 << 24
 
 # Short-distance codes 1..120 map to a 2-D neighborhood offset (dx, dy);
 # dist = dy * width + dx, clamped to >= 1. Extracted byte-for-byte from
@@ -136,6 +144,12 @@ def _read_prefix_code(br: _Bits, alphabet_size: int) -> tuple:
             s1 = br.u(8)
             if s1 >= alphabet_size:
                 raise ValueError("VP8L simple-code symbol out of alphabet")
+            if s1 == s0:
+                # a duplicate would silently collapse the two-symbol code
+                # to a ZERO-bit one and desynchronize every later read —
+                # garbage pixels accepted as a clean decode (libwebp
+                # rejects this form too)
+                raise ValueError("VP8L simple-code duplicate symbol")
             lengths[s1] = 1
         return _build_code(lengths)
     num_cl = 4 + br.u(4)
@@ -209,11 +223,11 @@ def _read_code_group(br: _Bits, cache_bits: int) -> list:
     ]
 
 
-def _decode_pixels(br: _Bits, w: int, h: int, allow_meta: bool) -> list:
+def _decode_pixels(br: _Bits, w: int, h: int, allow_meta: bool) -> array:
     """The entropy-coded ARGB plane shared by the main image, the entropy
     image, the transform images, and the palette: color cache + (meta)
     prefix-code groups + the literal/backref/cache-ref symbol loop.
-    Returns a flat row-major list of uint32 ARGB ints."""
+    Returns a flat row-major array('I') of uint32 ARGB ints."""
     cache_bits = br.u(4) if br.u(1) else 0
     if cache_bits > 11:
         raise ValueError(f"VP8L color-cache bits {cache_bits} out of range")
@@ -231,7 +245,9 @@ def _decode_pixels(br: _Bits, w: int, h: int, allow_meta: bool) -> list:
     cache_shift = 32 - cache_bits if cache_bits else 0
 
     n = w * h
-    out = [0] * n
+    # array('I') not a list: 4 B/px unboxed vs ~8-28 B/px of pointer +
+    # boxed int — the pixel buffer is the decode's dominant allocation
+    out = array("I", bytes(4 * n))
     pos = x = y = 0
     g = groups[0]
     while pos < n:
@@ -297,7 +313,7 @@ def _avg2(a: int, b: int, shift: int) -> int:
     return (((a >> shift) & 0xFF) + ((b >> shift) & 0xFF)) >> 1
 
 
-def _inv_predictor(px: list, w: int, h: int, bits: int, timg: list) -> None:
+def _inv_predictor(px: array, w: int, h: int, bits: int, timg: array) -> None:
     """Spatial-predictor inverse, in place: residual + prediction mod 256
     per channel. Mode per 2^bits tile from the transform image's green
     channel; row 0 / column 0 force L / T; pixel 0 predicts opaque black.
@@ -400,7 +416,7 @@ def _inv_predictor(px: list, w: int, h: int, bits: int, timg: list) -> None:
             add(pos, pred)
 
 
-def _inv_color(px: list, w: int, h: int, bits: int, timg: list) -> None:
+def _inv_color(px: array, w: int, h: int, bits: int, timg: array) -> None:
     """Cross-color-transform inverse, in place: red += f(green);
     blue += f(green) + f(new red); multipliers per tile (green_to_red in
     the tile pixel's blue channel, green_to_blue in green, red_to_blue
@@ -423,7 +439,7 @@ def _inv_color(px: list, w: int, h: int, bits: int, timg: list) -> None:
             px[pos] = (v & 0xFF00FF00) | (red << 16) | blue
 
 
-def _inv_subtract_green(px: list) -> None:
+def _inv_subtract_green(px: array) -> None:
     for i, v in enumerate(px):
         g = (v >> 8) & 0xFF
         r = (((v >> 16) & 0xFF) + g) & 0xFF
@@ -431,18 +447,21 @@ def _inv_subtract_green(px: list) -> None:
         px[i] = (v & 0xFF00FF00) | (r << 16) | b
 
 
-def _inv_color_index(px: list, reduced_w: int, h: int, pbits: int,
-                     palette: list, full_w: int) -> list:
+def _inv_color_index(px: array, reduced_w: int, h: int, pbits: int,
+                     palette: array, full_w: int) -> array:
     """Palette lookup (+ sub-byte index unbundling when pbits > 0).
     Out-of-range indices decode to 0x00000000 per the spec."""
     npal = len(palette)
     if pbits == 0:
-        return [palette[(v >> 8) & 0xFF] if ((v >> 8) & 0xFF) < npal else 0
-                for v in px]
+        return array(
+            "I",
+            (palette[(v >> 8) & 0xFF] if ((v >> 8) & 0xFF) < npal else 0
+             for v in px),
+        )
     per = 1 << pbits          # indices bundled per reduced pixel
     ibits = 8 >> pbits        # bits per index
     mask = (1 << ibits) - 1
-    out = [0] * (full_w * h)
+    out = array("I", bytes(4 * full_w * h))
     for y in range(h):
         src_row = y * reduced_w
         dst_row = y * full_w

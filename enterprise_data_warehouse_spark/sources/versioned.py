@@ -392,8 +392,11 @@ class VersionedTable:
         if ptype is None:
             return None  # pre-ptype marker: can't prove type agreement
         if isinstance(v, str):
-            if not (ptype == "string" or ptype.startswith(("varchar",
-                                                           "char"))):
+            # char(n) is excluded: stored values compare space-PADDED, so
+            # Spark's equality would match an unpadded probe while the
+            # cast-to-string parts-map key ('ab   ') would key-miss it —
+            # a wrongly-empty read, not fail-open. varchar/string don't pad.
+            if not (ptype == "string" or ptype.startswith("varchar")):
                 return None
         elif ptype not in ("tinyint", "smallint", "int", "bigint"):
             return None
@@ -1119,6 +1122,15 @@ class VersionedTable:
         b = (self._live_meta(version) or {}).get("bloom")
         if not b:
             return {}
+        # geometry outside commit()'s accepted range (a marker written
+        # before validation existed, or by a build with other limits)
+        # must NOT make every maintenance op raise through commit()'s
+        # explicit-argument check: drop the inheritance instead — the
+        # merged/compacted version commits without a bloom (fail-open),
+        # readers fall back to scanning every file
+        if not (isinstance(b.get("m"), int) and 64 <= b["m"] <= (1 << 22)
+                and isinstance(b.get("k"), int) and 1 <= b["k"] <= 16):
+            return {}
         return {"bloom_cols": list(b["cols"]), "bloom_bits": b["m"],
                 "bloom_hashes": b["k"]}
 
@@ -1342,9 +1354,11 @@ class VersionedTable:
             try:
                 new_wm = (str(dmax)
                           if _parse_ts(str(dmax)) > _parse_ts(wm) else wm)
-            except ValueError:
-                return {}  # unparseable watermark form: no memo, next
-                # run resolves via the exact table scan
+            except (ValueError, TypeError):
+                # unparseable watermark form, or an INCOMPARABLE pair
+                # (offset-aware vs naive datetimes raise TypeError on >):
+                # no memo, next run resolves via the exact table scan
+                return {}
         return {"wm": {watermark_col: new_wm}}
 
     def erase(self, subject_keys: DataFrame, keys: Sequence[str]) -> dict:

@@ -23,6 +23,7 @@ gate).
 from __future__ import annotations
 
 import ctypes
+import struct
 
 import numpy as np
 import pytest
@@ -307,3 +308,62 @@ def test_decode_image_real_dispatches_webp():
     out = _decode_image_real(_encode(img), 6, 4)
     assert out.shape == (4, 6, 4)
     assert (out == np.array([40, 50, 60, 255], np.uint8)).all()
+
+
+class _BitWriter:
+    """LSB-first writer matching webp._Bits's read convention."""
+
+    def __init__(self):
+        self.val = 0
+        self.n = 0
+
+    def w(self, v: int, k: int):
+        self.val |= (v & ((1 << k) - 1)) << self.n
+        self.n += k
+
+    def bytes(self) -> bytes:
+        return self.val.to_bytes((self.n + 7) // 8 or 1, "little")
+
+
+def _container(body: bytes) -> bytes:
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_simple_code_duplicate_symbol_rejected():
+    """A 2-symbol 'simple' prefix code repeating the SAME symbol would
+    collapse to a zero-bit code and desynchronize every later read —
+    garbage pixels returned as a clean decode. It must be refused
+    (libwebp's tree builder under-subscribes and errors on it too)."""
+    bw = _BitWriter()
+    bw.w(1, 14)  # w-1 (w=2)
+    bw.w(1, 14)  # h-1 (h=2)
+    bw.w(0, 1)   # alpha hint
+    bw.w(0, 3)   # version
+    bw.w(0, 1)   # no transforms
+    bw.w(0, 1)   # no color cache
+    bw.w(0, 1)   # no meta prefix image
+    bw.w(1, 1)   # first prefix code: simple form
+    bw.w(1, 1)   # num_symbols = 2
+    bw.w(1, 1)   # first symbol is 8-bit
+    bw.w(5, 8)   # s0 = 5
+    bw.w(5, 8)   # s1 = 5 — the duplicate
+    body = bytes([0x2F]) + bw.bytes()
+    with pytest.raises(ValueError, match="duplicate symbol"):
+        decode_webp(_container(body))
+
+
+@needs_libwebp
+def test_simple_code_duplicate_symbol_oracle_rejects_too():
+    bw = _BitWriter()
+    for v, k in ((1, 14), (1, 14), (0, 1), (0, 3), (0, 1), (0, 1), (0, 1),
+                 (1, 1), (1, 1), (1, 1), (5, 8), (5, 8)):
+        bw.w(v, k)
+    payload = _container(bytes([0x2F]) + bw.bytes())
+    w, h = ctypes.c_int(), ctypes.c_int()
+    p = _LIB.WebPDecodeRGBA(
+        payload, len(payload), ctypes.byref(w), ctypes.byref(h)
+    )
+    assert not p  # NULL: the reference decoder refuses the stream as well
