@@ -69,70 +69,14 @@ _OPERATOR_MODULES = [
 # moves to the front and last round's front drops to the tail, so no
 # query's newest driver record ever ages more than ~4 rounds.
 PRIORITY_ORDER = [
-    # Round-9 curation (VERDICT r08 items 1/2). The driver records exactly
-    # the first 50 each round. Slot 1: the FINAL registry addition under
-    # the 215 freeze — incremental_fact_merge_partitioned, the oracle-
-    # paired driver pin for VersionedTable.incremental_partitioned + the
-    # marker-memoized watermark (the repo's most load-bearing 100 TB
-    # pattern). The registry is now FROZEN at 215: future rounds rotate
-    # freshness only.
-    "incremental_fact_merge_partitioned",
-    # -- slots 2-15: the 14 remaining r04-cohort queries (pre-cleared
-    # 14/14 value-exact at sf0.01 in r08's final tree).
-    "dedup_representatives",
-    "record_linkage_pairs",
-    "lineitem_measure_unpivot",
-    "funnel_conversion",
-    "cohort_retention",
-    "order_price_percentiles",
-    "masked_customer_view",
-    "cdc_apply",
-    "part_hierarchy_rollup",
-    "ngram_novelty_scores",
-    "vocab_growth_buckets",
-    "pca_power_iteration",
-    "orders_column_profile",
-    "token_budget_mix",
-    # -- slots 16-50: the 35 oldest r05-cohort entries. After r09 records
-    # these, no registry query's newest driver record is older than r05
-    # and only 15 r05-cohort entries remain for r10's front.
-    "length_bucket_stats",
-    "line_dedup_reconstruct",
-    "bipartite_pagerank",
-    "mv_incremental_maintenance",
-    "countmin_heavy_hitters",
-    "hll_distinct_users",
-    "ewma_fold_sql",
-    "stratum_topk_sample",
-    "hll_sliding_distinct",
-    "pit_feature_snapshot",
-    "scd2_temporal_join",
-    "dsir_importance_weights",
-    "perplexity_buckets",
-    "training_order_shards",
-    "hard_negative_mining",
-    "prefix_filter_jaccard_pairs",
-    "corpus_ingest_stats",
-    "incremental_ivf_assign",
-    "salted_skew_join",
-    "target_encoding",
-    "feature_hashing",
-    "association_rules",
-    "forecast_baseline_daily",
-    "copurchase_triangles",
-    "multitouch_attribution",
-    "mv_rollup_routing",
-    "trigram_lm_counts",
-    "densify_daily_revenue",
-    "segment_revenue_share",
-    "abc_part_classification",
-    "fulfillment_lead_time",
-    "ts_features_pandas",
-    "score_customers_pandas",
-    "minhash_lsh_candidates",
-    "simhash_signatures",
-    # ---------------- slot 50 boundary (driver budget) ---------------------
-    # -- remaining r05 cohort (15) = r10's front ----------------------------
+    # Round-10 curation (VERDICT r09 item 1). The registry is FROZEN at
+    # 215 (since r09); each round rotates the oldest-recorded cohort to
+    # the front and last round's front to the tail, so no query's newest
+    # driver record ever ages more than ~4 rounds. The driver records
+    # exactly the first 50 each round.
+    # -- slots 1-15: the 15 remaining r05-cohort queries (the oldest
+    # records left after r09; pre-cleared value-exact at sf0.01 on the
+    # final r10 tree).
     "ann_lsh_buckets",
     "embedding_centroids",
     "embedding_quantize",
@@ -148,7 +92,8 @@ PRIORITY_ORDER = [
     "union_order_sets",
     "hash_sample_unit_price",
     "segment_status_rollup",
-    # -- newest record r06 (50) ----------------------------------------------
+    # -- slots 16-50: the 35 oldest r06-cohort entries. After r10 records
+    # these, only 15 r06-cohort entries remain for r11's front.
     "time_travel_read",
     "schema_evolution_merge",
     "zero_copy_clone",
@@ -184,6 +129,8 @@ PRIORITY_ORDER = [
     "rolling_feature_matrix",
     "forward_fill_values",
     "feature_descriptive_stats",
+    # ---------------- slot 50 boundary (driver budget) ---------------------
+    # -- remaining r06 cohort (15) = r11's front ----------------------------
     "categorical_profile",
     "regr_slope_per_user",
     "psi_value_drift",
@@ -250,7 +197,7 @@ PRIORITY_ORDER = [
     "ivf_topk",
     "ann_multiprobe_topk",
     "kmeans_embeddings",
-    # -- newest record r08 (50): last round's front, freshest records --------
+    # -- newest record r08 (50) ----------------------------------------------
     "bloom_pruned_lookup",
     "kmeans_pp_embeddings",
     "range_bin_lookup",
@@ -301,6 +248,57 @@ PRIORITY_ORDER = [
     "weighted_doc_sample",
     "corpus_temperature_mix",
     "gopher_quality_filters",
+    # -- newest record r09 (50): last round's front, freshest records --------
+    "incremental_fact_merge_partitioned",
+    "dedup_representatives",
+    "record_linkage_pairs",
+    "lineitem_measure_unpivot",
+    "funnel_conversion",
+    "cohort_retention",
+    "order_price_percentiles",
+    "masked_customer_view",
+    "cdc_apply",
+    "part_hierarchy_rollup",
+    "ngram_novelty_scores",
+    "vocab_growth_buckets",
+    "pca_power_iteration",
+    "orders_column_profile",
+    "token_budget_mix",
+    "length_bucket_stats",
+    "line_dedup_reconstruct",
+    "bipartite_pagerank",
+    "mv_incremental_maintenance",
+    "countmin_heavy_hitters",
+    "hll_distinct_users",
+    "ewma_fold_sql",
+    "stratum_topk_sample",
+    "hll_sliding_distinct",
+    "pit_feature_snapshot",
+    "scd2_temporal_join",
+    "dsir_importance_weights",
+    "perplexity_buckets",
+    "training_order_shards",
+    "hard_negative_mining",
+    "prefix_filter_jaccard_pairs",
+    "corpus_ingest_stats",
+    "incremental_ivf_assign",
+    "salted_skew_join",
+    "target_encoding",
+    "feature_hashing",
+    "association_rules",
+    "forecast_baseline_daily",
+    "copurchase_triangles",
+    "multitouch_attribution",
+    "mv_rollup_routing",
+    "trigram_lm_counts",
+    "densify_daily_revenue",
+    "segment_revenue_share",
+    "abc_part_classification",
+    "fulfillment_lead_time",
+    "ts_features_pandas",
+    "score_customers_pandas",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
 ]
 
 
