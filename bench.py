@@ -52,7 +52,10 @@ REGRESSION_WATCH = {
 # the measured steal band, 2.44×/1.84×/1.62× — VERDICT r06 #2);
 # volume_shipping and media_manifest joined in r08 (the two non-watch r07
 # movers, both A/B-cleared as steal — VERDICT r07 #6, SCALING.md
-# "Round-8 counter-mover attribution").
+# "Round-8 counter-mover attribution"); dsir_importance_weights and
+# token_frequencies joined in r10 (r09's best-of-2 false movers, 1.28×/
+# 1.33× driver readings — the judge's interleaved best-of-4 cleared both
+# at 1.20 s and 0.42 s with the control 14% BELOW record — VERDICT r09 #4).
 COUNTER_MOVER_WATCH = {
     "catalog_fact_sales_daily",
     "session_metrics_batch",
@@ -62,6 +65,8 @@ COUNTER_MOVER_WATCH = {
     "ngram_jaccard_pairs",
     "volume_shipping",
     "media_manifest",
+    "dsir_importance_weights",
+    "token_frequencies",
 }
 
 

@@ -567,7 +567,9 @@ def decode_tiff(payload: bytes):
     width, height = first(256), first(257)
     if not width or not height:
         raise ValueError("TIFF missing ImageWidth/ImageLength")
-    if width * height > _JPEG_MAX_PIXELS:  # same bomb cap as the others
+    # same 64 Mpx bomb cap as JPEG/PNG/GIF/BMP; webp.py's VP8L leg is
+    # deliberately TIGHTER (16 Mpx) because it decodes per-symbol in Python
+    if width * height > _JPEG_MAX_PIXELS:
         raise ValueError(f"TIFF dimensions {width}x{height} out of bounds")
     comp = first(259, 1)
     if comp not in (1, 5, 8, 32946, 32773):
@@ -1183,7 +1185,9 @@ _JPEG_ZIGZAG = [
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
-_JPEG_MAX_PIXELS = 1 << 26  # 64 Mpx cap: a crafted SOF0 must not OOM an executor
+_JPEG_MAX_PIXELS = 1 << 26  # 64 Mpx cap: a crafted SOF0 must not OOM an
+# executor. Shared by the numpy-vectorized legs (JPEG/PNG/GIF/BMP/TIFF);
+# webp.py's VP8L leg caps at 16 Mpx — see _MAX_PIXELS there
 
 
 class _JpegBitReader:

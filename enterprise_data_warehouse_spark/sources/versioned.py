@@ -1122,14 +1122,16 @@ class VersionedTable:
         b = (self._live_meta(version) or {}).get("bloom")
         if not b:
             return {}
-        # geometry outside commit()'s accepted range (a marker written
-        # before validation existed, or by a build with other limits)
-        # must NOT make every maintenance op raise through commit()'s
-        # explicit-argument check: drop the inheritance instead — the
+        # geometry outside commit()'s accepted range, or a malformed/absent
+        # cols map (a marker written before validation existed, by a build
+        # with other limits, or hand-edited) must NOT make every
+        # maintenance op raise through commit()'s explicit-argument check
+        # or a KeyError below: drop the inheritance instead — the
         # merged/compacted version commits without a bloom (fail-open),
         # readers fall back to scanning every file
         if not (isinstance(b.get("m"), int) and 64 <= b["m"] <= (1 << 22)
-                and isinstance(b.get("k"), int) and 1 <= b["k"] <= 16):
+                and isinstance(b.get("k"), int) and 1 <= b["k"] <= 16
+                and isinstance(b.get("cols"), dict) and b["cols"]):
             return {}
         return {"bloom_cols": list(b["cols"]), "bloom_bits": b["m"],
                 "bloom_hashes": b["k"]}

@@ -83,6 +83,35 @@ def test_out_of_range_inherited_bloom_does_not_break_merge(spark, tmp_path):
     assert "bloom" in (t2._read_marker(v) or {})
 
 
+def test_missing_bloom_cols_does_not_break_merge(spark, tmp_path):
+    """r09 ADVICE: the geometry guard validated m and k but not cols — a
+    foreign/hand-edited marker whose bloom entry lacks a cols dict (or
+    carries a non-dict) raised KeyError at the inherit return, crashing
+    every merge/compact. Same fail-open contract: drop the inheritance,
+    commit without a bloom."""
+    root = str(tmp_path / "t")
+    t = VersionedTable(spark, root)
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    t.commit(nat, bloom_cols=["n_nationkey"])
+    v1 = t.current_version()
+    marker = Path(root) / "_commits" / f"v{v1:08d}.json"
+    meta = json.loads(marker.read_text())
+    del meta["bloom"]["cols"]  # foreign marker without a cols map
+    _rewrite_marker(marker, meta)
+    assert t._inherited_bloom(v1) == {}
+    v2 = t.merge(nat.limit(1), keys=["n_nationkey"])
+    assert "bloom" not in (t._read_marker(v2) or {})
+    assert t.read().count() == nat.count()
+
+    # a present-but-empty or non-dict cols map is equally dropped
+    meta["bloom"]["cols"] = []
+    _rewrite_marker(marker, meta)
+    assert t._inherited_bloom(v1) == {}
+    meta["bloom"]["cols"] = {}
+    _rewrite_marker(marker, meta)
+    assert t._inherited_bloom(v1) == {}
+
+
 def test_bloom_probe_on_unbloomed_version_scans_fine(spark, tmp_path):
     """After the fail-open merge above, a pruned read against the
     bloom-less version must return the same rows as the plain read."""

@@ -160,6 +160,36 @@ def test_dimension_bomb_rejected_before_allocation():
         decode_webp(bomb)
 
 
+def test_pixel_cap_boundary_is_16mpx():
+    """Pin the VP8L pixel cap at exactly 16 Mpx (r09 ADVICE): deliberately
+    TIGHTER than the 64 Mpx numpy-vectorized legs (multimodal.py) because
+    VP8L decodes per-symbol in Python. 4096×4096 = the cap passes the
+    dimension gate (and fails LATER, on the truncated stream); one row
+    more is refused with the out-of-bounds message."""
+    import struct
+
+    from enterprise_data_warehouse_spark.operators.webp import _MAX_PIXELS
+
+    assert _MAX_PIXELS == 1 << 24
+
+    def header(w, h):
+        v = (w - 1) | ((h - 1) << 14)  # alpha=0, version=0
+        return bytes([0x2F]) + struct.pack("<I", v)
+
+    body = header(4096, 4097)  # one row over the cap
+    bomb = (b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP"
+            + b"VP8L" + struct.pack("<I", len(body)) + body)
+    with pytest.raises(ValueError, match="out of bounds"):
+        decode_webp(bomb)
+
+    body = header(4096, 4096)  # exactly at the cap: gate passes
+    at_cap = (b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP"
+              + b"VP8L" + struct.pack("<I", len(body)) + body)
+    with pytest.raises(ValueError) as ei:
+        decode_webp(at_cap)  # truncated stream fails, but past the gate
+    assert "out of bounds" not in str(ei.value)
+
+
 def test_non_webp_and_empty_rejected():
     with pytest.raises(ValueError, match="not a WebP"):
         decode_webp(b"RIFFxxxxWAVEdata")

@@ -23,9 +23,10 @@ only purpose. NOT driver data: correctness runs stay on /root/testdata.
 
 Usage: python tools/make_sf1.py  [out_dir] [copies]
        (defaults /root/repo/testdata_sf1, 10 copies of sf0.1; pass 100
-       for an sf10-scale set — 60M lineitem rows, ~1.7 GB — the THIRD
+       for an sf10-scale set — 60M lineitem rows, ~2.1 GB — the THIRD
        measured decade for tools/scaling_probe.py; pass 1000 for sf100 —
-       600M lineitem rows, ~17 GB — the FOURTH)
+       600M lineitem rows, ~21 GB measured on disk — the FOURTH; leave
+       ≥25 GB free before generating it)
 
 Replication is a single explode of a replica-index column (not a
 copies-way unionByName chain — at 1000 branches Catalyst analysis alone

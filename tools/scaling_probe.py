@@ -36,7 +36,7 @@ SF_DIRS = {
     "1": "/root/repo/testdata_sf1",
     # optional THIRD decade: python tools/make_sf1.py /root/repo/testdata_sf10 100
     "10": "/root/repo/testdata_sf10",
-    # optional FOURTH decade (600M lineitem rows, ~17 GB):
+    # optional FOURTH decade (600M lineitem rows, ~21 GB on disk):
     #   python tools/make_sf1.py /root/repo/testdata_sf100 1000
     "100": "/root/repo/testdata_sf100",
 }
