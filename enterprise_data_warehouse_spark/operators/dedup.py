@@ -19,11 +19,15 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..queries import query
-from ..sources.tables import cpu_parallelism, load_table
+from ..sources.tables import cpu_parallelism, load_table, local_table_bytes
 
 
 def _with_synthetic_dupes(d: DataFrame) -> DataFrame:
@@ -1076,6 +1080,80 @@ def line_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PREFIX_TAU = 0.5  # Jaccard threshold; prefix length = s - ceil(tau*s) + 1
 
+# documents.parquet above this size switches the candidate emission to the
+# SEGMENTED K-pass plan (see prefix_filter_jaccard_pairs): one lazy plan
+# holds every stage's shuffle files on disk simultaneously until the job
+# ends, and at sf100 (840 MB of documents → ~330M shingle rows) that
+# concurrent spill exceeded one node's 57 GB free disk (r09 DNF). The
+# threshold sits between sf10 (81 MB — completes single-pass in ~50 s) and
+# sf100; K is sized so each pass handles roughly this many input bytes.
+_PREFIX_SEGMENT_BYTES = int(
+    os.environ.get("EDW_PREFIX_SEGMENT_BYTES", 200 << 20)
+)
+
+
+def _prefix_shards(sf_dir: str) -> int:
+    """Emission pass count K: 1 (the single lazy plan) below the segment
+    threshold; otherwise ~input_bytes/threshold, capped. EDW_PREFIX_SHARDS
+    forces an explicit K (tests pin sharded == single-pass with it)."""
+    env = os.environ.get("EDW_PREFIX_SHARDS")
+    if env:
+        return max(1, int(env))
+    b = local_table_bytes(sf_dir, "documents")
+    if b <= _PREFIX_SEGMENT_BYTES:
+        return 1
+    return min(16, -(-b // _PREFIX_SEGMENT_BYTES))
+
+
+def _reclaim_shuffles(spark: SparkSession) -> None:
+    """Release finished passes' shuffle files between segmented jobs: after
+    localCheckpoint truncates a pass's lineage, its shuffle dependencies
+    are unreachable — one driver-side GC lets ContextCleaner unregister
+    them so local disk holds ONE pass's spill at a time, not the sum (the
+    single-node analogue of a cluster freeing per-executor shuffle dirs
+    between jobs)."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — best-effort; never fail the query
+        pass
+
+
+def _emit_prefix_candidates(prefix: DataFrame) -> DataFrame:
+    """Grouped i<j candidate emission over a (doc_id, n, sh64) prefix-token
+    table + the PPJoin length filter. No distinct here — the caller dedups
+    (per shard and across shards)."""
+    # struct sorts by doc_id first (n is functionally dependent), so the
+    # grouped i<j emission below still yields doc_a < doc_b
+    docs_sorted = F.array_sort(F.collect_list(F.struct("doc_id", "n")))
+    grouped = prefix.groupBy("sh64").agg(docs_sorted.alias("docs"))
+    docs = F.col("docs")
+    n = F.size(docs)
+    pair_arrays = F.transform(
+        docs,
+        lambda x, i: F.transform(
+            F.slice(docs, i + F.lit(2), n - i - F.lit(1)),
+            lambda y: F.struct(
+                x["doc_id"].alias("doc_a"),
+                y["doc_id"].alias("doc_b"),
+                x["n"].alias("na"),
+                y["n"].alias("nb"),
+            ),
+        ),
+    )
+    return (
+        grouped.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.*")
+        # PPJoin LENGTH FILTER: max common = min(na, nb), so J ≤ min/max —
+        # pairs with min < τ·max can never reach the threshold and are
+        # pruned BEFORE the distinct exchange and the two array-carrying
+        # verification joins (the expensive stages)
+        .where(F.least("na", "nb") >= PREFIX_TAU * F.greatest("na", "nb"))
+        .select("doc_a", "doc_b")
+    )
+
 PREFIX_JACCARD_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -1123,7 +1201,24 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange builds ordered sets, candidate emission reuses the grouped
     i<j pattern (no self-join), and verification is two joins against the
     compact checkpointed table. Verification intersects int64 hash arrays
-    — same birthday-bound trade as exploded_shingles."""
+    — same birthday-bound trade as exploded_shingles.
+
+    SCALE PATH (input past _PREFIX_SEGMENT_BYTES, K = _prefix_shards):
+    one lazy plan keeps every stage's shuffle files on local disk until
+    the final job ends, and at sf100 that concurrent spill exceeded one
+    node's free disk (r09 DNF at 57 GB under both lz4 and zstd). The
+    segmented plan is the SAME operators cut into jobs: materialize the
+    prefix table once (disk-backed checkpoint), then emit candidates in K
+    sequential passes over disjoint token-hash ranges, reclaiming each
+    pass's shuffle files before the next. LOSSLESS by the same prefix
+    property: every qualifying pair shares a prefix token, that token
+    lands in exactly one hash range, so the union over passes equals the
+    single-pass candidate set (pinned by
+    test_llm_pipeline_ops.py::test_prefix_filter_sharded_equals_single_pass);
+    the cross-pass distinct dedups pairs sharing prefix tokens in several
+    ranges. Disk high-water is ONE pass's spill, not the sum — on a
+    cluster the same cut bounds per-executor shuffle-dir usage."""
+    shards = _prefix_shards(sf_dir)
     d = _with_synthetic_dupes(
         load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
     )
@@ -1131,7 +1226,12 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_shingles",
         F.transform("shingles", lambda x: F.xxhash64(x)).alias("sh"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(
+        eager=False,
+        # segmented regime = corpus-scale input: keep the shingle table's
+        # blocks serialized on disk, heap stays execution-only
+        storageLevel=StorageLevel.DISK_ONLY if shards > 1 else None,
+    )
     ex = sets.select("doc_id", "n_shingles", F.explode("sh").alias("sh64"))
     w_sh = Window.partitionBy("sh64")
     ordered = (
@@ -1152,35 +1252,27 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.transform("ord", lambda x: x["sh64"]), 1, p)
         ).alias("sh64"),
     )
-    # struct sorts by doc_id first (n is functionally dependent), so the
-    # grouped i<j emission below still yields doc_a < doc_b
-    docs_sorted = F.array_sort(F.collect_list(F.struct("doc_id", "n")))
-    grouped = prefix.groupBy("sh64").agg(docs_sorted.alias("docs"))
-    docs = F.col("docs")
-    n = F.size(docs)
-    pair_arrays = F.transform(
-        docs,
-        lambda x, i: F.transform(
-            F.slice(docs, i + F.lit(2), n - i - F.lit(1)),
-            lambda y: F.struct(
-                x["doc_id"].alias("doc_a"),
-                y["doc_id"].alias("doc_b"),
-                x["n"].alias("na"),
-                y["n"].alias("nb"),
-            ),
-        ),
-    )
-    cand = (
-        grouped.select(F.explode(F.flatten(pair_arrays)).alias("p"))
-        .select("p.*")
-        # PPJoin LENGTH FILTER: max common = min(na, nb), so J ≤ min/max —
-        # pairs with min < τ·max can never reach the threshold and are
-        # pruned BEFORE the distinct exchange and the two array-carrying
-        # verification joins (the expensive stages)
-        .where(F.least("na", "nb") >= PREFIX_TAU * F.greatest("na", "nb"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    if shards == 1:
+        cand = _emit_prefix_candidates(prefix).distinct()
+    else:
+        prefix = prefix.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+        _reclaim_shuffles(spark)
+        parts = []
+        for k in range(shards):
+            c = (
+                _emit_prefix_candidates(
+                    prefix.where(F.pmod(F.col("sh64"), F.lit(shards)) == k)
+                )
+                .distinct()
+                .localCheckpoint(
+                    eager=True, storageLevel=StorageLevel.DISK_ONLY
+                )
+            )
+            parts.append(c)
+            _reclaim_shuffles(spark)
+        cand = reduce(DataFrame.unionByName, parts).distinct()
     a = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh").alias("sh_a"),

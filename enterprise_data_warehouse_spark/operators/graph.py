@@ -27,11 +27,14 @@ NOT redistributed — documented contract, mirrored in the oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..queries import query
-from ..sources.tables import cpu_parallelism, load_table
+from ..sources.tables import cpu_parallelism, load_table, local_table_bytes
 
 PR_ITERS = 2  # fixed unrolled rounds (exactness over convergence in tests;
 #               production raises this — the plan shape is identical)
@@ -42,6 +45,14 @@ PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an integer ratio
 # 10^12 clears TPC-H partkeys (200_000×SF) up to SF ~5e6 — a 10^9 offset
 # would alias parts onto suppliers from SF 5000, silently merging vertices
 SUPP_OFFSET = 10**12
+
+# Above this driving-table size the per-round edge checkpoint goes
+# serialized-to-disk instead of in-heap (see bipartite_pagerank). 8 GB of
+# lineitem parquet ≈ 300M+ rows — the regime where deserialized storage
+# blocks for the ~2×distinct(part,supp) edge frame displace execution
+# memory (measured r09: OOM at 80-100 GB heaps at sf100's 15 GB input;
+# sf10's 2 GB input completes comfortably in-heap).
+_DISK_CKPT_BYTES = int(os.environ.get("EDW_PAGERANK_DISK_BYTES", 8 << 30))
 
 _EDGES_SQL = f"""
   SELECT DISTINCT l_partkey AS src, l_suppkey + {SUPP_OFFSET} AS dst
@@ -150,8 +161,20 @@ def bipartite_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (deduped, degree-joined) edge frame ONCE: every round
     # joins against it, and without truncating the lineage the unrolled plan
     # re-runs the lineitem scan + distinct per round (measured 1.3× slower
-    # at 2 rounds; the gap widens linearly with iteration count)
-    edges_d = edges.join(deg, "src").localCheckpoint()
+    # at 2 rounds; the gap widens linearly with iteration count).
+    # Storage level is sized to the input: the edge frame is the
+    # corpus-sized object here (~400M rows at sf100 — 2× distinct lineitem
+    # pairs, degree-joined), and deserialized in-JVM storage blocks for it
+    # must coexist with the shuffle that builds it — the measured r09
+    # sf100 OOM at 80-100 GB heaps. Past _DISK_CKPT_BYTES of input the
+    # checkpoint goes DISK_ONLY (serialized blocks stream from local disk,
+    # heap stays execution-only); below it the in-heap default stands
+    # (DISK_ONLY measured 1.4× slower at sf0.1, where the frame is 30 MB).
+    big_input = local_table_bytes(sf_dir, "lineitem") > _DISK_CKPT_BYTES
+    edges_d = edges.join(deg, "src").localCheckpoint(
+        eager=True,
+        storageLevel=StorageLevel.DISK_ONLY if big_input else None,
+    )
     nodes = edges_d.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
     nodes_n = nodes.crossJoin(F.broadcast(n_nodes)).localCheckpoint()

@@ -84,6 +84,23 @@ def cpu_parallelism(spark: SparkSession) -> int:
     return spark.sparkContext.defaultParallelism
 
 
+def local_table_bytes(sf_dir: str, name: str) -> int:
+    """Best-effort on-disk size of a local parquet table (file or dir);
+    0 when unknowable (non-local path) — callers fail open to their
+    small-input default. Used by operators that pick a storage/segmenting
+    strategy by input scale (the decision a cluster's planner makes from
+    catalog statistics)."""
+    try:
+        from pathlib import Path
+
+        p = Path(f"{sf_dir}/{name}.parquet")
+        if p.is_dir():
+            return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+        return p.stat().st_size if p.exists() else 0
+    except OSError:
+        return 0
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the full star schema as a dict of lazy DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

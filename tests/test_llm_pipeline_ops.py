@@ -260,3 +260,25 @@ def test_trigram_lm_tolerates_short_documents(spark, tmp_path):
     base = REG["trigram_lm_counts"].fn(spark, SF)
     # short docs add no trigrams → identical count table, and no crash
     assert out.count() == base.count()
+
+
+def test_prefix_filter_sharded_equals_single_pass(spark, monkeypatch):
+    """The segmented K-pass candidate emission (the sf100 scale path) must
+    be LOSSLESS: every qualifying pair shares a prefix token, that token
+    lands in exactly one hash range, so the union over passes equals the
+    single-pass result — pairs, counts, and jaccard values bit-identical."""
+    from enterprise_data_warehouse_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    def rows(df):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["n_common"], r["jaccard"])
+            for r in df.collect()
+        )
+
+    monkeypatch.setenv("EDW_PREFIX_SHARDS", "1")
+    single = rows(prefix_filter_jaccard_pairs(spark, SF))
+    monkeypatch.setenv("EDW_PREFIX_SHARDS", "4")
+    sharded = rows(prefix_filter_jaccard_pairs(spark, SF))
+    assert single and sharded == single
