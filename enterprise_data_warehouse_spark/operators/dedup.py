@@ -1091,6 +1091,13 @@ _PREFIX_SEGMENT_BYTES = int(
     os.environ.get("EDW_PREFIX_SEGMENT_BYTES", 200 << 20)
 )
 
+# Segmented-regime verification chunk size, in candidate pairs: ~25M pairs
+# × ~0.5 kB (pair + both attached hash arrays) ≈ 12 GB of join shuffle per
+# chunk — comfortably inside one node's free disk, reclaimed between chunks.
+_VERIFY_CHUNK_PAIRS = int(
+    os.environ.get("EDW_PREFIX_VERIFY_CHUNK", 25_000_000)
+)
+
 
 def _prefix_shards(sf_dir: str) -> int:
     """Emission pass count K: 1 (the single lazy plan) below the segment
@@ -1122,12 +1129,27 @@ def _reclaim_shuffles(spark: SparkSession) -> None:
 
 
 def _emit_prefix_candidates(prefix: DataFrame) -> DataFrame:
-    """Grouped i<j candidate emission over a (doc_id, n, sh64) prefix-token
-    table + the PPJoin length filter. No distinct here — the caller dedups
-    (per shard and across shards)."""
-    # struct sorts by doc_id first (n is functionally dependent), so the
-    # grouped i<j emission below still yields doc_a < doc_b
-    docs_sorted = F.array_sort(F.collect_list(F.struct("doc_id", "n")))
+    """Grouped i<j candidate emission over a (doc_id, n, pos, sh64)
+    prefix-token table + the PPJoin length and POSITIONAL filters. No
+    distinct here — the caller dedups (per shard and across shards).
+
+    Positional filter (Xiao et al. 2008, per-emission form): at a shared
+    token sitting at 1-based positions (ia, ib) of the two docs' sorted
+    orders, overlap ≤ 1 + min(na−ia, nb−ib) — every other common token
+    either precedes this one in BOTH orders or follows it in both, and at
+    the pair's FIRST shared token nothing precedes. J ≥ τ needs overlap
+    ≥ ⌈τ(na+nb)/(1+τ)⌉, so an emission whose bound falls short is dropped;
+    the pair survives iff ANY of its emissions passes, and its
+    first-shared-token emission always does when J ≥ τ — lossless, and
+    judged per-emission so it composes with token-range sharding.
+    Measured at sf10: the length filter alone leaves 43M candidates from
+    137k true pairs (uniform ~52-shingle docs make it toothless); the
+    positional filter cuts the junk whose one shared token sits deep in
+    both prefixes — the arrays-carrying verify joins are the expensive
+    stage this protects."""
+    # struct sorts by doc_id first (n, pos functionally dependent per
+    # token), so the grouped i<j emission below still yields doc_a < doc_b
+    docs_sorted = F.array_sort(F.collect_list(F.struct("doc_id", "n", "pos")))
     grouped = prefix.groupBy("sh64").agg(docs_sorted.alias("docs"))
     docs = F.col("docs")
     n = F.size(docs)
@@ -1140,9 +1162,14 @@ def _emit_prefix_candidates(prefix: DataFrame) -> DataFrame:
                 y["doc_id"].alias("doc_b"),
                 x["n"].alias("na"),
                 y["n"].alias("nb"),
+                x["pos"].alias("ia"),
+                y["pos"].alias("ib"),
             ),
         ),
     )
+    # overlap threshold α = ⌈τ(na+nb)/(1+τ)⌉; τ=0.5 → ⌈(na+nb)/3⌉, kept in
+    # integer arithmetic (ceil-div) so the bound is engine-exact
+    alpha = F.expr("(na + nb + 2) div 3")
     return (
         grouped.select(F.explode(F.flatten(pair_arrays)).alias("p"))
         .select("p.*")
@@ -1151,6 +1178,11 @@ def _emit_prefix_candidates(prefix: DataFrame) -> DataFrame:
         # pruned BEFORE the distinct exchange and the two array-carrying
         # verification joins (the expensive stages)
         .where(F.least("na", "nb") >= PREFIX_TAU * F.greatest("na", "nb"))
+        # PPJoin POSITIONAL FILTER (see docstring)
+        .where(
+            F.lit(1) + F.least(F.col("na") - F.col("ia"),
+                               F.col("nb") - F.col("ib")) >= alpha
+        )
         .select("doc_a", "doc_b")
     )
 
@@ -1248,52 +1280,86 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ordered.select(
         "doc_id",
         F.col("s").alias("n"),
-        F.explode(
+        F.posexplode(
             F.slice(F.transform("ord", lambda x: x["sh64"]), 1, p)
-        ).alias("sh64"),
+        ).alias("pos0", "sh64"),
+        # 1-based position in the doc's FULL (df, sh64)-sorted token order
+        # (= position within the prefix, which is a prefix of that order) —
+        # the positional filter's ia/ib
+    ).select(
+        "doc_id", "n", (F.col("pos0") + 1).alias("pos"), "sh64"
     )
-    if shards == 1:
-        cand = _emit_prefix_candidates(prefix).distinct()
-    else:
-        prefix = prefix.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
+
+    def _verify(pairs: DataFrame) -> DataFrame:
+        a = sets.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sh").alias("sh_a"),
+            F.col("n_shingles").alias("na"),
         )
-        _reclaim_shuffles(spark)
-        parts = []
-        for k in range(shards):
-            c = (
-                _emit_prefix_candidates(
-                    prefix.where(F.pmod(F.col("sh64"), F.lit(shards)) == k)
-                )
-                .distinct()
-                .localCheckpoint(
-                    eager=True, storageLevel=StorageLevel.DISK_ONLY
-                )
+        b = sets.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("n_shingles").alias("nb"),
+        )
+        return (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .withColumn(
+                "n_common",
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("long"),
             )
-            parts.append(c)
-            _reclaim_shuffles(spark)
-        cand = reduce(DataFrame.unionByName, parts).distinct()
-    a = sets.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-        F.col("n_shingles").alias("na"),
-    )
-    b = sets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-        F.col("n_shingles").alias("nb"),
-    )
-    verified = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn(
-            "n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+            .withColumn(
+                "jaccard",
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+            )
+            .where(F.col("jaccard") >= PREFIX_TAU)
+            .select("doc_a", "doc_b", "n_common", "jaccard")
         )
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_common")),
-        )
-        .where(F.col("jaccard") >= PREFIX_TAU)
+
+    if shards == 1:
+        return _verify(_emit_prefix_candidates(prefix).distinct())
+
+    # --- segmented regime ------------------------------------------------
+    prefix = prefix.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
-    return verified.select("doc_a", "doc_b", "n_common", "jaccard")
+    _reclaim_shuffles(spark)
+    parts = []
+    for k in range(shards):
+        c = (
+            _emit_prefix_candidates(
+                prefix.where(F.pmod(F.col("sh64"), F.lit(shards)) == k)
+            )
+            .distinct()
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+        parts.append(c)
+        _reclaim_shuffles(spark)
+    cand = (
+        reduce(DataFrame.unionByName, parts)
+        .distinct()
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    del parts, prefix  # free the per-shard and prefix checkpoint blocks
+    _reclaim_shuffles(spark)
+    # Verification is ALSO chunked: each candidate row grows to ~0.5 kB
+    # inside the join (two 8B-per-token hash arrays attach), so one job
+    # over hundreds of millions of candidates writes a shuffle bigger than
+    # one node's disk — the second half of the r09/r10 ENOSPC. Chunks are
+    # disjoint by pair hash; each chunk's join spill is reclaimed before
+    # the next, bounding the high-water at ~_VERIFY_CHUNK_PAIRS rows.
+    n_cand = cand.count()  # cheap: counts the materialized checkpoint
+    chunks = min(32, max(1, -(-n_cand // _VERIFY_CHUNK_PAIRS)))
+    if chunks == 1:
+        return _verify(cand)
+    done = []
+    for k in range(chunks):
+        v = _verify(
+            cand.where(
+                F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(chunks)) == k
+            )
+        ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        done.append(v)
+        _reclaim_shuffles(spark)
+    return reduce(DataFrame.unionByName, done)
