@@ -120,9 +120,14 @@ SHOWCASE = [
      "is checkpointed once — prefixes, df counts, and both verification "
      "sides read that stage output instead of re-shingling the corpus 4×; "
      "df is a count window on the sh64 exchange, candidates come from "
-     "grouped i<j emission with the PPJoin LENGTH FILTER applied at "
-     "emission (min(n) ≥ τ·max(n), pruning before the distinct exchange "
-     "and the array-carrying verify joins), no self-join anywhere."),
+     "grouped i<j emission with the PPJoin LENGTH and POSITIONAL filters "
+     "applied per emission (min(n) ≥ τ·max(n); 1 + min(na−ia, nb−ib) ≥ "
+     "⌈(na+nb)/3⌉ — both prune before the distinct exchange and the "
+     "array-carrying verify joins), no self-join anywhere. Past 200 MB "
+     "of input the same operators run segmented (K token-hash emission "
+     "passes + pair-hash verify chunks, disk-checkpointed boundaries) so "
+     "one node's disk holds a single pass's shuffle — this dump shows "
+     "the K=1 plan, pinned bit-identical to the segmented one."),
     ("perplexity_buckets",
      "CCNet perplexity gate: vocab NLL aggregate (map-side combined) "
      "joined back on the token key; the tertile cut runs on the per-DOC "
