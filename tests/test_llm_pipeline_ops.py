@@ -293,3 +293,42 @@ def test_prefix_filter_sharded_equals_single_pass(spark, monkeypatch):
     finally:
         dedup_mod._VERIFY_CHUNK_PAIRS = chunk_prev
     assert chunked == single
+
+
+def test_pagerank_disk_checkpoint_equals_default(spark, monkeypatch):
+    """The size-gated DISK_ONLY edge checkpoint (the sf100 heap-wall fix)
+    must be a pure storage-strategy change: forcing the threshold to zero
+    routes sf0.001 through the disk-backed branch and the top-50 ranking
+    must be bit-identical (integer micro-unit ranks make equality exact)."""
+    from enterprise_data_warehouse_spark.operators import graph
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    base = rows(graph.bipartite_pagerank(spark, SF))
+    prev = graph._DISK_CKPT_BYTES
+    graph._DISK_CKPT_BYTES = 0  # every input is "big"
+    try:
+        disk = rows(graph.bipartite_pagerank(spark, SF))
+    finally:
+        graph._DISK_CKPT_BYTES = prev
+    assert base and disk == base
+
+
+def test_local_table_bytes_sizing_helper(tmp_path):
+    """Fail-open contract: real file/dir sizes when local, 0 when absent
+    or unknowable (non-local path) so callers keep their in-heap default."""
+    from enterprise_data_warehouse_spark.sources.tables import (
+        local_table_bytes,
+    )
+
+    f = tmp_path / "t.parquet"
+    f.write_bytes(b"x" * 1000)
+    assert local_table_bytes(str(tmp_path), "t") == 1000
+    d = tmp_path / "d.parquet"
+    (d / "part").mkdir(parents=True)
+    (d / "part" / "a").write_bytes(b"y" * 10)
+    (d / "b").write_bytes(b"z" * 5)
+    assert local_table_bytes(str(tmp_path), "d") == 15
+    assert local_table_bytes(str(tmp_path), "missing") == 0
+    assert local_table_bytes("s3://bucket/prefix", "t") == 0
