@@ -1078,7 +1078,13 @@ def line_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- prefix-filtered set-similarity join (AllPairs/PPJoin family) ------------
 
-PREFIX_TAU = 0.5  # Jaccard threshold; prefix length = s - ceil(tau*s) + 1
+# Jaccard threshold τ, kept as a RATIONAL so every derived bound (prefix
+# length ⌈τs⌉, positional-filter overlap floor ⌈τ(na+nb)/(1+τ)⌉) is computed
+# in integer ceil-division — engine-exact, and all three stay consistent if
+# τ is ever changed (a float-only τ would silently desynchronize the new
+# positional filter from the length filter and turn it lossy).
+PREFIX_TAU_NUM, PREFIX_TAU_DEN = 1, 2
+PREFIX_TAU = PREFIX_TAU_NUM / PREFIX_TAU_DEN
 
 # documents.parquet above this size switches the candidate emission to the
 # SEGMENTED K-pass plan (see prefix_filter_jaccard_pairs): one lazy plan
@@ -1087,29 +1093,42 @@ PREFIX_TAU = 0.5  # Jaccard threshold; prefix length = s - ceil(tau*s) + 1
 # concurrent spill exceeded one node's 57 GB free disk (r09 DNF). The
 # threshold sits between sf10 (81 MB — completes single-pass in ~50 s) and
 # sf100; K is sized so each pass handles roughly this many input bytes.
-_PREFIX_SEGMENT_BYTES = int(
-    os.environ.get("EDW_PREFIX_SEGMENT_BYTES", 200 << 20)
-)
+# Read per call (not at import) so tests/operators can set it live.
+_SEGMENT_BYTES_DEFAULT = 200 << 20
+# Pass/chunk ceilings are a runaway backstop (per-pass fixed overhead grows
+# linearly with K), NOT a disk guarantee: 64×200 MB ≈ 13 GB of documents —
+# ~sf1000, an order of magnitude past what one node's disk fits regardless.
+_MAX_SHARDS = 64
+_MAX_VERIFY_CHUNKS = 512
 
-# Segmented-regime verification chunk size, in candidate pairs: ~25M pairs
-# × ~0.5 kB (pair + both attached hash arrays) ≈ 12 GB of join shuffle per
-# chunk — comfortably inside one node's free disk, reclaimed between chunks.
-_VERIFY_CHUNK_PAIRS = int(
-    os.environ.get("EDW_PREFIX_VERIFY_CHUNK", 25_000_000)
-)
+
+def _segment_bytes() -> int:
+    return int(
+        os.environ.get("EDW_PREFIX_SEGMENT_BYTES", _SEGMENT_BYTES_DEFAULT)
+    )
+
+
+def _verify_chunk_pairs() -> int:
+    """Segmented-regime verification chunk size, in candidate pairs: ~25M
+    pairs × ~0.5 kB (pair + both attached hash arrays) ≈ 12 GB of join
+    shuffle per chunk — comfortably inside one node's free disk, reclaimed
+    between chunks. Read per call, like the other knobs."""
+    return int(os.environ.get("EDW_PREFIX_VERIFY_CHUNK", 25_000_000))
 
 
 def _prefix_shards(sf_dir: str) -> int:
     """Emission pass count K: 1 (the single lazy plan) below the segment
-    threshold; otherwise ~input_bytes/threshold, capped. EDW_PREFIX_SHARDS
-    forces an explicit K (tests pin sharded == single-pass with it)."""
+    threshold; otherwise ~input_bytes/threshold, with a runaway backstop.
+    EDW_PREFIX_SHARDS forces an explicit K (tests pin sharded ==
+    single-pass with it)."""
     env = os.environ.get("EDW_PREFIX_SHARDS")
     if env:
         return max(1, int(env))
+    seg = _segment_bytes()
     b = local_table_bytes(sf_dir, "documents")
-    if b <= _PREFIX_SEGMENT_BYTES:
+    if b <= seg:
         return 1
-    return min(16, -(-b // _PREFIX_SEGMENT_BYTES))
+    return min(_MAX_SHARDS, -(-b // seg))
 
 
 def _reclaim_shuffles(spark: SparkSession) -> None:
@@ -1167,9 +1186,13 @@ def _emit_prefix_candidates(prefix: DataFrame) -> DataFrame:
             ),
         ),
     )
-    # overlap threshold α = ⌈τ(na+nb)/(1+τ)⌉; τ=0.5 → ⌈(na+nb)/3⌉, kept in
-    # integer arithmetic (ceil-div) so the bound is engine-exact
-    alpha = F.expr("(na + nb + 2) div 3")
+    # overlap threshold α = ⌈τ(na+nb)/(1+τ)⌉, derived from the RATIONAL τ
+    # (τ = N/D → α = ⌈N(na+nb)/(D+N)⌉) in integer ceil-division so the
+    # bound is engine-exact and tracks PREFIX_TAU if it changes
+    _dn = PREFIX_TAU_DEN + PREFIX_TAU_NUM
+    alpha = F.expr(
+        f"({PREFIX_TAU_NUM} * (na + nb) + {_dn - 1}) div {_dn}"
+    )
     return (
         grouped.select(F.explode(F.flatten(pair_arrays)).alias("p"))
         .select("p.*")
@@ -1274,9 +1297,17 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("df", "sh64"))).alias("ord"),
         )
     )
-    # prefix length p = s - ceil(tau*s) + 1; tau=0.5 -> ceil = (s+1) div 2,
-    # kept in integer arithmetic so both engines can't disagree on rounding
-    p = F.col("s") - F.floor((F.col("s") + 1) / 2).cast("int") + 1
+    # prefix length p = s - ceil(tau*s) + 1, with ceil(τs) from the
+    # RATIONAL τ (= ⌈N·s/D⌉, integer ceil-division) so both engines agree
+    # on rounding and p tracks PREFIX_TAU together with the positional α
+    p = (
+        F.col("s")
+        - F.expr(
+            f"({PREFIX_TAU_NUM} * s + {PREFIX_TAU_DEN - 1})"
+            f" div {PREFIX_TAU_DEN}"
+        ).cast("int")
+        + 1
+    )
     prefix = ordered.select(
         "doc_id",
         F.col("s").alias("n"),
@@ -1348,9 +1379,10 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over hundreds of millions of candidates writes a shuffle bigger than
     # one node's disk — the second half of the r09/r10 ENOSPC. Chunks are
     # disjoint by pair hash; each chunk's join spill is reclaimed before
-    # the next, bounding the high-water at ~_VERIFY_CHUNK_PAIRS rows.
+    # the next, bounding the high-water at ~one chunk's rows (up to the
+    # _MAX_VERIFY_CHUNKS runaway backstop — see its note).
     n_cand = cand.count()  # cheap: counts the materialized checkpoint
-    chunks = min(32, max(1, -(-n_cand // _VERIFY_CHUNK_PAIRS)))
+    chunks = min(_MAX_VERIFY_CHUNKS, max(1, -(-n_cand // _verify_chunk_pairs())))
     if chunks == 1:
         return _verify(cand)
     done = []

@@ -282,16 +282,10 @@ def test_prefix_filter_sharded_equals_single_pass(spark, monkeypatch):
     monkeypatch.setenv("EDW_PREFIX_SHARDS", "4")
     sharded = rows(prefix_filter_jaccard_pairs(spark, SF))
     assert single and sharded == single
-    # ...and with the chunked verification forced on (tiny chunk size →
-    # the 32-chunk cap): still bit-identical
-    from enterprise_data_warehouse_spark.operators import dedup as dedup_mod
-
-    chunk_prev = dedup_mod._VERIFY_CHUNK_PAIRS
-    dedup_mod._VERIFY_CHUNK_PAIRS = 10
-    try:
-        chunked = rows(prefix_filter_jaccard_pairs(spark, SF))
-    finally:
-        dedup_mod._VERIFY_CHUNK_PAIRS = chunk_prev
+    # ...and with the chunked verification forced on via the (per-call
+    # live) env knob — tiny chunk size → many chunks: still bit-identical
+    monkeypatch.setenv("EDW_PREFIX_VERIFY_CHUNK", "10")
+    chunked = rows(prefix_filter_jaccard_pairs(spark, SF))
     assert chunked == single
 
 
