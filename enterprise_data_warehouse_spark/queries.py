@@ -69,68 +69,14 @@ _OPERATOR_MODULES = [
 # moves to the front and last round's front drops to the tail, so no
 # query's newest driver record ever ages more than ~4 rounds.
 PRIORITY_ORDER = [
-    # Round-10 curation (VERDICT r09 item 1). The registry is FROZEN at
+    # Round-11 curation (VERDICT r10 item 1). The registry is FROZEN at
     # 215 (since r09); each round rotates the oldest-recorded cohort to
     # the front and last round's front to the tail, so no query's newest
     # driver record ever ages more than ~4 rounds. The driver records
     # exactly the first 50 each round.
-    # -- slots 1-15: the 15 remaining r05-cohort queries (the oldest
-    # records left after r09; pre-cleared value-exact at sf0.01 on the
-    # final r10 tree).
-    "ann_lsh_buckets",
-    "embedding_centroids",
-    "embedding_quantize",
-    "pq_encode",
-    "scd2_customer_dim",
-    "incremental_fact_merge",
-    "staging_customer_cleanse",
-    "customer_rfm",
-    "pricing_summary",
-    "quality_rollup",
-    "top_customers",
-    "shipping_priority_topk",
-    "union_order_sets",
-    "hash_sample_unit_price",
-    "segment_status_rollup",
-    # -- slots 16-50: the 35 oldest r06-cohort entries. After r10 records
-    # these, only 15 r06-cohort entries remain for r11's front.
-    "time_travel_read",
-    "schema_evolution_merge",
-    "zero_copy_clone",
-    "local_supplier_volume",
-    "returned_customer_ranking",
-    "order_priority_counts",
-    "customers_without_orders",
-    "customers_with_finished_orders",
-    "order_age_rollup",
-    "retained_customers_intersect",
-    "churned_orders_except_all",
-    "customer_peak_orders",
-    "customer_order_id_lists",
-    "nullsafe_bucket_join",
-    "order_ranking",
-    "customer_rfm_scalable",
-    "corr_quantity_price",
-    "conditional_agg_orders",
-    "active_weeks",
-    "duplicate_detection",
-    "mode_per_user",
-    "daily_view_click_alignment",
-    "json_prop_filter",
-    "event_time_features",
-    "salted_event_rollup",
-    "approx_distinct_users",
-    "event_props_kv_rollup",
-    "latest_event_per_user",
-    "session_gap_detection",
-    "frequency_encoding",
-    "rolling_1h_features",
-    "value_zscore_outliers",
-    "rolling_feature_matrix",
-    "forward_fill_values",
-    "feature_descriptive_stats",
-    # ---------------- slot 50 boundary (driver budget) ---------------------
-    # -- remaining r06 cohort (15) = r11's front ----------------------------
+    # -- slots 1-15: the 15 remaining r06-cohort queries (the oldest
+    # records left after r10; pre-cleared value-exact at sf0.01 on the
+    # final r11 tree — see PROGRESS.jsonl).
     "categorical_profile",
     "regr_slope_per_user",
     "psi_value_drift",
@@ -146,7 +92,8 @@ PRIORITY_ORDER = [
     "ann_lsh_verified",
     "feature_fetch_inlist",
     "training_dataset",
-    # -- newest record r07 (50) ----------------------------------------------
+    # -- slots 16-50: the 35 oldest r07-cohort entries. After r11
+    # records these, only 15 r07-cohort entries remain for r12's front.
     "stats_pruned_lookup",
     "minhash_lsh_verified",
     "star_revenue_rollup",
@@ -182,6 +129,8 @@ PRIORITY_ORDER = [
     "supplier_part_counts",
     "excess_shipped_parts",
     "waiting_suppliers",
+    # ---------------- slot 50 boundary (driver budget) ---------------------
+    # -- remaining r07 cohort (15) = r12's front ----------------------------
     "ks_binned_drift",
     "feature_moments",
     "ks_drift_pvalue",
@@ -248,7 +197,7 @@ PRIORITY_ORDER = [
     "weighted_doc_sample",
     "corpus_temperature_mix",
     "gopher_quality_filters",
-    # -- newest record r09 (50): last round's front, freshest records --------
+    # -- newest record r09 (50) ----------------------------------------------
     "incremental_fact_merge_partitioned",
     "dedup_representatives",
     "record_linkage_pairs",
@@ -299,6 +248,57 @@ PRIORITY_ORDER = [
     "score_customers_pandas",
     "minhash_lsh_candidates",
     "simhash_signatures",
+    # -- newest record r10 (50): last round's front, freshest records --------
+    "ann_lsh_buckets",
+    "embedding_centroids",
+    "embedding_quantize",
+    "pq_encode",
+    "scd2_customer_dim",
+    "incremental_fact_merge",
+    "staging_customer_cleanse",
+    "customer_rfm",
+    "pricing_summary",
+    "quality_rollup",
+    "top_customers",
+    "shipping_priority_topk",
+    "union_order_sets",
+    "hash_sample_unit_price",
+    "segment_status_rollup",
+    "time_travel_read",
+    "schema_evolution_merge",
+    "zero_copy_clone",
+    "local_supplier_volume",
+    "returned_customer_ranking",
+    "order_priority_counts",
+    "customers_without_orders",
+    "customers_with_finished_orders",
+    "order_age_rollup",
+    "retained_customers_intersect",
+    "churned_orders_except_all",
+    "customer_peak_orders",
+    "customer_order_id_lists",
+    "nullsafe_bucket_join",
+    "order_ranking",
+    "customer_rfm_scalable",
+    "corr_quantity_price",
+    "conditional_agg_orders",
+    "active_weeks",
+    "duplicate_detection",
+    "mode_per_user",
+    "daily_view_click_alignment",
+    "json_prop_filter",
+    "event_time_features",
+    "salted_event_rollup",
+    "approx_distinct_users",
+    "event_props_kv_rollup",
+    "latest_event_per_user",
+    "session_gap_detection",
+    "frequency_encoding",
+    "rolling_1h_features",
+    "value_zscore_outliers",
+    "rolling_feature_matrix",
+    "forward_fill_values",
+    "feature_descriptive_stats",
 ]
 
 
