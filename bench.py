@@ -55,7 +55,12 @@ REGRESSION_WATCH = {
 # "Round-8 counter-mover attribution"); dsir_importance_weights and
 # token_frequencies joined in r10 (r09's best-of-2 false movers, 1.28×/
 # 1.33× driver readings — the judge's interleaved best-of-4 cleared both
-# at 1.20 s and 0.42 s with the control 14% BELOW record — VERDICT r09 #4).
+# at 1.20 s and 0.42 s with the control 14% BELOW record — VERDICT r09 #4);
+# prefix_filter_jaccard_pairs joined in r11: its bench-context FIRST run
+# reads ~7 s against a ~3.9 s warm best (judge A/B runs [6.98, 3.89, 4.13,
+# 3.89] with the control 25% below record — the heap-residue pattern r07
+# documented for ngram), so best-of-2 overread it 1.30× in r10 — VERDICT
+# r10 #2, SCALING.md "Round-11 counter-mover attribution".
 COUNTER_MOVER_WATCH = {
     "catalog_fact_sales_daily",
     "session_metrics_batch",
@@ -67,6 +72,7 @@ COUNTER_MOVER_WATCH = {
     "media_manifest",
     "dsir_importance_weights",
     "token_frequencies",
+    "prefix_filter_jaccard_pairs",
 }
 
 

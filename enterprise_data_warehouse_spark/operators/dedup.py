@@ -1199,8 +1199,15 @@ def _emit_prefix_candidates(prefix: DataFrame) -> DataFrame:
         # PPJoin LENGTH FILTER: max common = min(na, nb), so J ≤ min/max —
         # pairs with min < τ·max can never reach the threshold and are
         # pruned BEFORE the distinct exchange and the two array-carrying
-        # verification joins (the expensive stages)
-        .where(F.least("na", "nb") >= PREFIX_TAU * F.greatest("na", "nb"))
+        # verification joins (the expensive stages). Integer cross-multiply
+        # form (min·D ≥ N·max), NOT min ≥ float(τ)·max: for non-dyadic τ
+        # float rounding prunes exactly-qualifying pairs (63 ≥ (9/11)·77 is
+        # false in float though 63·11 == 9·77) — the same rational-τ rule
+        # as the prefix length p and the positional α above.
+        .where(
+            F.least("na", "nb") * PREFIX_TAU_DEN
+            >= PREFIX_TAU_NUM * F.greatest("na", "nb")
+        )
         # PPJoin POSITIONAL FILTER (see docstring)
         .where(
             F.lit(1) + F.least(F.col("na") - F.col("ia"),
@@ -1226,8 +1233,8 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(COUNT(*) AS DOUBLE) / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*)) AS jaccard
 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
-HAVING CAST(COUNT(*) AS DOUBLE) / (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*))
-  >= {PREFIX_TAU}
+HAVING COUNT(*) * {PREFIX_TAU_DEN}
+  >= {PREFIX_TAU_NUM} * (MIN(a.n_sh) + MIN(b.n_sh) - COUNT(*))
 """
 
 
@@ -1344,7 +1351,15 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_common").cast("double")
                 / (F.col("na") + F.col("nb") - F.col("n_common")),
             )
-            .where(F.col("jaccard") >= PREFIX_TAU)
+            # final threshold in the same integer cross-multiply form
+            # (common·D ≥ N·union) as the length filter, mirrored in the
+            # oracle's HAVING — exact for any rational τ, never a float
+            # comparison that could disagree with the bounds upstream
+            .where(
+                F.col("n_common") * PREFIX_TAU_DEN
+                >= PREFIX_TAU_NUM
+                * (F.col("na") + F.col("nb") - F.col("n_common"))
+            )
             .select("doc_a", "doc_b", "n_common", "jaccard")
         )
 

@@ -300,12 +300,10 @@ def test_pagerank_disk_checkpoint_equals_default(spark, monkeypatch):
         return [tuple(r) for r in df.collect()]
 
     base = rows(graph.bipartite_pagerank(spark, SF))
-    prev = graph._DISK_CKPT_BYTES
-    graph._DISK_CKPT_BYTES = 0  # every input is "big"
-    try:
-        disk = rows(graph.bipartite_pagerank(spark, SF))
-    finally:
-        graph._DISK_CKPT_BYTES = prev
+    # the knob is LIVE (read per call, not at import) — set the env var,
+    # no module-attribute patching needed
+    monkeypatch.setenv("EDW_PAGERANK_DISK_BYTES", "0")  # every input is "big"
+    disk = rows(graph.bipartite_pagerank(spark, SF))
     assert base and disk == base
 
 
