@@ -149,29 +149,20 @@ def exploded_shingles(d: DataFrame, n: int = NGRAM_N) -> DataFrame:
     )
 
 
-@query("ngram_jaccard_pairs", oracle=JACCARD_ORACLE, bench=True)
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.10.
+def _ngram_pair_partials(ex: DataFrame) -> DataFrame:
+    """DF-cap window → per-shingle grouped i<j pair emission → per-pair
+    PARTIAL aggregate (co-occurrence count + set sizes), over one exploded
+    (doc_id, n_shingles, sh64) stream. One sh64 hash partitioning feeds
+    both the cap window and the collect_list; the pair aggregation is the
+    only other exchange; no join operator (plan-asserted).
 
-    Shuffle budget (the whole point at 100 TB): a self-JOIN formulation
-    scans and shingles the corpus TWICE (Spark does not reuse the exchange
-    across the aliased sides — verified) and either sort-merges two
-    full shingle tables or, if size misestimates win, broadcasts one
-    (OOM at web scale). Instead: ONE scan → ONE hash partitioning on the
-    shingle hash, where the document-frequency cap window and a
-    groupBy(sh64).collect_list share the same exchange, then candidate
-    pairs are emitted per shingle with array lambdas (i<j over the
-    doc_id-sorted list — bounded at MAX_SHINGLE_DF² per shingle by the DF
-    cap, which filters BEFORE the list materializes so boilerplate
-    shingles never build giant arrays). The pair aggregation is the only
-    other exchange, and there is no join operator in the plan at all
-    (plan-asserted). Measured: same 260 pairs as the join form at sf0.1,
-    ~25% faster warm, half the corpus I/O. Integer ratio arithmetic →
-    engine-exact vs the oracle."""
-    d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
-    sh = exploded_shingles(d)
+    Shard-composable by construction: every emission belongs to exactly
+    one shingle, so over a PARTITION of the sh64 space the per-shard
+    partials sum to the single-pass aggregate (n_common is additive,
+    sa/sb are per-doc constants) — the lossless property the segmented
+    sf100 path in ngram_jaccard_pairs relies on."""
     w = Window.partitionBy("sh64")
-    capped = sh.withColumn("shingle_df", F.count("*").over(w)).where(
+    capped = ex.withColumn("shingle_df", F.count("*").over(w)).where(
         F.col("shingle_df") <= MAX_SHINGLE_DF
     )
     docs_sorted = F.array_sort(F.collect_list(F.struct("doc_id", "n_shingles")))
@@ -191,18 +182,101 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     pairs = grouped.select(F.explode(F.flatten(pair_arrays)).alias("p")).select("p.*")
-    jac = F.col("n_common").cast("double") / (F.col("sa") + F.col("sb") - F.col("n_common"))
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_common"),
+        F.min("sa").alias("sa"),
+        F.min("sb").alias("sb"),
+    )
+
+
+def _ngram_finalize(partials: DataFrame) -> DataFrame:
+    """Jaccard from the (n_common, sa, sb) aggregate + threshold filter —
+    shared by the single-pass plan and the segmented merge."""
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("n_common")
+    )
     return (
-        pairs.groupBy("doc_a", "doc_b")
-        .agg(
-            F.count("*").alias("n_common"),
-            F.min("sa").alias("sa"),
-            F.min("sb").alias("sb"),
-        )
-        .withColumn("jaccard", jac)
+        partials.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+@query("ngram_jaccard_pairs", oracle=JACCARD_ORACLE, bench=True)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.10.
+
+    Shuffle budget (the whole point at 100 TB): a self-JOIN formulation
+    scans and shingles the corpus TWICE (Spark does not reuse the exchange
+    across the aliased sides — verified) and either sort-merges two
+    full shingle tables or, if size misestimates win, broadcasts one
+    (OOM at web scale). Instead: ONE scan → ONE hash partitioning on the
+    shingle hash, where the document-frequency cap window and a
+    groupBy(sh64).collect_list share the same exchange, then candidate
+    pairs are emitted per shingle with array lambdas (i<j over the
+    doc_id-sorted list — bounded at MAX_SHINGLE_DF² per shingle by the DF
+    cap, which filters BEFORE the list materializes so boilerplate
+    shingles never build giant arrays). The pair aggregation is the only
+    other exchange, and there is no join operator in the plan at all
+    (plan-asserted). Measured: same 260 pairs as the join form at sf0.1,
+    ~25% faster warm, half the corpus I/O. Integer ratio arithmetic →
+    engine-exact vs the oracle.
+
+    SCALE PATH (input past _ngram_segment_bytes, K = _ngram_shards): at
+    sf100 the single plan sorts 500M exploded shingle rows inside ONE
+    window+group shuffle whose spill exceeds RAM — measured throughput
+    ratio 0.44 at the fourth decade (SCALING.md). The segmented plan is
+    the SAME operators cut into jobs, reusing the machinery the prefix
+    filter's sf100 fix proved out: hash the shingle sets ONCE into a
+    disk-backed checkpoint (arrays, ~8 B/token — the cheap thing to
+    re-read), then run the window+group+emit+partial-agg over K disjoint
+    sh64 ranges sequentially, checkpointing each pass's per-pair PARTIAL
+    aggregate (tiny: true pairs, not exploded tokens) and reclaiming the
+    pass's shuffle files before the next. LOSSLESS: each shingle lands in
+    exactly one range, so summing per-shard n_common (sa/sb are per-doc
+    constants) equals the single-pass aggregate — pinned by
+    test_llm_pipeline_ops.py::test_ngram_sharded_equals_single_pass. Disk
+    high-water is ONE pass's shuffle; on a cluster the same cut bounds
+    per-executor shuffle-dir usage."""
+    shards = _ngram_shards(sf_dir)
+    d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+    if shards == 1:
+        return _ngram_finalize(_ngram_pair_partials(exploded_shingles(d)))
+
+    # --- segmented regime (corpus-scale input) -----------------------------
+    sets = (
+        shingle_sets(d)
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.transform("shingles", lambda x: F.xxhash64(x)).alias("sh"),
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    _reclaim_shuffles(spark)
+    parts = []
+    for k in range(shards):
+        ex = sets.select(
+            "doc_id", "n_shingles", F.explode("sh").alias("sh64")
+        ).where(F.pmod(F.col("sh64"), F.lit(shards)) == k)
+        p = _ngram_pair_partials(ex).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+        parts.append(p)
+        _reclaim_shuffles(spark)
+    _unpersist_checkpoint(sets)
+    del sets
+    _reclaim_shuffles(spark)
+    merged = (
+        reduce(DataFrame.unionByName, parts)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum("n_common").alias("n_common"),
+            F.min("sa").alias("sa"),
+            F.min("sb").alias("sb"),
+        )
+    )
+    return _ngram_finalize(merged)
 
 
 # --- MinHash + LSH ------------------------------------------------------------
@@ -1131,13 +1205,59 @@ def _prefix_shards(sf_dir: str) -> int:
     return min(_MAX_SHARDS, -(-b // seg))
 
 
+# ngram_jaccard_pairs' segmentation threshold gets its OWN knob (not
+# _SEGMENT_BYTES_DEFAULT): its failure mode differs — the single plan
+# COMPLETES at sf100 but sorts 500M exploded rows in one shuffle whose
+# spill exceeds RAM (throughput ratio 0.44, SCALING.md), vs the prefix
+# path's outright ENOSPC — and its per-input-byte shuffle volume differs
+# (3-gram τ=0.10 + DF cap vs prefix tokens). Same default boundary:
+# between sf10 (81 MB — single-pass measured linear) and sf100 (840 MB).
+_NGRAM_SEGMENT_BYTES_DEFAULT = 200 << 20
+
+
+def _ngram_segment_bytes() -> int:
+    return int(
+        os.environ.get("EDW_NGRAM_SEGMENT_BYTES", _NGRAM_SEGMENT_BYTES_DEFAULT)
+    )
+
+
+def _ngram_shards(sf_dir: str) -> int:
+    """Pass count K for ngram_jaccard_pairs' segmented regime — same
+    contract as _prefix_shards (1 below threshold, ~bytes/threshold above,
+    runaway backstop, EDW_NGRAM_SHARDS forces an explicit K)."""
+    env = os.environ.get("EDW_NGRAM_SHARDS")
+    if env:
+        return max(1, int(env))
+    seg = _ngram_segment_bytes()
+    b = local_table_bytes(sf_dir, "documents")
+    if b <= seg:
+        return 1
+    return min(_MAX_SHARDS, -(-b // seg))
+
+
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Synchronously drop a FINISHED localCheckpoint's storage blocks —
+    the deterministic half of segment-boundary reclamation (the GC hint in
+    _reclaim_shuffles then only has unreachable shuffle files left to
+    find). The checkpointed RDD sits inside the analyzed LogicalRDD node;
+    best-effort guarded because that is private API and cleanup must never
+    fail the query."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def _reclaim_shuffles(spark: SparkSession) -> None:
     """Release finished passes' shuffle files between segmented jobs: after
     localCheckpoint truncates a pass's lineage, its shuffle dependencies
     are unreachable — one driver-side GC lets ContextCleaner unregister
     them so local disk holds ONE pass's spill at a time, not the sum (the
     single-node analogue of a cluster freeing per-executor shuffle dirs
-    between jobs)."""
+    between jobs). Dead CHECKPOINT blocks are dropped deterministically
+    first via _unpersist_checkpoint at the call sites; the JVM GC hint
+    remains because shuffle files have no public unregister API — their
+    cleanup is ContextCleaner noticing the collected ShuffleDependency."""
     import gc
 
     gc.collect()
@@ -1387,7 +1507,12 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
-    del parts, prefix  # free the per-shard and prefix checkpoint blocks
+    # free the per-shard and prefix checkpoint blocks — deterministically
+    # (unpersist), then the GC hint for the passes' shuffle files
+    for _p in parts:
+        _unpersist_checkpoint(_p)
+    _unpersist_checkpoint(prefix)
+    del parts, prefix
     _reclaim_shuffles(spark)
     # Verification is ALSO chunked: each candidate row grows to ~0.5 kB
     # inside the join (two 8B-per-token hash arrays attach), so one job
@@ -1409,4 +1534,9 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         done.append(v)
         _reclaim_shuffles(spark)
+    # every chunk has read cand and sets; only the per-chunk result
+    # checkpoints feed the returned union — drop the dead blocks now
+    _unpersist_checkpoint(cand)
+    _unpersist_checkpoint(sets)
+    _reclaim_shuffles(spark)
     return reduce(DataFrame.unionByName, done)

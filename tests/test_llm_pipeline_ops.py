@@ -289,6 +289,29 @@ def test_prefix_filter_sharded_equals_single_pass(spark, monkeypatch):
     assert chunked == single
 
 
+def test_ngram_sharded_equals_single_pass(spark, monkeypatch):
+    """The segmented K-pass ngram emission (the sf100 scale path) must be
+    LOSSLESS: every shingle lands in exactly one sh64 hash range, so the
+    per-shard per-pair partial aggregates SUM to the single-pass aggregate
+    (n_common is additive over disjoint shingle sets; sa/sb are per-doc
+    constants) — pairs, counts, and jaccard values bit-identical."""
+    from enterprise_data_warehouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    def rows(df):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["n_common"], r["jaccard"])
+            for r in df.collect()
+        )
+
+    monkeypatch.setenv("EDW_NGRAM_SHARDS", "1")
+    single = rows(ngram_jaccard_pairs(spark, SF))
+    monkeypatch.setenv("EDW_NGRAM_SHARDS", "3")
+    sharded = rows(ngram_jaccard_pairs(spark, SF))
+    assert single and sharded == single
+
+
 def test_pagerank_disk_checkpoint_equals_default(spark, monkeypatch):
     """The size-gated DISK_ONLY edge checkpoint (the sf100 heap-wall fix)
     must be a pure storage-strategy change: forcing the threshold to zero
