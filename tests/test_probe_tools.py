@@ -45,9 +45,18 @@ class _FakeConf:
         self.set_calls[k] = v
 
 
+class _FakeCatalog:
+    def __init__(self):
+        self.cleared = 0
+
+    def clearCache(self):
+        self.cleared += 1
+
+
 class _FakeSpark:
     def __init__(self):
         self.conf = _FakeConf()
+        self.catalog = _FakeCatalog()
         self.stopped = False
 
     def stop(self):
@@ -117,3 +126,61 @@ def test_probe_one_plumbs_shuffle_codec(monkeypatch, capsys):
     )
     _, extra = state["get_spark"][0]
     assert extra.get("spark.io.compression.codec") == "zstd"
+
+
+def _run_interleave_ab(monkeypatch, argv):
+    ab = _tool("interleave_ab")
+    state = {"forced": [], "get_spark": [], "orig_force": ab.force}
+    fake = _FakeSpark()
+
+    def fake_get_spark(app_name, extra_conf=None, **kw):
+        state["get_spark"].append((app_name, dict(extra_conf or {})))
+        return fake
+
+    class _Spec:
+        def __init__(self, name):
+            self.fn = lambda spark, sf_dir, _n=name: (_n, sf_dir)
+
+    names = (ab.CONTROL, *ab.DEFAULT_MOVERS, "prefix_filter_jaccard_pairs")
+
+    monkeypatch.setattr(ab, "get_spark", fake_get_spark)
+    monkeypatch.setattr(ab, "load_registry",
+                        lambda: {n: _Spec(n) for n in names})
+    monkeypatch.setattr(ab, "force", state["forced"].append)
+    monkeypatch.setattr(sys, "argv", ["interleave_ab.py", *argv])
+    ab.main()
+    return ab, state, fake
+
+
+def test_interleave_ab_session_and_forcing_parity(monkeypatch, capsys):
+    """The A/B attribution tool (VERDICT r10 #7) must measure the SAME
+    engine surface the bench does: bench.py's own force() (noop-sink full
+    materialization — asserted by identity, not re-implementation), one
+    warm session built by the same get_spark, at the bench's default sf0.1
+    dir, stopped at exit."""
+    ab, state, fake = _run_interleave_ab(
+        monkeypatch, ["prefix_filter_jaccard_pairs"]
+    )
+    import bench
+
+    # literally the bench materialization (captured before the patch)
+    assert state["orig_force"] is bench.force
+    assert len(state["get_spark"]) == 1 and fake.stopped
+    assert ab.SF_DIR == "/root/testdata/sf0.1"
+    forced_dirs = {f[1] for f in state["forced"]}
+    assert forced_dirs == {ab.SF_DIR}
+    out = capsys.readouterr().out
+    assert "prefix_filter_jaccard_pairs" in out and ab.CONTROL in out
+
+
+def test_interleave_ab_interleaves_control_and_movers(monkeypatch, capsys):
+    """The point of the tool is INTERLEAVING (control re-measured adjacent
+    to every mover pass so host drift shows up in both): after the one
+    warm-up, the forcing order must be ROUNDS repetitions of
+    [control, mover...] — never all runs of one query blocked together —
+    with the session cache dropped between timed runs."""
+    ab, state, fake = _run_interleave_ab(monkeypatch, [])
+    names = [f[0] for f in state["forced"]]
+    expect = [ab.CONTROL] + ab.ROUNDS * [ab.CONTROL, *ab.DEFAULT_MOVERS]
+    assert names == expect
+    assert fake.catalog.cleared == len(names) - 1  # every timed run
