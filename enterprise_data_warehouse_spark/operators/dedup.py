@@ -222,22 +222,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~25% faster warm, half the corpus I/O. Integer ratio arithmetic →
     engine-exact vs the oracle.
 
-    SCALE PATH (input past _ngram_segment_bytes, K = _ngram_shards): at
-    sf100 the single plan sorts 500M exploded shingle rows inside ONE
-    window+group shuffle whose spill exceeds RAM — measured throughput
-    ratio 0.44 at the fourth decade (SCALING.md). The segmented plan is
-    the SAME operators cut into jobs, reusing the machinery the prefix
-    filter's sf100 fix proved out: hash the shingle sets ONCE into a
-    disk-backed checkpoint (arrays, ~8 B/token — the cheap thing to
-    re-read), then run the window+group+emit+partial-agg over K disjoint
-    sh64 ranges sequentially, checkpointing each pass's per-pair PARTIAL
-    aggregate (tiny: true pairs, not exploded tokens) and reclaiming the
-    pass's shuffle files before the next. LOSSLESS: each shingle lands in
-    exactly one range, so summing per-shard n_common (sa/sb are per-doc
-    constants) equals the single-pass aggregate — pinned by
-    test_llm_pipeline_ops.py::test_ngram_sharded_equals_single_pass. Disk
-    high-water is ONE pass's shuffle; on a cluster the same cut bounds
-    per-executor shuffle-dir usage."""
+    SCALE PATH (input past _ngram_segment_bytes, K = _ngram_shards): the
+    SAME operators cut into K sequential jobs over disjoint sh64 ranges
+    against a disk-backed checkpoint of the hashed shingle sets, each
+    pass reduced to a per-pair PARTIAL aggregate (tiny: true pairs, not
+    exploded tokens) before a cross-pass merge sums n_common. LOSSLESS:
+    each shingle lands in exactly one range, so the per-shard partials
+    sum to the single-pass aggregate (sa/sb are per-doc constants) —
+    pinned by test_llm_pipeline_ops.py::
+    test_ngram_sharded_equals_single_pass. This path exists to BOUND ONE
+    NODE'S DISK for corpora whose single-pass shuffle spill would exceed
+    it (per-pass high-water ≈ 1/K of the spill; on a cluster the same
+    cut bounds per-executor shuffle dirs) — it is NOT a throughput win:
+    the measured sf100 A/B (SCALING.md "Round-11") has K=5 1.9× slower
+    than single-pass, so the default threshold sits where spill
+    approaches node disk (~2 GiB of documents), a decade past sf100."""
     shards = _ngram_shards(sf_dir)
     d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
     if shards == 1:
@@ -1206,13 +1205,19 @@ def _prefix_shards(sf_dir: str) -> int:
 
 
 # ngram_jaccard_pairs' segmentation threshold gets its OWN knob (not
-# _SEGMENT_BYTES_DEFAULT): its failure mode differs — the single plan
-# COMPLETES at sf100 but sorts 500M exploded rows in one shuffle whose
-# spill exceeds RAM (throughput ratio 0.44, SCALING.md), vs the prefix
-# path's outright ENOSPC — and its per-input-byte shuffle volume differs
-# (3-gram τ=0.10 + DF cap vs prefix tokens). Same default boundary:
-# between sf10 (81 MB — single-pass measured linear) and sf100 (840 MB).
-_NGRAM_SEGMENT_BYTES_DEFAULT = 200 << 20
+# _SEGMENT_BYTES_DEFAULT) because MEASUREMENT put its default a decade
+# higher: unlike the prefix path (single-pass = ENOSPC at sf100 —
+# segmentation is REQUIRED), ngram's single plan completes sf100 with
+# ~21 GB of spill headroom, and a same-day A/B showed the segmented
+# K=5 plan 1.9× SLOWER (782.9 s vs 408.6 s, control 38% below its cold
+# record) with a WORSE disk high-water (~36 GB: sets checkpoint + pass
+# shuffles coexist) — the 5× re-explode of 500M rows plus per-pass full
+# GCs cost more than the one big shuffle saves (SCALING.md "Round-11").
+# So the default only segments where single-pass spill would approach
+# one node's disk: ~2 GiB of documents (~sf250, extrapolated from the
+# measured ~21 GB spill per 840 MB input against 57 GB free). This knob
+# is a disk-capacity GUARD, not a throughput lever.
+_NGRAM_SEGMENT_BYTES_DEFAULT = 2 << 30
 
 
 def _ngram_segment_bytes() -> int:
