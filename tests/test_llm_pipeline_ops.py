@@ -312,6 +312,30 @@ def test_ngram_sharded_equals_single_pass(spark, monkeypatch):
     assert single and sharded == single
 
 
+def test_unpersist_checkpoint_frees_blocks(spark):
+    """_unpersist_checkpoint must synchronously drop a localCheckpoint's
+    storage blocks (the deterministic half of segment-boundary
+    reclamation) — and stay harmless on a non-checkpointed frame."""
+    from pyspark.storagelevel import StorageLevel
+
+    from enterprise_data_warehouse_spark.operators.dedup import (
+        _unpersist_checkpoint,
+    )
+
+    def n_stored():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = n_stored()
+    df = spark.range(10000).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+    assert n_stored() == base + 1
+    _unpersist_checkpoint(df)
+    assert n_stored() == base
+    # guarded no-op on a plain DataFrame (no LogicalRDD to unpersist)
+    _unpersist_checkpoint(spark.range(10))
+
+
 def test_pagerank_disk_checkpoint_equals_default(spark, monkeypatch):
     """The size-gated DISK_ONLY edge checkpoint (the sf100 heap-wall fix)
     must be a pure storage-strategy change: forcing the threshold to zero
