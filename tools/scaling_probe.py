@@ -63,6 +63,12 @@ PROBES = {
     "prefix_filter_jaccard_pairs": ("documents", [500, 500, 5000, 50000, 500000, 5000000], 2),
     "bipartite_pagerank": ("events", [1e3, 1e4, 1e5, 1e6, 1e7, 1e8], 2),
     "near_dup_clusters": ("documents", [500, 500, 5000, 50000, 500000, 5000000], 2),
+    # r11 additions — three plan shapes the decade table didn't yet cover:
+    # banded-signature grouping (simhash), broadcast-table map-side scoring
+    # (dsir), and a second iterative family beyond pagerank (kmeans)
+    "simhash_hamming_pairs": ("documents", [500, 500, 5000, 50000, 500000, 5000000], 2),
+    "dsir_importance_weights": ("documents", [500, 500, 5000, 50000, 500000, 5000000], 3),
+    "kmeans_embeddings": ("embeddings", [500, 500, 2000, 20000, 200000, 2000000], 2),
 }
 
 
