@@ -519,11 +519,15 @@ def decode_tiff(payload: bytes):
     layout, multi-strip; compression none/LZW/Deflate/PackBits (1, 5,
     8/32946, 32773 — pinned bit-exact against libtiff-written files in
     tests/test_multimodal.py) with the horizontal-differencing predictor
-    (tag 317 = 2). Returns (H, W, C) uint8 with C=1/3/4. JPEG-in-TIFF,
-    planar layout, tiled layout, palette, and >8-bit samples are
-    rejected with a clear error; hostile payloads (bad offsets,
-    dimension bombs, truncated or ballooning strips) raise ValueError
-    before any large allocation."""
+    (tag 317 = 2). New-style JPEG-in-TIFF (compression 7, TechNote 2) is
+    decoded by delegating each strip — spliced with tag-347 JPEGTables
+    when the strips are abbreviated — to the in-repo decode_jpeg, and is
+    pinned differentially against direct decode_jpeg of the identical
+    streams in tests/test_multimodal.py. Returns (H, W, C) uint8 with
+    C=1/3/4. Old-style JPEG (compression 6), planar layout, tiled
+    layout, palette, and >8-bit samples are rejected with a clear error;
+    hostile payloads (bad offsets, dimension bombs, truncated or
+    ballooning strips) raise ValueError before any large allocation."""
     import struct
 
     import numpy as np
@@ -542,8 +546,9 @@ def decode_tiff(payload: bytes):
     n = struct.unpack_from(endian + "H", payload, ifd_off)[0]
     if ifd_off + 2 + 12 * n > len(payload):
         raise ValueError("TIFF IFD truncated")
-    type_size = {1: 1, 3: 2, 4: 4}
-    type_fmt = {1: "B", 3: "H", 4: "I"}
+    # type 7 = UNDEFINED (raw bytes) — carries tag 347 JPEGTables
+    type_size = {1: 1, 3: 2, 4: 4, 7: 1}
+    type_fmt = {1: "B", 3: "H", 4: "I", 7: "B"}
     tags: dict[int, list] = {}
     for i in range(n):
         at = ifd_off + 2 + 12 * i
@@ -572,23 +577,34 @@ def decode_tiff(payload: bytes):
     if width * height > _JPEG_MAX_PIXELS:
         raise ValueError(f"TIFF dimensions {width}x{height} out of bounds")
     comp = first(259, 1)
-    if comp not in (1, 5, 8, 32946, 32773):
+    if comp not in (1, 5, 8, 32946, 32773, 7):
         raise ValueError(
             f"unsupported TIFF compression {comp} (none/LZW/Deflate/"
-            f"PackBits decode natively)"
+            f"PackBits/JPEG decode natively)"
         )
     predictor = first(317, 1)
-    if predictor not in (1, 2):
+    if predictor not in (1, 2) or (comp == 7 and predictor != 1):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
     spp = first(277, 1)
-    if spp not in (1, 3, 4):
+    if spp not in (1, 3, 4) or (comp == 7 and spp == 4):
         raise ValueError(f"unsupported TIFF samples-per-pixel {spp}")
     bps = tags.get(258, [8] * spp)
     if any(b != 8 for b in bps):
         raise ValueError(f"only 8-bit TIFF samples (got {bps})")
     photo = first(262)
-    if photo not in (1, 2):  # BlackIsZero gray / RGB
+    # BlackIsZero gray / RGB; new-style JPEG strips (comp 7) are stored
+    # as YCbCr (photometric 6) and decode_jpeg already emits RGB
+    if photo not in ((1, 2, 6) if comp == 7 else (1, 2)):
         raise ValueError(f"only grayscale/RGB TIFF (photometric={photo})")
+    # tag 347 JPEGTables (TechNote 2 "abbreviated streams"): a
+    # SOI..tables..EOI stream whose DQT/DHT apply to every strip
+    jpeg_tables = bytes(tags[347]) if comp == 7 and 347 in tags else None
+    if jpeg_tables is not None and not (
+        len(jpeg_tables) >= 4
+        and jpeg_tables[:2] == b"\xff\xd8"
+        and jpeg_tables[-2:] == b"\xff\xd9"
+    ):
+        raise ValueError("TIFF JPEGTables is not an SOI..EOI stream")
     if first(284, 1) != 1:
         raise ValueError("only chunky (PlanarConfiguration=1) TIFF")
     if 322 in tags or 324 in tags:
@@ -614,6 +630,25 @@ def decode_tiff(payload: bytes):
             chunk = _tiff_lzw_decode(raw, expected)
         elif comp == 32773:
             chunk = _tiff_packbits_decode(raw, expected)
+        elif comp == 7:
+            # new-style JPEG-in-TIFF: each strip is a standalone JPEG
+            # stream, optionally abbreviated (tables live in tag 347);
+            # splice tables-EOI + strip-SOI into one full stream and
+            # delegate to the in-repo baseline/progressive decoder, which
+            # enforces its own truncation/bomb caps
+            if raw[:2] != b"\xff\xd8":
+                raise ValueError(f"TIFF JPEG strip {i} missing SOI")
+            full = jpeg_tables[:-2] + raw[2:] if jpeg_tables else raw
+            strip_img = decode_jpeg(full)
+            if (strip_img.shape[1] != width
+                    or strip_img.shape[0] < n_rows
+                    or strip_img.shape[2] != spp):
+                raise ValueError(
+                    f"TIFF JPEG strip {i} decodes to "
+                    f"{strip_img.shape}, expected >= ({n_rows}, {width}, "
+                    f"{spp})"
+                )
+            chunk = strip_img[:n_rows].tobytes()
         else:  # 8 / 32946: zip-in-TIFF (Adobe + legacy code points)
             chunk = _tiff_inflate(raw, expected)
         if len(chunk) < expected:
@@ -1755,13 +1790,13 @@ def _jpeg_prog_finish(frame, qt, state):
 def _decode_image_real(payload: bytes, width: int, height: int):
     """The real decode path. Uncompressed 24-bit BMP (decode_bmp), 8-bit
     full-variant PNG (decode_png, stdlib zlib), baseline + progressive
-    huffman JPEG (decode_jpeg), TIFF incl. LZW/Deflate/PackBits strips
-    (decode_tiff), GIF (decode_gif), and lossless WebP
+    huffman JPEG (decode_jpeg), TIFF incl. LZW/Deflate/PackBits/JPEG
+    strips (decode_tiff), GIF (decode_gif), and lossless WebP
     (webp.decode_webp — VP8L prefix codes + LZ77 + color cache + all
     four transforms) all decode IN-CONTAINER with a nearest-neighbor
-    resize; the remaining gated formats (lossy VP8 WebP, JPEG-in-TIFF)
-    require a codec library, absent here, and degrade to the
-    deterministic fake rather than crashing."""
+    resize; the one remaining gated format (lossy VP8 WebP) requires a
+    codec library, absent here, and degrades to the deterministic fake
+    rather than crashing."""
     img = None
     if payload[:2] == b"BM":
         img = decode_bmp(payload)
@@ -1788,11 +1823,11 @@ def _decode_image_real(payload: bytes, width: int, height: int):
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "remaining exotic image formats (compressed TIFF) require "
-            "pillow; deterministic fake used instead (uncompressed "
-            "BMP/TIFF, 8-bit PNG, baseline/progressive JPEG, and lossless "
-            "WebP decode natively — decode_bmp/decode_tiff/decode_png/"
-            "decode_jpeg/decode_webp)"
+            "remaining exotic image formats require pillow; deterministic "
+            "fake used instead (BMP, TIFF incl. LZW/Deflate/PackBits/JPEG "
+            "strips, 8-bit PNG, baseline/progressive JPEG, GIF, and "
+            "lossless WebP decode natively — decode_bmp/decode_tiff/"
+            "decode_png/decode_jpeg/decode_gif/decode_webp)"
         ) from exc
     raise NotImplementedError("real decode wired at deploy time")
 

@@ -1405,12 +1405,16 @@ def test_tiff_rejects_unsupported_and_hostile():
     good = _make_tiff(img)
     with pytest.raises(ValueError, match="not a TIFF"):
         mm.decode_tiff(b"ABCD" + good[4:])
-    # JPEG-in-TIFF compression refused by name (LZW/Deflate/PackBits
-    # decode natively since r09 — see the compressed-TIFF tests below)
+    # OLD-style JPEG (compression 6) refused by name; NEW-style (7)
+    # decodes natively since r11 — so a 7 tag over non-JPEG strip bytes
+    # must fail at the strip, not be misread as raw pixels
     jpg = bytearray(good)
     at = jpg.index(struct.pack("<HH", 259, 3))
-    struct.pack_into("<H", jpg, at + 8, 7)
+    struct.pack_into("<H", jpg, at + 8, 6)
     with pytest.raises(ValueError, match="unsupported TIFF compression"):
+        mm.decode_tiff(bytes(jpg))
+    struct.pack_into("<H", jpg, at + 8, 7)
+    with pytest.raises(ValueError, match="missing SOI"):
         mm.decode_tiff(bytes(jpg))
     # dimension bomb fails before allocation
     bomb = bytearray(good)
@@ -1726,3 +1730,169 @@ def test_jpeg_fill_bytes_before_markers_decode_identically():
         padded = padded[:at] + tail
         got = mm.decode_jpeg(padded)
         assert np.array_equal(got, want), (enc.__name__, kw)
+
+
+def _split_jpeg_tables(stream: bytes):
+    """Split a full JPEG stream into (tables, abbreviated): DQT/DHT
+    segments vs everything else. `tables` is the SOI..EOI JPEGTables blob
+    TIFF TechNote 2 stores in tag 347; `abbreviated` is the per-strip
+    stream with the table segments removed."""
+    import struct
+
+    pos, tabs, rest = 2, b"", b""
+    while pos < len(stream):
+        assert stream[pos] == 0xFF, "marker expected"
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data + EOI follow, copy verbatim
+            rest += stream[pos:]
+            break
+        ln = struct.unpack(">H", stream[pos + 2:pos + 4])[0]
+        seg = stream[pos:pos + 2 + ln]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tabs += seg
+        else:
+            rest += seg
+        pos += 2 + ln
+    return b"\xff\xd8" + tabs + b"\xff\xd9", b"\xff\xd8" + rest
+
+
+def _make_jpeg_tiff(img, rows_per_strip=None, abbreviated=False,
+                    photometric=None, predictor=None,
+                    strip_streams=None) -> bytes:
+    """Serialize an (H, W, C) uint8 array (C=1/3) as a NEW-STYLE
+    JPEG-in-TIFF (compression 7, TIFF TechNote 2): each strip is its own
+    `_make_jpeg` stream; `abbreviated=True` moves the shared DQT/DHT
+    segments into tag 347 JPEGTables and strips carry SOI+SOF+SOS only.
+    `strip_streams`/`photometric`/`predictor` exist for hostile-payload
+    tests."""
+    import struct
+
+    h, w, c = img.shape
+    e = "<"
+    rps = rows_per_strip or h
+    if strip_streams is None:
+        streams = [_make_jpeg(img[y0:y0 + rps])
+                   for y0 in range(0, h, rps)]
+    else:
+        streams = list(strip_streams)
+    tables_blob = None
+    if abbreviated:
+        tables_blob = _split_jpeg_tables(streams[0])[0]
+        streams = [_split_jpeg_tables(s)[1] for s in streams]
+    photo = photometric if photometric is not None else (6 if c == 3 else 1)
+
+    entries = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [8] * c),
+        (259, 3, [7]),
+        (262, 3, [photo]),
+        (273, 4, None),  # strip offsets, filled on the second pass
+        (277, 3, [c]),
+        (278, 4, [rps]),
+        (279, 4, [len(s) for s in streams]),
+    ]
+    if predictor is not None:
+        entries.append((317, 3, [predictor]))
+    if tables_blob is not None:
+        entries.append((347, 7, list(tables_blob)))
+    ntags = len(entries)
+    ifd_off = 8
+    arrays_off = ifd_off + 2 + 12 * ntags + 4
+    offs = [0] * len(streams)
+    for _ in range(2):  # pass 1 sizes the arrays, pass 2 has real offsets
+        arr = bytearray()
+        body = b""
+        for tid, typ, vals in entries:
+            if tid == 273:
+                vals = offs
+            fmt = {3: "H", 4: "I", 7: "B"}[typ]
+            packed = struct.pack(e + fmt * len(vals), *vals)
+            if len(packed) <= 4:
+                body += struct.pack(e + "HHI", tid, typ, len(vals)) \
+                    + packed.ljust(4, b"\x00")
+            else:
+                body += struct.pack(e + "HHI", tid, typ, len(vals)) \
+                    + struct.pack(e + "I", arrays_off + len(arr))
+                arr += packed
+        at = arrays_off + len(arr)
+        offs = []
+        for s in streams:
+            offs.append(at)
+            at += len(s)
+    header = b"II*\x00" + struct.pack(e + "I", ifd_off)
+    ifd = struct.pack(e + "H", ntags) + body + struct.pack(e + "I", 0)
+    return header + ifd + bytes(arr) + b"".join(streams)
+
+
+def test_tiff_jpeg_strips_match_direct_jpeg_decode():
+    """JPEG-in-TIFF is container wiring over the verified decode_jpeg:
+    for full per-strip streams the TIFF result must be bit-identical to
+    vstacking decode_jpeg over the same streams — gray and RGB, single
+    and multi-strip with a short last strip."""
+    import numpy as np
+
+    rng = np.random.default_rng(347)
+    for c, rps in ((1, None), (3, None), (3, 8), (1, 8)):
+        img = rng.integers(0, 256, size=(20, 9, c), dtype=np.uint8)
+        tiff = _make_jpeg_tiff(img, rows_per_strip=rps)
+        got = mm.decode_tiff(tiff)
+        step = rps or 20
+        expect = np.vstack(
+            [mm.decode_jpeg(_make_jpeg(img[y0:y0 + step]))
+             for y0 in range(0, 20, step)]
+        )
+        assert got.dtype == np.uint8 and got.shape == (20, 9, c)
+        assert (got == expect).all(), (c, rps)
+    # the real-decode gate routes it natively (resize path, no fake)
+    img = rng.integers(0, 256, size=(16, 8, 3), dtype=np.uint8)
+    resized = mm._decode_image_real(
+        _make_jpeg_tiff(img, rows_per_strip=8), width=4, height=4)
+    assert resized.shape == (4, 4, 3)
+
+
+def test_tiff_jpeg_abbreviated_tables_decode_identically():
+    """TechNote 2 abbreviated streams: moving the shared DQT/DHT segments
+    into tag 347 JPEGTables must not change a single pixel vs the
+    full-stream container."""
+    import numpy as np
+
+    rng = np.random.default_rng(348)
+    img = rng.integers(0, 256, size=(20, 9, 3), dtype=np.uint8)
+    full = mm.decode_tiff(_make_jpeg_tiff(img, rows_per_strip=8))
+    abbr = mm.decode_tiff(
+        _make_jpeg_tiff(img, rows_per_strip=8, abbreviated=True))
+    assert (abbr == full).all()
+
+
+def test_tiff_jpeg_rejects_hostile_and_mismatched_strips():
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(349)
+    img = rng.integers(0, 256, size=(12, 6, 3), dtype=np.uint8)
+    # strip that is not a JPEG stream
+    with pytest.raises(ValueError, match="missing SOI"):
+        mm.decode_tiff(_make_jpeg_tiff(img, strip_streams=[b"\x00" * 40]))
+    # JPEGTables blob that is not SOI..EOI
+    bad = _make_jpeg_tiff(img, abbreviated=True)
+    tables = _split_jpeg_tables(_make_jpeg(img))[0]
+    with pytest.raises(ValueError, match="JPEGTables"):
+        mm.decode_tiff(bad.replace(tables, b"\x00" * len(tables), 1))
+    # strip whose SOF dims disagree with the container
+    wrong = _make_jpeg(rng.integers(0, 256, (12, 7, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="strip 0 decodes"):
+        mm.decode_tiff(_make_jpeg_tiff(img, strip_streams=[wrong]))
+    # grayscale strip under an RGB container
+    gray = _make_jpeg(rng.integers(0, 256, (12, 6, 1), dtype=np.uint8))
+    with pytest.raises(ValueError, match="strip 0 decodes"):
+        mm.decode_tiff(_make_jpeg_tiff(img, strip_streams=[gray]))
+    # YCbCr photometric is ONLY valid for JPEG strips
+    plain = _make_tiff(img)
+    with pytest.raises(ValueError, match="photometric"):
+        mm.decode_tiff(
+            plain.replace(b"\x06\x01\x03\x00\x01\x00\x00\x00\x02\x00",
+                          b"\x06\x01\x03\x00\x01\x00\x00\x00\x06\x00", 1))
+    # horizontal-differencing predictor is invalid over JPEG strips
+    with pytest.raises(ValueError, match="predictor"):
+        mm.decode_tiff(_make_jpeg_tiff(img, predictor=2))
