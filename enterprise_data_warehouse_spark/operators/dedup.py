@@ -222,7 +222,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~25% faster warm, half the corpus I/O. Integer ratio arithmetic →
     engine-exact vs the oracle.
 
-    SCALE PATH (input past _ngram_segment_bytes, K = _ngram_shards): the
+    SCALE PATH (input past EDW_NGRAM_SEGMENT_BYTES, K = _ngram_shards): the
     SAME operators cut into K sequential jobs over disjoint sh64 ranges
     against a disk-backed checkpoint of the hashed shingle sets, each
     pass reduced to a per-pair PARTIAL aggregate (tiny: true pairs, not
@@ -1175,33 +1175,39 @@ _MAX_SHARDS = 64
 _MAX_VERIFY_CHUNKS = 512
 
 
-def _segment_bytes() -> int:
-    return int(
-        os.environ.get("EDW_PREFIX_SEGMENT_BYTES", _SEGMENT_BYTES_DEFAULT)
-    )
-
-
 def _verify_chunk_pairs() -> int:
     """Segmented-regime verification chunk size, in candidate pairs: ~25M
     pairs × ~0.5 kB (pair + both attached hash arrays) ≈ 12 GB of join
     shuffle per chunk — comfortably inside one node's free disk, reclaimed
-    between chunks. Read per call, like the other knobs."""
-    return int(os.environ.get("EDW_PREFIX_VERIFY_CHUNK", 25_000_000))
+    between chunks. Read per call, like the other knobs. Floored at 1 so
+    a zero/garbage knob cannot divide-by-zero the chunk count."""
+    return max(1, int(os.environ.get("EDW_PREFIX_VERIFY_CHUNK", 25_000_000)))
 
 
-def _prefix_shards(sf_dir: str) -> int:
-    """Emission pass count K: 1 (the single lazy plan) below the segment
-    threshold; otherwise ~input_bytes/threshold, with a runaway backstop.
-    EDW_PREFIX_SHARDS forces an explicit K (tests pin sharded ==
-    single-pass with it)."""
-    env = os.environ.get("EDW_PREFIX_SHARDS")
+def _shards_for(sf_dir: str, env_shards: str, env_bytes: str,
+                default_bytes: int) -> int:
+    """Segmented-pass count K, shared by the prefix and ngram scale
+    paths: an explicit env_shards knob wins (tests pin sharded ==
+    single-pass with it); otherwise 1 (the single lazy plan) below the
+    env_bytes threshold — floored at 1 byte, so a zero knob means
+    "always segment", never a ZeroDivisionError — else
+    ~input_bytes/threshold with the runaway backstop. Both knobs are
+    read PER CALL."""
+    env = os.environ.get(env_shards)
     if env:
         return max(1, int(env))
-    seg = _segment_bytes()
+    seg = max(1, int(os.environ.get(env_bytes, default_bytes)))
     b = local_table_bytes(sf_dir, "documents")
     if b <= seg:
         return 1
     return min(_MAX_SHARDS, -(-b // seg))
+
+
+def _prefix_shards(sf_dir: str) -> int:
+    """Emission pass count K for prefix_filter_jaccard_pairs (see
+    _shards_for)."""
+    return _shards_for(sf_dir, "EDW_PREFIX_SHARDS",
+                       "EDW_PREFIX_SEGMENT_BYTES", _SEGMENT_BYTES_DEFAULT)
 
 
 # ngram_jaccard_pairs' segmentation threshold gets its OWN knob (not
@@ -1220,24 +1226,12 @@ def _prefix_shards(sf_dir: str) -> int:
 _NGRAM_SEGMENT_BYTES_DEFAULT = 2 << 30
 
 
-def _ngram_segment_bytes() -> int:
-    return int(
-        os.environ.get("EDW_NGRAM_SEGMENT_BYTES", _NGRAM_SEGMENT_BYTES_DEFAULT)
-    )
-
-
 def _ngram_shards(sf_dir: str) -> int:
-    """Pass count K for ngram_jaccard_pairs' segmented regime — same
-    contract as _prefix_shards (1 below threshold, ~bytes/threshold above,
-    runaway backstop, EDW_NGRAM_SHARDS forces an explicit K)."""
-    env = os.environ.get("EDW_NGRAM_SHARDS")
-    if env:
-        return max(1, int(env))
-    seg = _ngram_segment_bytes()
-    b = local_table_bytes(sf_dir, "documents")
-    if b <= seg:
-        return 1
-    return min(_MAX_SHARDS, -(-b // seg))
+    """Pass count K for ngram_jaccard_pairs' segmented regime (see
+    _shards_for)."""
+    return _shards_for(sf_dir, "EDW_NGRAM_SHARDS",
+                       "EDW_NGRAM_SEGMENT_BYTES",
+                       _NGRAM_SEGMENT_BYTES_DEFAULT)
 
 
 def _unpersist_checkpoint(df: DataFrame) -> None:

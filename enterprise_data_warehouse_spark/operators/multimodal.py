@@ -513,6 +513,33 @@ def _tiff_inflate(data: bytes, max_out: int) -> bytes:
     return out
 
 
+def _jpeg_sof_dims(stream: bytes):
+    """(height, width) from a JPEG stream's SOF0/SOF2 header — a cheap
+    marker walk so JPEG-in-TIFF can refuse a strip whose declared frame
+    exceeds its slot BEFORE decode_jpeg spends the IDCT work (a tiny
+    container must not amplify into an arbitrarily large decode)."""
+    import struct
+
+    pos = 2
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("TIFF JPEG strip: marker expected")
+        marker = stream[pos + 1]
+        if marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            if pos + 9 > len(stream):
+                break
+            h, w = struct.unpack_from(">HH", stream, pos + 5)
+            return h, w
+        if marker == 0xD8:  # nested SOI (spliced tables)
+            pos += 2
+            continue
+        if marker == 0xDA:  # SOS before any SOF: malformed
+            break
+        ln = struct.unpack_from(">H", stream, pos + 2)[0]
+        pos += 2 + ln
+    raise ValueError("TIFF JPEG strip has no SOF0/SOF2 frame header")
+
+
 def decode_tiff(payload: bytes):
     """REAL image decode for baseline TIFF — pure stdlib struct/zlib +
     numpy. Both byte orders (II/MM), 8-bit grayscale/RGB/RGBA, chunky
@@ -546,13 +573,27 @@ def decode_tiff(payload: bytes):
     n = struct.unpack_from(endian + "H", payload, ifd_off)[0]
     if ifd_off + 2 + 12 * n > len(payload):
         raise ValueError("TIFF IFD truncated")
-    # type 7 = UNDEFINED (raw bytes) — carries tag 347 JPEGTables
-    type_size = {1: 1, 3: 2, 4: 4, 7: 1}
-    type_fmt = {1: "B", 3: "H", 4: "I", 7: "B"}
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
     tags: dict[int, list] = {}
+    jpeg_tables_raw = None
     for i in range(n):
         at = ifd_off + 2 + 12 * i
         tag, typ, cnt = struct.unpack_from(endian + "HHI", payload, at)
+        if typ == 7:
+            # type 7 = UNDEFINED (raw bytes). ONLY tag 347 JPEGTables is
+            # consumed; every other UNDEFINED tag (ICC profile, XMP,
+            # Photoshop blobs) is skipped exactly as before — decodable
+            # files with truncated ancillary blobs must stay decodable,
+            # and a megabyte ICC profile must not be unpacked per byte
+            if tag != 347 or cnt == 0 or cnt > 1 << 20:
+                continue
+            off = (at + 8 if cnt <= 4
+                   else struct.unpack_from(endian + "I", payload, at + 8)[0])
+            if off + cnt > len(payload):
+                raise ValueError("TIFF tag 347 data overruns the payload")
+            jpeg_tables_raw = bytes(payload[off:off + cnt])
+            continue
         sz = type_size.get(typ)
         if sz is None or cnt == 0 or cnt > 1 << 20:
             continue  # RATIONAL/ASCII/absurd-count tags: not needed here
@@ -592,13 +633,17 @@ def decode_tiff(payload: bytes):
     if any(b != 8 for b in bps):
         raise ValueError(f"only 8-bit TIFF samples (got {bps})")
     photo = first(262)
-    # BlackIsZero gray / RGB; new-style JPEG strips (comp 7) are stored
-    # as YCbCr (photometric 6) and decode_jpeg already emits RGB
-    if photo not in ((1, 2, 6) if comp == 7 else (1, 2)):
+    # BlackIsZero gray / RGB; new-style JPEG strips (comp 7) must be
+    # gray (1) or YCbCr (6) — decode_jpeg emits RGB from YCbCr. RGB-coded
+    # JPEG strips (photometric 2 + comp 7, legal per TechNote 2) are
+    # REJECTED rather than run through the decoder's unconditional
+    # YCbCr→RGB rotation, which would silently corrupt their colors —
+    # decode exactly or refuse, never decode wrong
+    if photo not in ((1, 6) if comp == 7 else (1, 2)):
         raise ValueError(f"only grayscale/RGB TIFF (photometric={photo})")
     # tag 347 JPEGTables (TechNote 2 "abbreviated streams"): a
     # SOI..tables..EOI stream whose DQT/DHT apply to every strip
-    jpeg_tables = bytes(tags[347]) if comp == 7 and 347 in tags else None
+    jpeg_tables = jpeg_tables_raw if comp == 7 else None
     if jpeg_tables is not None and not (
         len(jpeg_tables) >= 4
         and jpeg_tables[:2] == b"\xff\xd8"
@@ -639,6 +684,16 @@ def decode_tiff(payload: bytes):
             if raw[:2] != b"\xff\xd8":
                 raise ValueError(f"TIFF JPEG strip {i} missing SOI")
             full = jpeg_tables[:-2] + raw[2:] if jpeg_tables else raw
+            # bound the DECLARED frame to its slot (± MCU padding: vmax≤2
+            # → up to 15 pad rows) BEFORE decoding: otherwise a 64-pixel
+            # container pointing every strip at one 64 Mpx JPEG amplifies
+            # a few-hundred-KB payload into 2^20 × 64 Mpx of IDCT work
+            sof_h, sof_w = _jpeg_sof_dims(full)
+            if sof_w != width or not n_rows <= sof_h <= n_rows + 15:
+                raise ValueError(
+                    f"TIFF JPEG strip {i} declares {sof_h}x{sof_w}, "
+                    f"expected {n_rows}(+pad)x{width}"
+                )
             strip_img = decode_jpeg(full)
             if (strip_img.shape[1] != width
                     or strip_img.shape[0] < n_rows

@@ -371,3 +371,18 @@ def test_local_table_bytes_sizing_helper(tmp_path):
     assert local_table_bytes(str(tmp_path), "d") == 15
     assert local_table_bytes(str(tmp_path), "missing") == 0
     assert local_table_bytes("s3://bucket/prefix", "t") == 0
+
+
+def test_segment_knob_zero_means_always_segment(spark, monkeypatch):
+    """EDW_*_SEGMENT_BYTES=0 must mean "always segment" (the knob is
+    floored at 1 byte), never a ZeroDivisionError — review finding,
+    round 11."""
+    from enterprise_data_warehouse_spark.operators.dedup import (
+        _ngram_shards,
+        _prefix_shards,
+    )
+
+    monkeypatch.setenv("EDW_NGRAM_SEGMENT_BYTES", "0")
+    monkeypatch.setenv("EDW_PREFIX_SEGMENT_BYTES", "0")
+    assert _ngram_shards(SF) > 1
+    assert _prefix_shards(SF) > 1

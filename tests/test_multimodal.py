@@ -1414,7 +1414,10 @@ def test_tiff_rejects_unsupported_and_hostile():
     with pytest.raises(ValueError, match="unsupported TIFF compression"):
         mm.decode_tiff(bytes(jpg))
     struct.pack_into("<H", jpg, at + 8, 7)
-    with pytest.raises(ValueError, match="missing SOI"):
+    # (this container is photometric=2 RGB, which comp 7 refuses outright
+    # — RGB-coded JPEG strips would be color-rotated by the decoder's
+    # YCbCr→RGB step, so they are rejected rather than decoded wrong)
+    with pytest.raises(ValueError, match="photometric"):
         mm.decode_tiff(bytes(jpg))
     # dimension bomb fails before allocation
     bomb = bytearray(good)
@@ -1879,9 +1882,10 @@ def test_tiff_jpeg_rejects_hostile_and_mismatched_strips():
     tables = _split_jpeg_tables(_make_jpeg(img))[0]
     with pytest.raises(ValueError, match="JPEGTables"):
         mm.decode_tiff(bad.replace(tables, b"\x00" * len(tables), 1))
-    # strip whose SOF dims disagree with the container
+    # strip whose SOF dims disagree with the container — refused from the
+    # frame header alone, before any decode work
     wrong = _make_jpeg(rng.integers(0, 256, (12, 7, 3), dtype=np.uint8))
-    with pytest.raises(ValueError, match="strip 0 decodes"):
+    with pytest.raises(ValueError, match="declares"):
         mm.decode_tiff(_make_jpeg_tiff(img, strip_streams=[wrong]))
     # grayscale strip under an RGB container
     gray = _make_jpeg(rng.integers(0, 256, (12, 6, 1), dtype=np.uint8))
@@ -1896,3 +1900,60 @@ def test_tiff_jpeg_rejects_hostile_and_mismatched_strips():
     # horizontal-differencing predictor is invalid over JPEG strips
     with pytest.raises(ValueError, match="predictor"):
         mm.decode_tiff(_make_jpeg_tiff(img, predictor=2))
+
+
+def test_tiff_jpeg_oversized_strip_refused_before_decode():
+    """A strip whose DECLARED SOF frame exceeds its slot must be refused
+    from the frame header alone — a 64-pixel container pointing strips at
+    a huge JPEG must not amplify into the decode work (review finding,
+    round 11: previously a 2-row container silently accepted 400-row
+    strips)."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(350)
+    small = rng.integers(0, 256, size=(2, 6, 3), dtype=np.uint8)
+    big_stream = _make_jpeg(rng.integers(0, 256, (400, 6, 3), dtype=np.uint8))
+    hostile = _make_jpeg_tiff(small, rows_per_strip=1,
+                              strip_streams=[big_stream, big_stream])
+    with pytest.raises(ValueError, match="declares"):
+        mm.decode_tiff(hostile)
+    # MCU padding stays allowed: 10 rows in a 16-row (padded) frame
+    img = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    assert mm.decode_tiff(_make_jpeg_tiff(img)).shape == (10, 8, 3)
+
+
+def test_tiff_truncated_ancillary_undefined_tag_still_decodes():
+    """Only tag 347 is consumed among UNDEFINED (type 7) tags: a TIFF
+    whose truncated ICC-profile blob (tag 34675) points past the payload
+    must stay decodable, exactly as before JPEG-in-TIFF support."""
+    import struct
+
+    import numpy as np
+
+    # hand-built minimal TIFF (all tag values inline — no array offsets
+    # that an IFD splice would shift): 2x2 grayscale, one strip
+    img = np.arange(4, dtype=np.uint8).reshape(2, 2, 1)
+    entries = [
+        (256, 4, 1, 2),          # width
+        (257, 4, 1, 2),          # height
+        (258, 3, 1, 8),          # bits per sample
+        (259, 3, 1, 1),          # uncompressed
+        (262, 3, 1, 1),          # BlackIsZero
+        (273, 4, 1, 0),          # strip offset (patched below)
+        (277, 3, 1, 1),          # samples per pixel
+        (278, 4, 1, 2),          # rows per strip
+        (279, 4, 1, 4),          # strip byte count
+        (34675, 7, 1 << 20, 1 << 30),  # ICC profile: truncated/hostile
+    ]
+    strip_off = 8 + 2 + 12 * len(entries) + 4
+    body = b"".join(
+        struct.pack("<HHII", t, ty, cnt, strip_off if t == 273 else val)
+        for t, ty, cnt, val in entries
+        for val in [val]
+    )
+    tiff = (b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", len(entries)) + body
+            + struct.pack("<I", 0) + img.tobytes())
+    got = mm.decode_tiff(tiff)
+    assert (got == img).all()
