@@ -525,6 +525,15 @@ def _jpeg_sof_dims(stream: bytes):
         if stream[pos] != 0xFF:
             raise ValueError("TIFF JPEG strip: marker expected")
         marker = stream[pos + 1]
+        # mirror decode_jpeg's walk exactly: any stream it accepts must
+        # pass this pre-check too (T.81 B.1.1.2 fill bytes, standalone
+        # TEM/RSTn markers)
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone TEM/RSTn
+            pos += 2
+            continue
         if marker in (0xC0, 0xC2):  # SOF0 / SOF2
             if pos + 9 > len(stream):
                 break
@@ -577,6 +586,7 @@ def decode_tiff(payload: bytes):
     type_fmt = {1: "B", 3: "H", 4: "I"}
     tags: dict[int, list] = {}
     jpeg_tables_raw = None
+    jpeg_tables_oversize = None
     for i in range(n):
         at = ifd_off + 2 + 12 * i
         tag, typ, cnt = struct.unpack_from(endian + "HHI", payload, at)
@@ -586,7 +596,16 @@ def decode_tiff(payload: bytes):
             # Photoshop blobs) is skipped exactly as before — decodable
             # files with truncated ancillary blobs must stay decodable,
             # and a megabyte ICC profile must not be unpacked per byte
-            if tag != 347 or cnt == 0 or cnt > 1 << 20:
+            if tag != 347 or cnt == 0:
+                continue
+            if cnt > 1 << 20:
+                # a plausible JPEGTables blob is a few hundred bytes; a
+                # multi-MB one is hostile or corrupt. Remember the count
+                # and fail with a CLEAR diagnostic iff this file is
+                # comp-7 (comp is parsed after the tag loop) — silently
+                # treating it as absent would send abbreviated strips
+                # into decode_jpeg to die with a misleading Huffman error
+                jpeg_tables_oversize = cnt
                 continue
             off = (at + 8 if cnt <= 4
                    else struct.unpack_from(endian + "I", payload, at + 8)[0])
@@ -643,6 +662,10 @@ def decode_tiff(payload: bytes):
         raise ValueError(f"only grayscale/RGB TIFF (photometric={photo})")
     # tag 347 JPEGTables (TechNote 2 "abbreviated streams"): a
     # SOI..tables..EOI stream whose DQT/DHT apply to every strip
+    if comp == 7 and jpeg_tables_oversize is not None:
+        raise ValueError(
+            f"TIFF JPEGTables too large ({jpeg_tables_oversize} bytes)"
+        )
     jpeg_tables = jpeg_tables_raw if comp == 7 else None
     if jpeg_tables is not None and not (
         len(jpeg_tables) >= 4
