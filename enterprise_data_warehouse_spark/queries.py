@@ -69,68 +69,13 @@ _OPERATOR_MODULES = [
 # moves to the front and last round's front drops to the tail, so no
 # query's newest driver record ever ages more than ~4 rounds.
 PRIORITY_ORDER = [
-    # Round-11 curation (VERDICT r10 item 1). The registry is FROZEN at
-    # 215 (since r09); each round rotates the oldest-recorded cohort to
-    # the front and last round's front to the tail, so no query's newest
-    # driver record ever ages more than ~4 rounds. The driver records
+    # Round-12 curation (VERDICT r11 item 1). Registry FROZEN at 215
+    # (since r09); standing rotation: oldest-recorded cohort to the
+    # front, last round's front to the tail. The driver records
     # exactly the first 50 each round.
-    # -- slots 1-15: the 15 remaining r06-cohort queries (the oldest
-    # records left after r10; pre-cleared value-exact at sf0.01 on the
-    # final r11 tree — see PROGRESS.jsonl).
-    "categorical_profile",
-    "regr_slope_per_user",
-    "psi_value_drift",
-    "ks_value_drift",
-    "chi2_category_drift",
-    "median_imputation",
-    "language_id",
-    "doc_fingerprint",
-    "corpus_pipeline",
-    "token_count_profile",
-    "repetition_scores",
-    "embedding_near_dup",
-    "ann_lsh_verified",
-    "feature_fetch_inlist",
-    "training_dataset",
-    # -- slots 16-50: the 35 oldest r07-cohort entries. After r11
-    # records these, only 15 r07-cohort entries remain for r12's front.
-    "stats_pruned_lookup",
-    "minhash_lsh_verified",
-    "star_revenue_rollup",
-    "text_quality_scores",
-    "exact_dedup",
-    "ngram_jaccard_pairs",
-    "simhash_hamming_pairs",
-    "cosine_topk",
-    "asof_click_attribution",
-    "doc_chunks_native",
-    "catalog_fact_sales_daily",
-    "media_manifest",
-    "session_metrics_batch",
-    "tumbling_hourly_counts",
-    "quality_check_suite",
-    "median_price_udaf",
-    "order_cube",
-    "shared_chunk_fingerprints",
-    "volume_shipping",
-    "market_share",
-    "product_profit",
-    "important_suppliers",
-    "customer_distribution",
-    "promo_revenue",
-    "top_supplier",
-    "small_qty_revenue",
-    "large_orders",
-    "disjunctive_revenue",
-    "dormant_customers",
-    "forecast_revenue",
-    "late_shipment_priority",
-    "min_cost_supplier",
-    "supplier_part_counts",
-    "excess_shipped_parts",
-    "waiting_suppliers",
-    # ---------------- slot 50 boundary (driver budget) ---------------------
-    # -- remaining r07 cohort (15) = r12's front ----------------------------
+    # -- slots 1-15: the 15 remaining r07-cohort queries (oldest
+    # records left after r11; pre-cleared value-exact at sf0.01 on
+    # the final r12 tree — see PROGRESS.jsonl).
     "ks_binned_drift",
     "feature_moments",
     "ks_drift_pvalue",
@@ -146,7 +91,9 @@ PRIORITY_ORDER = [
     "ivf_topk",
     "ann_multiprobe_topk",
     "kmeans_embeddings",
-    # -- newest record r08 (50) ----------------------------------------------
+    # -- slots 16-50: the 35 oldest r08-cohort entries. After r12
+    # records these, only 15 r08-cohort entries remain for r13's
+    # front.
     "bloom_pruned_lookup",
     "kmeans_pp_embeddings",
     "range_bin_lookup",
@@ -182,6 +129,8 @@ PRIORITY_ORDER = [
     "semantic_dedup",
     "pq_adc_topk",
     "catalog_fact_customer_behavior",
+    # ---------------- slot 50 boundary (driver budget) ---------------------
+    # -- remaining r08 cohort (15) = r13's front ----------------------------
     "catalog_fact_inventory_daily",
     "catalog_dim_product",
     "catalog_dim_employee",
@@ -248,7 +197,7 @@ PRIORITY_ORDER = [
     "score_customers_pandas",
     "minhash_lsh_candidates",
     "simhash_signatures",
-    # -- newest record r10 (50): last round's front, freshest records --------
+    # -- newest record r10 (50) ----------------------------------------------
     "ann_lsh_buckets",
     "embedding_centroids",
     "embedding_quantize",
@@ -299,6 +248,57 @@ PRIORITY_ORDER = [
     "rolling_feature_matrix",
     "forward_fill_values",
     "feature_descriptive_stats",
+    # -- newest record r11 (50): last round's front, freshest records --------
+    "categorical_profile",
+    "regr_slope_per_user",
+    "psi_value_drift",
+    "ks_value_drift",
+    "chi2_category_drift",
+    "median_imputation",
+    "language_id",
+    "doc_fingerprint",
+    "corpus_pipeline",
+    "token_count_profile",
+    "repetition_scores",
+    "embedding_near_dup",
+    "ann_lsh_verified",
+    "feature_fetch_inlist",
+    "training_dataset",
+    "stats_pruned_lookup",
+    "minhash_lsh_verified",
+    "star_revenue_rollup",
+    "text_quality_scores",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "simhash_hamming_pairs",
+    "cosine_topk",
+    "asof_click_attribution",
+    "doc_chunks_native",
+    "catalog_fact_sales_daily",
+    "media_manifest",
+    "session_metrics_batch",
+    "tumbling_hourly_counts",
+    "quality_check_suite",
+    "median_price_udaf",
+    "order_cube",
+    "shared_chunk_fingerprints",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "important_suppliers",
+    "customer_distribution",
+    "promo_revenue",
+    "top_supplier",
+    "small_qty_revenue",
+    "large_orders",
+    "disjunctive_revenue",
+    "dormant_customers",
+    "forecast_revenue",
+    "late_shipment_priority",
+    "min_cost_supplier",
+    "supplier_part_counts",
+    "excess_shipped_parts",
+    "waiting_suppliers",
 ]
 
 
