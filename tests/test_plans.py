@@ -467,3 +467,34 @@ def test_unpartitioned_windows_only_where_allowed(spark):
                 ):
                     offenders.append(f"{name}: {stripped[:120]}")
     assert not offenders, offenders
+
+
+def test_scd2_customer_dim_plan_shape(spark):
+    """The SCD2 cycle (the r12 decade-probe shape): change detection is
+    equi-join based — exactly one left-anti (untouched-current
+    passthrough), a union of the four version branches, the latest-wins
+    window, and the %7/%13/%97 update-batch predicates pushed into the
+    customer scans. Never a cartesian, never a Python eval node."""
+    plan = plan_of(REG["scd2_customer_dim"].fn(spark, SF))
+    assert plan.count("LeftAnti") == 1, plan
+    assert "Union" in plan and "Window" in plan, plan
+    assert "CartesianProduct" not in plan and "EvalPython" not in plan, plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert any("% 97" in ln for ln in scans), scans  # batch filter pushed
+
+
+def test_catalog_fact_sales_daily_plan_shape(spark):
+    """The catalog star build (the other r12 decade-probe shape): one
+    equi join (broadcast at this SF, sort-merge at scale), a single
+    aggregation exchange after it, and column pruning on the lineitem
+    scan — the grain columns plus measures only, never the full row."""
+    plan = plan_of(REG["catalog_fact_sales_daily"].fn(spark, SF))
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+    assert "CartesianProduct" not in plan and "EvalPython" not in plan, plan
+    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchanges <= 3, plan  # join bcast/shuffle + one agg exchange
+    li_scan = next(
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "l_orderkey" in ln
+    )
+    assert "l_comment" not in li_scan and "l_shipinstruct" not in li_scan, li_scan

@@ -69,6 +69,13 @@ PROBES = {
     "simhash_hamming_pairs": ("documents", [500, 500, 5000, 50000, 500000, 5000000], 2),
     "dsir_importance_weights": ("documents", [500, 500, 5000, 50000, 500000, 5000000], 3),
     "kmeans_embeddings": ("embeddings", [500, 500, 2000, 20000, 200000, 2000000], 2),
+    # r12 additions (VERDICT r11 #2) — the last two registered plan
+    # families without a fourth-decade row: the SCD2/merge shape (wide
+    # window + hash-diff change detect + anti-join + union, the
+    # reference's signature macro) and the catalog star build
+    # (broadcast-dim star join + daily rollup)
+    "scd2_customer_dim": ("customer", [150, 1500, 15000, 150000, 1.5e6, 1.5e7], 3),
+    "catalog_fact_sales_daily": ("lineitem", [6e3, 6e4, 6e5, 6e6, 6e7, 6e8], 3),
 }
 
 
