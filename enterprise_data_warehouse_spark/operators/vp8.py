@@ -1,0 +1,1233 @@
+"""REAL lossy-WebP (VP8 key-frame) decode — pure python/numpy.
+
+This closes the last codec gate in the multimodal layer: ``webp.py``
+decodes lossless VP8L natively; this module decodes the lossy ``VP8 ``
+chunk (a VP8 intra-only key frame, RFC 6386 — WebP stills are always
+single key frames) with no codec library: the boolean arithmetic
+decoder (§7), key-frame header (§9), intra prediction (§12), token /
+coefficient decoding (§13), dequantization + inverse DCT/WHT (§14) and
+the in-loop deblocking filter (§15), all per the public spec.
+
+The normative constant tables (quantizer lookups §14.1, default token
+probabilities §13.5, key-frame mode probabilities §11.2/§11.5) are
+transcribed from the spec; every table is pinned functionally in
+tests/test_vp8.py — the decoder must reproduce libwebp's YUV output
+BIT-EXACTLY on real encoder streams (embedded fixtures always run; a
+ctypes system-libwebp battery runs when the library is present, the
+same skip-gated oracle pattern as the libtiff TIFF cross-check).
+
+Reference parity: the reference warehouse stores media as opaque
+binary + metadata (SURVEY.md multimodal scope); decode runs inside the
+mapInPandas Arrow boundary exactly like the other ten native decoders
+in multimodal.py/webp.py.
+
+Scale/bounds contract (identical to VP8L): per-symbol python decode →
+the 16 Mpx cap applies BEFORE any allocation; truncated or hostile
+payloads raise ``ValueError`` after bounded work (the boolean decoder
+feeds virtual zero bytes past the end — every loop is bounded by the
+declared macroblock count, never by stream content).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# --------------------------------------------------------------------------
+# Normative constant tables (RFC 6386).  DC/AC quantizer lookups (§14.1),
+# default + update probabilities for DCT tokens (§13.4-13.5), key-frame
+# 4x4 intra mode probabilities (§11.5).  Functionally pinned bit-exact
+# against reference-encoder streams in tests/test_vp8.py.
+# --------------------------------------------------------------------------
+
+_DC_QLOOKUP = (
+    4, 5, 6, 7, 8, 9, 10, 10, 11, 12, 13, 14,
+    15, 16, 17, 17, 18, 19, 20, 20, 21, 21, 22, 22,
+    23, 23, 24, 25, 25, 26, 27, 28, 29, 30, 31, 32,
+    33, 34, 35, 36, 37, 37, 38, 39, 40, 41, 42, 43,
+    44, 45, 46, 46, 47, 48, 49, 50, 51, 52, 53, 54,
+    55, 56, 57, 58, 59, 60, 61, 62, 63, 64, 65, 66,
+    67, 68, 69, 70, 71, 72, 73, 74, 75, 76, 76, 77,
+    78, 79, 80, 81, 82, 83, 84, 85, 86, 87, 88, 89,
+    91, 93, 95, 96, 98, 100, 101, 102, 104, 106, 108, 110,
+    112, 114, 116, 118, 122, 124, 126, 128, 130, 132, 134, 136,
+    138, 140, 143, 145, 148, 151, 154, 157,
+)
+_AC_QLOOKUP = (
+    4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27,
+    28, 29, 30, 31, 32, 33, 34, 35, 36, 37, 38, 39,
+    40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51,
+    52, 53, 54, 55, 56, 57, 58, 60, 62, 64, 66, 68,
+    70, 72, 74, 76, 78, 80, 82, 84, 86, 88, 90, 92,
+    94, 96, 98, 100, 102, 104, 106, 108, 110, 112, 114, 116,
+    119, 122, 125, 128, 131, 134, 137, 140, 143, 146, 149, 152,
+    155, 158, 161, 164, 167, 170, 173, 177, 181, 185, 189, 193,
+    197, 201, 205, 209, 213, 217, 221, 225, 229, 234, 239, 245,
+    249, 254, 259, 264, 269, 274, 279, 284,
+)
+
+# [4 plane types][8 bands][3 contexts][11 probs]; plane types:
+# 0 = Y after Y2 (DC absent), 1 = Y2, 2 = chroma, 3 = Y with DC.
+_COEFF_PROBS = (
+    128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128,
+    128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128,
+    128, 128, 128, 128, 128, 128, 128, 128, 128, 253, 136, 254,
+    255, 228, 219, 128, 128, 128, 128, 128, 189, 129, 242, 255,
+    227, 213, 255, 219, 128, 128, 128, 106, 126, 227, 252, 214,
+    209, 255, 255, 128, 128, 128, 1, 98, 248, 255, 236, 226,
+    255, 255, 128, 128, 128, 181, 133, 238, 254, 221, 234, 255,
+    154, 128, 128, 128, 78, 134, 202, 247, 198, 180, 255, 219,
+    128, 128, 128, 1, 185, 249, 255, 243, 255, 128, 128, 128,
+    128, 128, 184, 150, 247, 255, 236, 224, 128, 128, 128, 128,
+    128, 77, 110, 216, 255, 236, 230, 128, 128, 128, 128, 128,
+    1, 101, 251, 255, 241, 255, 128, 128, 128, 128, 128, 170,
+    139, 241, 252, 236, 209, 255, 255, 128, 128, 128, 37, 116,
+    196, 243, 228, 255, 255, 255, 128, 128, 128, 1, 204, 254,
+    255, 245, 255, 128, 128, 128, 128, 128, 207, 160, 250, 255,
+    238, 128, 128, 128, 128, 128, 128, 102, 103, 231, 255, 211,
+    171, 128, 128, 128, 128, 128, 1, 152, 252, 255, 240, 255,
+    128, 128, 128, 128, 128, 177, 135, 243, 255, 234, 225, 128,
+    128, 128, 128, 128, 80, 129, 211, 255, 194, 224, 128, 128,
+    128, 128, 128, 1, 1, 255, 128, 128, 128, 128, 128, 128,
+    128, 128, 246, 1, 255, 128, 128, 128, 128, 128, 128, 128,
+    128, 255, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128,
+    198, 35, 237, 223, 193, 187, 162, 160, 145, 155, 62, 131,
+    45, 198, 221, 172, 176, 220, 157, 252, 221, 1, 68, 47,
+    146, 208, 149, 167, 221, 162, 255, 223, 128, 1, 149, 241,
+    255, 221, 224, 255, 255, 128, 128, 128, 184, 141, 234, 253,
+    222, 220, 255, 199, 128, 128, 128, 81, 99, 181, 242, 176,
+    190, 249, 202, 255, 255, 128, 1, 129, 232, 253, 214, 197,
+    242, 196, 255, 255, 128, 99, 121, 210, 250, 201, 198, 255,
+    202, 128, 128, 128, 23, 91, 163, 242, 170, 187, 247, 210,
+    255, 255, 128, 1, 200, 246, 255, 234, 255, 128, 128, 128,
+    128, 128, 109, 178, 241, 255, 231, 245, 255, 255, 128, 128,
+    128, 44, 130, 201, 253, 205, 192, 255, 255, 128, 128, 128,
+    1, 132, 239, 251, 219, 209, 255, 165, 128, 128, 128, 94,
+    136, 225, 251, 218, 190, 255, 255, 128, 128, 128, 22, 100,
+    174, 245, 186, 161, 255, 199, 128, 128, 128, 1, 182, 249,
+    255, 232, 235, 128, 128, 128, 128, 128, 124, 143, 241, 255,
+    227, 234, 128, 128, 128, 128, 128, 35, 77, 181, 251, 193,
+    211, 255, 205, 128, 128, 128, 1, 157, 247, 255, 236, 231,
+    255, 255, 128, 128, 128, 121, 141, 235, 255, 225, 227, 255,
+    255, 128, 128, 128, 45, 99, 188, 251, 195, 217, 255, 224,
+    128, 128, 128, 1, 1, 251, 255, 213, 255, 128, 128, 128,
+    128, 128, 203, 1, 248, 255, 255, 128, 128, 128, 128, 128,
+    128, 137, 1, 177, 255, 224, 255, 128, 128, 128, 128, 128,
+    253, 9, 248, 251, 207, 208, 255, 192, 128, 128, 128, 175,
+    13, 224, 243, 193, 185, 249, 198, 255, 255, 128, 73, 17,
+    171, 221, 161, 179, 236, 167, 255, 234, 128, 1, 95, 247,
+    253, 212, 183, 255, 255, 128, 128, 128, 239, 90, 244, 250,
+    211, 209, 255, 255, 128, 128, 128, 155, 77, 195, 248, 188,
+    195, 255, 255, 128, 128, 128, 1, 24, 239, 251, 218, 219,
+    255, 205, 128, 128, 128, 201, 51, 219, 255, 196, 186, 128,
+    128, 128, 128, 128, 69, 46, 190, 239, 201, 218, 255, 228,
+    128, 128, 128, 1, 191, 251, 255, 255, 128, 128, 128, 128,
+    128, 128, 223, 165, 249, 255, 213, 255, 128, 128, 128, 128,
+    128, 141, 124, 248, 255, 255, 128, 128, 128, 128, 128, 128,
+    1, 16, 248, 255, 255, 128, 128, 128, 128, 128, 128, 190,
+    36, 230, 255, 236, 255, 128, 128, 128, 128, 128, 149, 1,
+    255, 128, 128, 128, 128, 128, 128, 128, 128, 1, 226, 255,
+    128, 128, 128, 128, 128, 128, 128, 128, 247, 192, 255, 128,
+    128, 128, 128, 128, 128, 128, 128, 240, 128, 255, 128, 128,
+    128, 128, 128, 128, 128, 128, 1, 134, 252, 255, 255, 128,
+    128, 128, 128, 128, 128, 213, 62, 250, 255, 255, 128, 128,
+    128, 128, 128, 128, 55, 93, 255, 128, 128, 128, 128, 128,
+    128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128,
+    128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128,
+    128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128, 128,
+    202, 24, 213, 235, 186, 191, 220, 160, 240, 175, 255, 126,
+    38, 182, 232, 169, 184, 228, 174, 255, 187, 128, 61, 46,
+    138, 219, 151, 178, 240, 170, 255, 216, 128, 1, 112, 230,
+    250, 199, 191, 247, 159, 255, 255, 128, 166, 109, 228, 252,
+    211, 215, 255, 174, 128, 128, 128, 39, 77, 162, 232, 172,
+    180, 245, 178, 255, 255, 128, 1, 52, 220, 246, 198, 199,
+    249, 220, 255, 255, 128, 124, 74, 191, 243, 183, 193, 250,
+    221, 255, 255, 128, 24, 71, 130, 219, 154, 170, 243, 182,
+    255, 255, 128, 1, 182, 225, 249, 219, 240, 255, 224, 128,
+    128, 128, 149, 150, 226, 252, 216, 205, 255, 171, 128, 128,
+    128, 28, 108, 170, 242, 183, 194, 254, 223, 255, 255, 128,
+    1, 81, 230, 252, 204, 203, 255, 192, 128, 128, 128, 123,
+    102, 209, 247, 188, 196, 255, 233, 128, 128, 128, 20, 95,
+    153, 243, 164, 173, 255, 203, 128, 128, 128, 1, 222, 248,
+    255, 216, 213, 128, 128, 128, 128, 128, 168, 175, 246, 252,
+    235, 205, 255, 255, 128, 128, 128, 47, 116, 215, 255, 211,
+    212, 255, 255, 128, 128, 128, 1, 121, 236, 253, 212, 214,
+    255, 255, 128, 128, 128, 141, 84, 213, 252, 201, 202, 255,
+    219, 128, 128, 128, 42, 80, 160, 240, 162, 185, 255, 205,
+    128, 128, 128, 1, 1, 255, 128, 128, 128, 128, 128, 128,
+    128, 128, 244, 1, 255, 128, 128, 128, 128, 128, 128, 128,
+    128, 238, 1, 255, 128, 128, 128, 128, 128, 128, 128, 128,
+)
+
+_COEFF_UPDATE_PROBS = (
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 176, 246, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 223, 241, 252, 255,
+    255, 255, 255, 255, 255, 255, 255, 249, 253, 253, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 244, 252, 255, 255, 255,
+    255, 255, 255, 255, 255, 234, 254, 254, 255, 255, 255, 255,
+    255, 255, 255, 255, 253, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 246, 254, 255, 255, 255, 255, 255, 255,
+    255, 255, 239, 253, 254, 255, 255, 255, 255, 255, 255, 255,
+    255, 254, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 248, 254, 255, 255, 255, 255, 255, 255, 255, 255, 251,
+    255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 253, 254,
+    255, 255, 255, 255, 255, 255, 255, 255, 251, 254, 254, 255,
+    255, 255, 255, 255, 255, 255, 255, 254, 255, 254, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 254, 253, 255, 254, 255,
+    255, 255, 255, 255, 255, 250, 255, 254, 255, 254, 255, 255,
+    255, 255, 255, 255, 254, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    217, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 225,
+    252, 241, 253, 255, 255, 254, 255, 255, 255, 255, 234, 250,
+    241, 250, 253, 255, 253, 254, 255, 255, 255, 255, 254, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 223, 254, 254, 255,
+    255, 255, 255, 255, 255, 255, 255, 238, 253, 254, 254, 255,
+    255, 255, 255, 255, 255, 255, 255, 248, 254, 255, 255, 255,
+    255, 255, 255, 255, 255, 249, 254, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 253, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 247, 254, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255, 252,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 254, 254,
+    255, 255, 255, 255, 255, 255, 255, 255, 253, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 254, 253, 255, 255, 255,
+    255, 255, 255, 255, 255, 250, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 254, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    186, 251, 250, 255, 255, 255, 255, 255, 255, 255, 255, 234,
+    251, 244, 254, 255, 255, 255, 255, 255, 255, 255, 251, 251,
+    243, 253, 254, 255, 254, 255, 255, 255, 255, 255, 253, 254,
+    255, 255, 255, 255, 255, 255, 255, 255, 236, 253, 254, 255,
+    255, 255, 255, 255, 255, 255, 255, 251, 253, 253, 254, 254,
+    255, 255, 255, 255, 255, 255, 255, 254, 254, 255, 255, 255,
+    255, 255, 255, 255, 255, 254, 254, 254, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 254, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 254, 254, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 254,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    248, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 250,
+    254, 252, 254, 255, 255, 255, 255, 255, 255, 255, 248, 254,
+    249, 253, 255, 255, 255, 255, 255, 255, 255, 255, 253, 253,
+    255, 255, 255, 255, 255, 255, 255, 255, 246, 253, 253, 255,
+    255, 255, 255, 255, 255, 255, 255, 252, 254, 251, 254, 254,
+    255, 255, 255, 255, 255, 255, 255, 254, 252, 255, 255, 255,
+    255, 255, 255, 255, 255, 248, 254, 253, 255, 255, 255, 255,
+    255, 255, 255, 255, 253, 255, 254, 254, 255, 255, 255, 255,
+    255, 255, 255, 255, 251, 254, 255, 255, 255, 255, 255, 255,
+    255, 255, 245, 251, 254, 255, 255, 255, 255, 255, 255, 255,
+    255, 253, 253, 254, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 251, 253, 255, 255, 255, 255, 255, 255, 255, 255, 252,
+    253, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255, 254,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 252, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 249, 255, 254, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 254, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 253, 255, 255, 255,
+    255, 255, 255, 255, 255, 250, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 254, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+    255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+)
+
+# key-frame 4x4 sub-block mode probabilities, [above mode][left mode][9]
+_KF_BMODE_PROB = (
+    231, 120, 48, 89, 115, 113, 120, 152, 112, 152, 179, 64,
+    126, 170, 118, 46, 70, 95, 175, 69, 143, 80, 85, 82,
+    72, 155, 103, 56, 58, 10, 171, 218, 189, 17, 13, 152,
+    114, 26, 17, 163, 44, 195, 21, 10, 173, 121, 24, 80,
+    195, 26, 62, 44, 64, 85, 144, 71, 10, 38, 171, 213,
+    144, 34, 26, 170, 46, 55, 19, 136, 160, 33, 206, 71,
+    63, 20, 8, 114, 114, 208, 12, 9, 226, 81, 40, 11,
+    96, 182, 84, 29, 16, 36, 134, 183, 89, 137, 98, 101,
+    106, 165, 148, 72, 187, 100, 130, 157, 111, 32, 75, 80,
+    66, 102, 167, 99, 74, 62, 40, 234, 128, 41, 53, 9,
+    178, 241, 141, 26, 8, 107, 74, 43, 26, 146, 73, 166,
+    49, 23, 157, 65, 38, 105, 160, 51, 52, 31, 115, 128,
+    104, 79, 12, 27, 217, 255, 87, 17, 7, 87, 68, 71,
+    44, 114, 51, 15, 186, 23, 47, 41, 14, 110, 182, 183,
+    21, 17, 194, 66, 45, 25, 102, 197, 189, 23, 18, 22,
+    88, 88, 147, 150, 42, 46, 45, 196, 205, 43, 97, 183,
+    117, 85, 38, 35, 179, 61, 39, 53, 200, 87, 26, 21,
+    43, 232, 171, 56, 34, 51, 104, 114, 102, 29, 93, 77,
+    39, 28, 85, 171, 58, 165, 90, 98, 64, 34, 22, 116,
+    206, 23, 34, 43, 166, 73, 107, 54, 32, 26, 51, 1,
+    81, 43, 31, 68, 25, 106, 22, 64, 171, 36, 225, 114,
+    34, 19, 21, 102, 132, 188, 16, 76, 124, 62, 18, 78,
+    95, 85, 57, 50, 48, 51, 193, 101, 35, 159, 215, 111,
+    89, 46, 111, 60, 148, 31, 172, 219, 228, 21, 18, 111,
+    112, 113, 77, 85, 179, 255, 38, 120, 114, 40, 42, 1,
+    196, 245, 209, 10, 25, 109, 88, 43, 29, 140, 166, 213,
+    37, 43, 154, 61, 63, 30, 155, 67, 45, 68, 1, 209,
+    100, 80, 8, 43, 154, 1, 51, 26, 71, 142, 78, 78,
+    16, 255, 128, 34, 197, 171, 41, 40, 5, 102, 211, 183,
+    4, 1, 221, 51, 50, 17, 168, 209, 192, 23, 25, 82,
+    138, 31, 36, 171, 27, 166, 38, 44, 229, 67, 87, 58,
+    169, 82, 115, 26, 59, 179, 63, 59, 90, 180, 59, 166,
+    93, 73, 154, 40, 40, 21, 116, 143, 209, 34, 39, 175,
+    47, 15, 16, 183, 34, 223, 49, 45, 183, 46, 17, 33,
+    183, 6, 98, 15, 32, 183, 57, 46, 22, 24, 128, 1,
+    54, 17, 37, 65, 32, 73, 115, 28, 128, 23, 128, 205,
+    40, 3, 9, 115, 51, 192, 18, 6, 223, 87, 37, 9,
+    115, 59, 77, 64, 21, 47, 104, 55, 44, 218, 9, 54,
+    53, 130, 226, 64, 90, 70, 205, 40, 41, 23, 26, 57,
+    54, 57, 112, 184, 5, 41, 38, 166, 213, 30, 34, 26,
+    133, 152, 116, 10, 32, 134, 39, 19, 53, 221, 26, 114,
+    32, 73, 255, 31, 9, 65, 234, 2, 15, 1, 118, 73,
+    75, 32, 12, 51, 192, 255, 160, 43, 51, 88, 31, 35,
+    67, 102, 85, 55, 186, 85, 56, 21, 23, 111, 59, 205,
+    45, 37, 192, 55, 38, 70, 124, 73, 102, 1, 34, 98,
+    125, 98, 42, 88, 104, 85, 117, 175, 82, 95, 84, 53,
+    89, 128, 100, 113, 101, 45, 75, 79, 123, 47, 51, 128,
+    81, 171, 1, 57, 17, 5, 71, 102, 57, 53, 41, 49,
+    38, 33, 13, 121, 57, 73, 26, 1, 85, 41, 10, 67,
+    138, 77, 110, 90, 47, 114, 115, 21, 2, 10, 102, 255,
+    166, 23, 6, 101, 29, 16, 10, 85, 128, 101, 196, 26,
+    57, 18, 10, 102, 102, 213, 34, 20, 43, 117, 20, 15,
+    36, 163, 128, 68, 1, 26, 102, 61, 71, 37, 34, 53,
+    31, 243, 192, 69, 60, 71, 38, 73, 119, 28, 222, 37,
+    68, 45, 128, 34, 1, 47, 11, 245, 171, 62, 17, 19,
+    70, 146, 85, 55, 62, 70, 37, 43, 37, 154, 100, 163,
+    85, 160, 1, 63, 9, 92, 136, 28, 64, 32, 201, 85,
+    75, 15, 9, 9, 64, 255, 184, 119, 16, 86, 6, 28,
+    5, 64, 255, 25, 248, 1, 56, 8, 17, 132, 137, 255,
+    55, 116, 128, 58, 15, 20, 82, 135, 57, 26, 121, 40,
+    164, 50, 31, 137, 154, 133, 25, 35, 218, 51, 103, 44,
+    131, 131, 123, 31, 6, 158, 86, 40, 64, 135, 148, 224,
+    45, 183, 128, 22, 26, 17, 131, 240, 154, 14, 1, 209,
+    45, 16, 21, 91, 64, 222, 7, 1, 197, 56, 21, 39,
+    155, 60, 138, 23, 102, 213, 83, 12, 13, 54, 192, 255,
+    68, 47, 28, 85, 26, 85, 85, 128, 128, 32, 146, 171,
+    18, 11, 7, 63, 144, 171, 4, 4, 246, 35, 27, 10,
+    146, 174, 171, 12, 26, 128, 190, 80, 35, 99, 180, 80,
+    126, 54, 45, 85, 126, 47, 87, 176, 51, 41, 20, 32,
+    101, 75, 128, 139, 118, 146, 116, 128, 85, 56, 41, 15,
+    176, 236, 85, 37, 9, 62, 71, 30, 17, 119, 118, 255,
+    17, 18, 138, 101, 38, 60, 138, 55, 70, 43, 26, 142,
+    146, 36, 19, 30, 171, 255, 97, 27, 20, 138, 45, 61,
+    62, 219, 1, 81, 188, 64, 32, 41, 20, 117, 151, 142,
+    20, 21, 163, 112, 19, 12, 61, 195, 128, 48, 4, 24,
+)
+
+_KF_YMODE_PROB = (145, 156, 163, 128)  # §11.2 key-frame y-mode probs
+_KF_UV_MODE_PROB = (142, 114, 183)  # §11.5 key-frame chroma-mode probs
+_MB_SEGMENT_TREE = (2, 4, -0, -1, -2, -3)  # §9.3 segment_id tree
+
+# y modes (16x16): B_PRED then the four whole-block modes
+_B_PRED, _DC_PRED, _V_PRED, _H_PRED, _TM_PRED = 0, 1, 2, 3, 4
+_KF_YMODE_TREE = (-_B_PRED, 2, 4, 6, -_DC_PRED, -_V_PRED, -_H_PRED, -_TM_PRED)
+_UV_MODE_TREE = (-_DC_PRED, 2, -_V_PRED, 4, -_H_PRED, -_TM_PRED)
+
+# 4x4 sub-block modes §11.5
+(_B_DC, _B_TM, _B_VE, _B_HE, _B_LD, _B_RD, _B_VR, _B_VL, _B_HD, _B_HU) = range(10)
+_BMODE_TREE = (
+    -_B_DC, 2, -_B_TM, 4, -_B_VE, 6, 8, 12, -_B_HE, 10,
+    -_B_RD, -_B_VR, -_B_LD, 14, -_B_VL, 16, -_B_HD, -_B_HU,
+)
+
+# DCT token tree §13.2; leaf values ≥ _CAT1 are category bases, _EOB_TOK
+# is the end-of-block sentinel (token values start at 0, so EOB needs a
+# value outside the coefficient range)
+_EOB_TOK = 100
+_CAT1, _CAT2, _CAT3, _CAT4, _CAT5, _CAT6 = 5, 7, 11, 19, 35, 67
+_TOKEN_TREE = (
+    -_EOB_TOK, 2,
+    0, 4,       # leaf: token 0 (tree positions are never 0 past the root)
+    -1, 6,
+    8, 12,
+    -2, 10,
+    -3, -4,
+    14, 16,
+    -_CAT1, -_CAT2,
+    18, 20,
+    -_CAT3, -_CAT4,
+    -_CAT5, -_CAT6,
+)
+_CAT_PROBS = {
+    _CAT1: (159,),
+    _CAT2: (165, 145),
+    _CAT3: (173, 148, 140),
+    _CAT4: (176, 155, 140, 135),
+    _CAT5: (180, 157, 141, 134, 130),
+    _CAT6: (254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129),
+}
+_CAT_BITS = {_CAT1: 1, _CAT2: 2, _CAT3: 3, _CAT4: 4, _CAT5: 5, _CAT6: 11}
+
+# coefficient position → probability band §13.3
+_BANDS = (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+_ZIGZAG = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+_MAX_PIXELS = 16 << 20  # same per-symbol-python cap as VP8L (webp.py)
+
+
+# --------------------------------------------------------------------------
+# Boolean arithmetic decoder (§7.3).  Past-the-end reads feed virtual zero
+# bytes (spec-sanctioned: well-formed streams never depend on them); the
+# overrun is tracked so callers can refuse truncated payloads.
+# --------------------------------------------------------------------------
+
+class _Bool:
+    __slots__ = ("buf", "pos", "end", "value", "range", "bit_count", "overrun")
+
+    def __init__(self, buf: bytes, start: int, end: int):
+        self.buf = buf
+        self.pos = start
+        self.end = end
+        self.value = 0
+        self.range = 255
+        self.bit_count = 0
+        self.overrun = 0
+        for _ in range(2):
+            self.value = (self.value << 8) | self._next_byte()
+
+    def _next_byte(self) -> int:
+        if self.pos < self.end:
+            b = self.buf[self.pos]
+            self.pos += 1
+            return b
+        self.overrun += 1
+        return 0
+
+    def bit(self, prob: int) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        big = split << 8
+        if self.value >= big:
+            ret = 1
+            self.range -= split
+            self.value -= big
+        else:
+            ret = 0
+            self.range = split
+        while self.range < 128:
+            self.value <<= 1
+            self.range <<= 1
+            self.bit_count += 1
+            if self.bit_count == 8:
+                self.bit_count = 0
+                self.value |= self._next_byte()
+        return ret
+
+    def literal(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit(128)
+        return v
+
+    def signed_literal(self, n: int) -> int:
+        v = self.literal(n)
+        return -v if self.bit(128) else v
+
+    def tree(self, tree, probs, start: int = 0) -> int:
+        i = start
+        while True:
+            i = tree[i + self.bit(probs[i >> 1])]
+            if i <= 0:
+                return -i
+
+
+def _clip127(v: int) -> int:
+    return 0 if v < 0 else (127 if v > 127 else v)
+
+# --------------------------------------------------------------------------
+# Frame header (§9) — key frames only (WebP stills are always key frames).
+# --------------------------------------------------------------------------
+
+class _Header:
+    __slots__ = (
+        "width", "height", "mb_w", "mb_h",
+        "seg_enabled", "seg_update_map", "seg_abs", "seg_quant", "seg_lf",
+        "seg_tree_probs",
+        "filter_type", "filter_level", "sharpness",
+        "lf_delta_enabled", "ref_lf_deltas", "mode_lf_deltas",
+        "y_ac_qi", "y_dc_delta", "y2_dc_delta", "y2_ac_delta",
+        "uv_dc_delta", "uv_ac_delta",
+        "coeff_probs", "use_skip", "skip_prob",
+        "partitions",
+    )
+
+
+def _flagged(bd: _Bool, bits: int) -> int:
+    """`flag → signed literal` pattern used throughout §9 (0 if absent)."""
+    return bd.signed_literal(bits) if bd.bit(128) else 0
+
+
+def _parse_header(body: bytes) -> tuple[_Header, _Bool]:
+    if len(body) < 10:
+        raise ValueError("VP8 chunk truncated before the frame header")
+    tag = body[0] | (body[1] << 8) | (body[2] << 16)
+    if tag & 1:
+        raise ValueError("VP8 interframe: WebP stills must be key frames")
+    version = (tag >> 1) & 7
+    if version > 3:
+        raise ValueError(f"VP8 version {version} out of spec")
+    first_part_size = tag >> 5
+    if body[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("VP8 key frame start code missing")
+    w_code, h_code = struct.unpack_from("<HH", body, 6)
+    h = _Header()
+    h.width, h.height = w_code & 0x3FFF, h_code & 0x3FFF
+    if not h.width or not h.height:
+        raise ValueError("VP8 frame has zero dimension")
+    if h.width * h.height > _MAX_PIXELS:
+        raise ValueError(
+            f"VP8 dimensions {h.width}x{h.height} exceed the "
+            f"{_MAX_PIXELS >> 20} Mpx per-symbol-decode cap"
+        )
+    h.mb_w, h.mb_h = (h.width + 15) >> 4, (h.height + 15) >> 4
+    part0_end = 10 + first_part_size
+    if part0_end > len(body):
+        raise ValueError("VP8 first partition overruns the payload")
+    bd = _Bool(body, 10, part0_end)
+
+    bd.literal(1)  # color_space (0 = YCbCr per spec; only value defined)
+    bd.literal(1)  # clamping_type (reconstruction clamps either way)
+
+    # §9.3 segmentation
+    h.seg_enabled = bd.bit(128)
+    h.seg_update_map = 0
+    h.seg_abs = 0
+    h.seg_quant = [0, 0, 0, 0]
+    h.seg_lf = [0, 0, 0, 0]
+    h.seg_tree_probs = [255, 255, 255]
+    if h.seg_enabled:
+        h.seg_update_map = bd.bit(128)
+        update_data = bd.bit(128)
+        if update_data:
+            h.seg_abs = bd.bit(128)
+            h.seg_quant = [_flagged(bd, 7) for _ in range(4)]
+            h.seg_lf = [_flagged(bd, 6) for _ in range(4)]
+        if h.seg_update_map:
+            h.seg_tree_probs = [
+                bd.literal(8) if bd.bit(128) else 255 for _ in range(3)
+            ]
+
+    # §9.4 loop filter
+    h.filter_type = bd.bit(128)  # 1 = simple
+    h.filter_level = bd.literal(6)
+    h.sharpness = bd.literal(3)
+    h.lf_delta_enabled = bd.bit(128)
+    h.ref_lf_deltas = [0, 0, 0, 0]
+    h.mode_lf_deltas = [0, 0, 0, 0]
+    if h.lf_delta_enabled and bd.bit(128):  # mode_ref_lf_delta_update
+        h.ref_lf_deltas = [_flagged(bd, 6) for _ in range(4)]
+        h.mode_lf_deltas = [_flagged(bd, 6) for _ in range(4)]
+
+    # §9.5 token partitions: sizes are 3-byte LE ints AFTER partition 0
+    n_parts = 1 << bd.literal(2)
+    part_area = body[part0_end:]
+    sizes_len = 3 * (n_parts - 1)
+    if len(part_area) < sizes_len:
+        raise ValueError("VP8 token partition size table truncated")
+    h.partitions = []
+    off = sizes_len
+    for i in range(n_parts):
+        if i < n_parts - 1:
+            sz = (part_area[3 * i] | (part_area[3 * i + 1] << 8)
+                  | (part_area[3 * i + 2] << 16))
+        else:
+            sz = len(part_area) - off
+        if sz < 0 or off + sz > len(part_area):
+            raise ValueError("VP8 token partition overruns the payload")
+        h.partitions.append(
+            _Bool(body, part0_end + off, part0_end + off + sz)
+        )
+        off += sz
+
+    # §9.6 quantizer indices
+    h.y_ac_qi = bd.literal(7)
+    h.y_dc_delta = _flagged(bd, 4)
+    h.y2_dc_delta = _flagged(bd, 4)
+    h.y2_ac_delta = _flagged(bd, 4)
+    h.uv_dc_delta = _flagged(bd, 4)
+    h.uv_ac_delta = _flagged(bd, 4)
+
+    bd.bit(128)  # refresh_entropy_probs: no-op for a single key frame
+
+    # §13.4 token probability updates over the spec defaults
+    probs = list(_COEFF_PROBS)
+    for i in range(1056):
+        if bd.bit(_COEFF_UPDATE_PROBS[i]):
+            probs[i] = bd.literal(8)
+    h.coeff_probs = probs
+
+    h.use_skip = bd.bit(128)
+    h.skip_prob = bd.literal(8) if h.use_skip else 0
+    if bd.overrun > 2:
+        raise ValueError("VP8 first partition truncated (header overread)")
+    return h, bd
+
+
+def _dequant_factors(h: _Header):
+    """Per-segment (y1dc, y1ac, y2dc, y2ac, uvdc, uvac) — §14.1 with the
+    index clamps the spec mandates (uv-dc index saturates at 117)."""
+    out = []
+    for seg in range(4):
+        if h.seg_enabled:
+            base = h.seg_quant[seg] if h.seg_abs \
+                else h.y_ac_qi + h.seg_quant[seg]
+        else:
+            base = h.y_ac_qi
+        base = _clip127(base)
+        y1dc = _DC_QLOOKUP[_clip127(base + h.y_dc_delta)]
+        y1ac = _AC_QLOOKUP[base]
+        y2dc = _DC_QLOOKUP[_clip127(base + h.y2_dc_delta)] * 2
+        y2ac = (_AC_QLOOKUP[_clip127(base + h.y2_ac_delta)] * 155) // 100
+        if y2ac < 8:
+            y2ac = 8
+        uvdc_i = base + h.uv_dc_delta
+        uvdc = _DC_QLOOKUP[0 if uvdc_i < 0 else (117 if uvdc_i > 117 else uvdc_i)]
+        uvac = _AC_QLOOKUP[_clip127(base + h.uv_ac_delta)]
+        out.append((y1dc, y1ac, y2dc, y2ac, uvdc, uvac))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Residual / token decoding (§13)
+# --------------------------------------------------------------------------
+
+def _decode_coeffs(bd: _Bool, probs, plane: int, ctx: int, first: int,
+                   dq_dc: int, dq_ac: int, out) -> int:
+    """Decode one 4x4 block's tokens into out[16] (zigzag-ordered store).
+    Returns 1 if any coefficient is nonzero (the neighbor context)."""
+    p_base = plane * 264  # 8 bands * 3 ctx * 11
+    n = first
+    nz = 0
+    start = 0  # tree start; 2 after a zero token (no EOB after a zero)
+    while n < 16:
+        p = p_base + _BANDS[n] * 33 + ctx * 11
+        tok = bd.tree(_TOKEN_TREE, probs[p:p + 11], start)
+        if tok == _EOB_TOK:
+            break
+        if tok == 0:
+            ctx = 0
+            start = 2
+            n += 1
+            continue
+        start = 0
+        if tok <= 4:
+            val = tok
+            ctx = 1 if val == 1 else 2
+        else:
+            extra = 0
+            for pr in _CAT_PROBS[tok]:
+                extra = (extra << 1) | bd.bit(pr)
+            val = tok + extra
+            ctx = 2
+        if bd.bit(128):  # sign
+            val = -val
+        out[_ZIGZAG[n]] = val * (dq_dc if n == 0 else dq_ac)
+        nz = 1
+        n += 1
+    return nz
+
+
+# --------------------------------------------------------------------------
+# Inverse transforms (§14.3) — exact integer arithmetic.
+# --------------------------------------------------------------------------
+
+def _mul1(a: int) -> int:
+    return ((a * 20091) >> 16) + a
+
+
+def _mul2(a: int) -> int:
+    return (a * 35468) >> 16
+
+
+def _idct4x4_add(coeffs, dst, y0: int, x0: int) -> None:
+    """in-place: dst[y0:y0+4, x0:x0+4] += IDCT(coeffs), clamped to u8."""
+    tmp = [0] * 16
+    for i in range(4):
+        a = coeffs[i] + coeffs[8 + i]
+        b = coeffs[i] - coeffs[8 + i]
+        c = _mul2(coeffs[4 + i]) - _mul1(coeffs[12 + i])
+        d = _mul1(coeffs[4 + i]) + _mul2(coeffs[12 + i])
+        tmp[i] = a + d
+        tmp[12 + i] = a - d
+        tmp[4 + i] = b + c
+        tmp[8 + i] = b - c
+    for i in range(4):
+        dc = tmp[4 * i] + 4
+        a = dc + tmp[4 * i + 2]
+        b = dc - tmp[4 * i + 2]
+        c = _mul2(tmp[4 * i + 1]) - _mul1(tmp[4 * i + 3])
+        d = _mul1(tmp[4 * i + 1]) + _mul2(tmp[4 * i + 3])
+        row = dst[y0 + i]
+        for j, v in ((0, a + d), (1, b + c), (2, b - c), (3, a - d)):
+            px = row[x0 + j] + (v >> 3)
+            row[x0 + j] = 0 if px < 0 else (255 if px > 255 else px)
+
+
+def _iwht4x4(coeffs) -> list:
+    """§14.3 inverse Walsh-Hadamard: Y2 block → the 16 luma DC values."""
+    tmp = [0] * 16
+    for i in range(4):
+        a0 = coeffs[i] + coeffs[12 + i]
+        a1 = coeffs[4 + i] + coeffs[8 + i]
+        a2 = coeffs[4 + i] - coeffs[8 + i]
+        a3 = coeffs[i] - coeffs[12 + i]
+        tmp[i] = a0 + a1
+        tmp[8 + i] = a0 - a1
+        tmp[4 + i] = a3 + a2
+        tmp[12 + i] = a3 - a2
+    out = [0] * 16
+    for i in range(4):
+        dc = tmp[4 * i] + 3
+        a0 = dc + tmp[4 * i + 3]
+        a1 = tmp[4 * i + 1] + tmp[4 * i + 2]
+        a2 = tmp[4 * i + 1] - tmp[4 * i + 2]
+        a3 = dc - tmp[4 * i + 3]
+        out[4 * i] = (a0 + a1) >> 3
+        out[4 * i + 1] = (a3 + a2) >> 3
+        out[4 * i + 2] = (a0 - a1) >> 3
+        out[4 * i + 3] = (a3 - a2) >> 3
+    return out
+
+
+# --------------------------------------------------------------------------
+# Intra prediction (§12).  Planes are padded lists-of-lists: one left
+# column (129) and one top row (127, covering the corner and a 4-pixel
+# top-right spill for the 4x4 down-left modes) — exactly the synthetic
+# border values the spec assigns to off-frame samples.
+# --------------------------------------------------------------------------
+
+def _avg2(a: int, b: int) -> int:
+    return (a + b + 1) >> 1
+
+
+def _avg3(a: int, b: int, c: int) -> int:
+    return (a + 2 * b + c + 2) >> 2
+
+
+def _clip255(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _pred_block(plane, y0: int, x0: int, size: int, mode: int,
+                have_above: bool, have_left: bool) -> None:
+    """Whole-block (16x16 luma / 8x8 chroma) prediction into plane.  DC
+    special-cases sample availability (§12.2); V/H/TM read the synthetic
+    127/129 borders."""
+    above = plane[y0 - 1]
+    if mode == _DC_PRED:
+        if have_above and have_left:
+            s = sum(above[x0:x0 + size]) \
+                + sum(plane[y0 + r][x0 - 1] for r in range(size))
+            dc = (s + size) >> (5 if size == 16 else 4)
+        elif have_above:
+            s = sum(above[x0:x0 + size])
+            dc = (s + (size >> 1)) >> (4 if size == 16 else 3)
+        elif have_left:
+            s = sum(plane[y0 + r][x0 - 1] for r in range(size))
+            dc = (s + (size >> 1)) >> (4 if size == 16 else 3)
+        else:
+            dc = 128
+        for r in range(size):
+            row = plane[y0 + r]
+            for c in range(size):
+                row[x0 + c] = dc
+    elif mode == _V_PRED:
+        src = above[x0:x0 + size]
+        for r in range(size):
+            plane[y0 + r][x0:x0 + size] = src
+    elif mode == _H_PRED:
+        for r in range(size):
+            row = plane[y0 + r]
+            v = row[x0 - 1]
+            for c in range(size):
+                row[x0 + c] = v
+    else:  # _TM_PRED
+        corner = above[x0 - 1]
+        top = above[x0:x0 + size]
+        for r in range(size):
+            row = plane[y0 + r]
+            left = row[x0 - 1]
+            base = left - corner
+            for c in range(size):
+                row[x0 + c] = _clip255(base + top[c])
+
+
+def _pred_b4(plane, y0: int, x0: int, mode: int, ar) -> None:
+    """4x4 sub-block prediction (§12.3).  ``ar`` is the 4-sample
+    above-right row (resolved by the caller per the spec's replication
+    rules for the MB's right column)."""
+    above = plane[y0 - 1]
+    al = above[x0 - 1]
+    a = above[x0:x0 + 4]
+    left = [plane[y0 + r][x0 - 1] for r in range(4)]
+    out = [[0] * 4 for _ in range(4)]
+    if mode == _B_DC:
+        dc = (sum(a) + sum(left) + 4) >> 3
+        for r in range(4):
+            for c in range(4):
+                out[r][c] = dc
+    elif mode == _B_TM:
+        for r in range(4):
+            base = left[r] - al
+            for c in range(4):
+                out[r][c] = _clip255(base + a[c])
+    elif mode == _B_VE:
+        row6 = [al, a[0], a[1], a[2], a[3], ar[0]]
+        vals = [_avg3(row6[i], row6[i + 1], row6[i + 2]) for i in range(4)]
+        for r in range(4):
+            out[r] = vals[:]
+    elif mode == _B_HE:
+        col6 = [al, left[0], left[1], left[2], left[3], left[3]]
+        for r in range(4):
+            v = _avg3(col6[r], col6[r + 1], col6[r + 2])
+            out[r] = [v, v, v, v]
+    elif mode == _B_LD:
+        t = [a[0], a[1], a[2], a[3], ar[0], ar[1], ar[2], ar[3]]
+        for r in range(4):
+            for c in range(4):
+                i = r + c
+                out[r][c] = _avg3(t[i], t[i + 1], t[i + 2]) if i < 6 \
+                    else _avg3(t[6], t[7], t[7])
+    elif mode == _B_RD:
+        i_, j_, k_, l_ = left
+        x_, a_, b_, c_, d_ = al, a[0], a[1], a[2], a[3]
+        out[3][0] = _avg3(j_, k_, l_)
+        out[2][0] = out[3][1] = _avg3(i_, j_, k_)
+        out[1][0] = out[2][1] = out[3][2] = _avg3(x_, i_, j_)
+        out[0][0] = out[1][1] = out[2][2] = out[3][3] = _avg3(a_, x_, i_)
+        out[0][1] = out[1][2] = out[2][3] = _avg3(b_, a_, x_)
+        out[0][2] = out[1][3] = _avg3(c_, b_, a_)
+        out[0][3] = _avg3(d_, c_, b_)
+    elif mode == _B_VR:
+        i_, j_, k_, l_ = left
+        x_, a_, b_, c_, d_ = al, a[0], a[1], a[2], a[3]
+        out[0][0] = out[2][1] = _avg2(x_, a_)
+        out[0][1] = out[2][2] = _avg2(a_, b_)
+        out[0][2] = out[2][3] = _avg2(b_, c_)
+        out[0][3] = _avg2(c_, d_)
+        out[3][0] = _avg3(k_, j_, i_)
+        out[2][0] = _avg3(j_, i_, x_)
+        out[1][0] = out[3][1] = _avg3(i_, x_, a_)
+        out[1][1] = out[3][2] = _avg3(x_, a_, b_)
+        out[1][2] = out[3][3] = _avg3(a_, b_, c_)
+        out[1][3] = _avg3(b_, c_, d_)
+    elif mode == _B_VL:
+        t = [a[0], a[1], a[2], a[3], ar[0], ar[1], ar[2], ar[3]]
+        out[0][0] = _avg2(t[0], t[1])
+        out[0][1] = out[2][0] = _avg2(t[1], t[2])
+        out[0][2] = out[2][1] = _avg2(t[2], t[3])
+        out[0][3] = out[2][2] = _avg2(t[3], t[4])
+        out[1][0] = _avg3(t[0], t[1], t[2])
+        out[1][1] = out[3][0] = _avg3(t[1], t[2], t[3])
+        out[1][2] = out[3][1] = _avg3(t[2], t[3], t[4])
+        out[1][3] = out[3][2] = _avg3(t[3], t[4], t[5])
+        out[2][3] = _avg3(t[4], t[5], t[6])
+        out[3][3] = _avg3(t[5], t[6], t[7])
+    elif mode == _B_HD:
+        i_, j_, k_, l_ = left
+        x_, a_, b_, c_ = al, a[0], a[1], a[2]
+        out[0][0] = out[1][2] = _avg2(i_, x_)
+        out[1][0] = out[2][2] = _avg2(j_, i_)
+        out[2][0] = out[3][2] = _avg2(k_, j_)
+        out[3][0] = _avg2(l_, k_)
+        out[0][3] = _avg3(a_, b_, c_)
+        out[0][2] = _avg3(x_, a_, b_)
+        out[0][1] = out[1][3] = _avg3(i_, x_, a_)
+        out[1][1] = out[2][3] = _avg3(x_, i_, j_)
+        out[2][1] = out[3][3] = _avg3(i_, j_, k_)
+        out[3][1] = _avg3(j_, k_, l_)
+    elif mode == _B_HU:
+        i_, j_, k_, l_ = left
+        out[0][0] = _avg2(i_, j_)
+        out[1][0] = out[0][2] = _avg2(j_, k_)
+        out[2][0] = out[1][2] = _avg2(k_, l_)
+        out[0][1] = _avg3(i_, j_, k_)
+        out[1][1] = out[0][3] = _avg3(j_, k_, l_)
+        out[2][1] = out[1][3] = _avg3(k_, l_, l_)
+        out[2][2] = out[2][3] = out[3][0] = out[3][1] = out[3][2] = \
+            out[3][3] = l_
+    else:
+        raise ValueError(f"VP8 sub-block mode {mode} out of spec")
+    for r in range(4):
+        plane[y0 + r][x0:x0 + 4] = out[r]
+
+
+# --------------------------------------------------------------------------
+# In-loop deblocking filter (§15) — applied after full-frame
+# reconstruction (intra prediction reads unfiltered samples), MB raster
+# order, vertical edges before horizontal, exactly the spec sequence.
+# --------------------------------------------------------------------------
+
+def _sclip(v: int, b: int) -> int:
+    return -b if v < -b else (b - 1 if v > b - 1 else v)
+
+
+def _filter2(get, put) -> None:
+    """common 2-tap adjust (simple filter & high-edge-variance path)."""
+    p1, p0, q0, q1 = get(-2), get(-1), get(0), get(1)
+    a = _sclip(3 * (q0 - p0) + _sclip(p1 - q1, 128), 128)
+    a1 = _sclip((a + 4) >> 3, 16)
+    a2 = _sclip((a + 3) >> 3, 16)
+    put(-1, _clip255(p0 + a2))
+    put(0, _clip255(q0 - a1))
+
+
+def _filter4(get, put) -> None:
+    p1, p0, q0, q1 = get(-2), get(-1), get(0), get(1)
+    a = 3 * (q0 - p0)
+    a1 = _sclip((a + 4) >> 3, 16)
+    a2 = _sclip((a + 3) >> 3, 16)
+    a3 = (a1 + 1) >> 1
+    put(-2, _clip255(p1 + a3))
+    put(-1, _clip255(p0 + a2))
+    put(0, _clip255(q0 - a1))
+    put(1, _clip255(q1 - a3))
+
+
+def _filter6(get, put) -> None:
+    p2, p1, p0 = get(-3), get(-2), get(-1)
+    q0, q1, q2 = get(0), get(1), get(2)
+    a = _sclip(3 * (q0 - p0) + _sclip(p1 - q1, 128), 128)
+    a1 = (27 * a + 63) >> 7
+    a2 = (18 * a + 63) >> 7
+    a3 = (9 * a + 63) >> 7
+    put(-3, _clip255(p2 + a3))
+    put(-2, _clip255(p1 + a2))
+    put(-1, _clip255(p0 + a1))
+    put(0, _clip255(q0 - a1))
+    put(1, _clip255(q1 - a2))
+    put(2, _clip255(q2 - a3))
+
+
+def _hev(get, thresh: int) -> bool:
+    return abs(get(-2) - get(-1)) > thresh or abs(get(1) - get(0)) > thresh
+
+
+def _needs_filter(get, limit: int) -> bool:
+    return 4 * abs(get(-1) - get(0)) + abs(get(-2) - get(1)) <= 2 * limit + 1
+
+
+def _needs_filter2(get, limit: int, ilimit: int) -> bool:
+    p3, p2, p1, p0 = get(-4), get(-3), get(-2), get(-1)
+    q0, q1, q2, q3 = get(0), get(1), get(2), get(3)
+    if 4 * abs(p0 - q0) + abs(p1 - q1) > 2 * limit + 1:
+        return False
+    return (abs(p3 - p2) <= ilimit and abs(p2 - p1) <= ilimit
+            and abs(p1 - p0) <= ilimit and abs(q3 - q2) <= ilimit
+            and abs(q2 - q1) <= ilimit and abs(q1 - q0) <= ilimit)
+
+
+def _edge_accessors(plane, vertical: bool, edge: int, lane: int):
+    """samples across a vertical edge (column `edge`, row `lane`) or a
+    horizontal edge (row `edge`, column `lane`): get(i)/put(i) address
+    the i-th sample past the edge (negative = before)."""
+    if vertical:
+        row = plane[lane]
+
+        def get(i: int) -> int:
+            return row[edge + i]
+
+        def put(i: int, v: int) -> None:
+            row[edge + i] = v
+    else:
+        def get(i: int) -> int:
+            return plane[edge + i][lane]
+
+        def put(i: int, v: int) -> None:
+            plane[edge + i][lane] = v
+    return get, put
+
+
+def _filter_edge(plane, vertical: bool, edge: int, lanes, limit: int,
+                 ilimit: int, hev_t: int, mb_edge: bool) -> None:
+    for lane in lanes:
+        get, put = _edge_accessors(plane, vertical, edge, lane)
+        if not _needs_filter2(get, limit, ilimit):
+            continue
+        if _hev(get, hev_t):
+            _filter2(get, put)
+        elif mb_edge:
+            _filter6(get, put)
+        else:
+            _filter4(get, put)
+
+
+def _filter_edge_simple(plane, vertical: bool, edge: int, lanes,
+                        limit: int) -> None:
+    for lane in lanes:
+        get, put = _edge_accessors(plane, vertical, edge, lane)
+        if _needs_filter(get, limit):
+            _filter2(get, put)
+
+
+def _loop_filter(h: _Header, planes, mb_meta) -> None:
+    """§15: per-MB filter strengths from header level + segment + delta
+    adjustments, then the edge sequence (left MB edge, interior vertical,
+    top MB edge, interior horizontal; luma + chroma for the normal
+    filter)."""
+    y, u, v = planes
+    for mb_y in range(h.mb_h):
+        for mb_x in range(h.mb_w):
+            seg, is_b_pred, has_coeffs = mb_meta[mb_y * h.mb_w + mb_x]
+            level = h.seg_lf[seg] if (h.seg_enabled and h.seg_abs) else \
+                h.filter_level + (h.seg_lf[seg] if h.seg_enabled else 0)
+            if h.lf_delta_enabled:
+                level += h.ref_lf_deltas[0]  # key frame: intra ref
+                if is_b_pred:
+                    level += h.mode_lf_deltas[0]
+            level = 0 if level < 0 else (63 if level > 63 else level)
+            if level == 0:
+                continue
+            ilevel = level
+            if h.sharpness > 0:
+                ilevel >>= 2 if h.sharpness > 4 else 1
+                if ilevel > 9 - h.sharpness:
+                    ilevel = 9 - h.sharpness
+            if ilevel < 1:
+                ilevel = 1
+            limit = 2 * level + ilevel
+            hev_t = 2 if level >= 40 else (1 if level >= 15 else 0)
+            inner = has_coeffs or is_b_pred
+            yy, yx = 1 + mb_y * 16, 1 + mb_x * 16  # +1: plane pad offset
+            cy, cx = 1 + mb_y * 8, 1 + mb_x * 8
+            ylanes = range(yy, yy + 16)
+            clanes = range(cy, cy + 8)
+            if h.filter_type == 1:  # simple: luma only
+                if mb_x > 0:
+                    _filter_edge_simple(y, True, yx, ylanes, limit + 4)
+                if inner:
+                    for dx in (4, 8, 12):
+                        _filter_edge_simple(y, True, yx + dx, ylanes, limit)
+                if mb_y > 0:
+                    _filter_edge_simple(y, False, yy, range(yx, yx + 16),
+                                        limit + 4)
+                if inner:
+                    for dy in (4, 8, 12):
+                        _filter_edge_simple(y, False, yy + dy,
+                                            range(yx, yx + 16), limit)
+            else:
+                if mb_x > 0:
+                    _filter_edge(y, True, yx, ylanes, limit + 4, ilevel,
+                                 hev_t, True)
+                    for p in (u, v):
+                        _filter_edge(p, True, cx, clanes, limit + 4,
+                                     ilevel, hev_t, True)
+                if inner:
+                    for dx in (4, 8, 12):
+                        _filter_edge(y, True, yx + dx, ylanes, limit,
+                                     ilevel, hev_t, False)
+                    for p in (u, v):
+                        _filter_edge(p, True, cx + 4, clanes, limit,
+                                     ilevel, hev_t, False)
+                if mb_y > 0:
+                    _filter_edge(y, False, yy, range(yx, yx + 16),
+                                 limit + 4, ilevel, hev_t, True)
+                    for p in (u, v):
+                        _filter_edge(p, False, cy, range(cx, cx + 8),
+                                     limit + 4, ilevel, hev_t, True)
+                if inner:
+                    for dy in (4, 8, 12):
+                        _filter_edge(y, False, yy + dy, range(yx, yx + 16),
+                                     limit, ilevel, hev_t, False)
+                    for p in (u, v):
+                        _filter_edge(p, False, cy + 4, range(cx, cx + 8),
+                                     limit, ilevel, hev_t, False)
+
+
+# --------------------------------------------------------------------------
+# Frame decode (§11-§14): partition 0 carries every MB's prediction
+# record (raster order); DCT tokens live in the per-row token
+# partitions.  Key-frame neighbor contexts for 4x4 sub-block modes map
+# whole-MB modes to implied sub-modes (§11.3).
+# --------------------------------------------------------------------------
+
+_IMPLIED_SUB = {_DC_PRED: _B_DC, _V_PRED: _B_VE, _H_PRED: _B_HE,
+                _TM_PRED: _B_TM}
+
+# decoder mode id (tree-leaf order: DC,TM,VE,HE,LD,RD,VR,VL,HD,HU) →
+# _KF_BMODE_PROB row index (table order: DC,TM,VE,HE,RD,VR,LD,VL,HD,HU)
+_CTX_ROW = (0, 1, 2, 3, 6, 4, 5, 7, 8, 9)
+
+
+def _parse_modes(h: _Header, bd: _Bool):
+    """First pass over partition 0: per-MB (segment, skip, ymode,
+    sub-modes, uv_mode) for the whole frame."""
+    mbs = []
+    above_sub = [[_B_DC] * 4 for _ in range(h.mb_w)]
+    for _ in range(h.mb_h):
+        left_sub = [_B_DC] * 4
+        for mb_x in range(h.mb_w):
+            seg = bd.tree(_MB_SEGMENT_TREE, h.seg_tree_probs) \
+                if h.seg_update_map else 0
+            skip = bd.bit(h.skip_prob) if h.use_skip else 0
+            ymode = bd.tree(_KF_YMODE_TREE, _KF_YMODE_PROB)
+            if ymode == _B_PRED:
+                sub = [0] * 16
+                for i in range(16):
+                    a = above_sub[mb_x][i & 3] if i < 4 else sub[i - 4]
+                    l = left_sub[i >> 2] if (i & 3) == 0 else sub[i - 1]
+                    # _KF_BMODE_PROB rows are laid out in the spec table's
+                    # own sub-mode numbering, which orders RD/VR before
+                    # LD/VL — _CTX_ROW translates this decoder's mode ids
+                    # (tree-leaf order) to row indices
+                    row = (_CTX_ROW[a] * 10 + _CTX_ROW[l]) * 9
+                    sub[i] = bd.tree(_BMODE_TREE,
+                                     _KF_BMODE_PROB[row:row + 9])
+                above_sub[mb_x] = sub[12:16]
+                left_sub = [sub[3], sub[7], sub[11], sub[15]]
+            else:
+                imp = _IMPLIED_SUB[ymode]
+                sub = [imp] * 16
+                above_sub[mb_x] = [imp] * 4
+                left_sub = [imp] * 4
+            uv_mode = bd.tree(_UV_MODE_TREE, _KF_UV_MODE_PROB)
+            mbs.append((seg, skip, ymode, sub, uv_mode))
+    if bd.overrun > 2:
+        raise ValueError("VP8 mode partition truncated")
+    return mbs
+
+
+def _alloc_plane(rows: int, cols: int):
+    """Padded plane: top row 127 (corner + 4-col right spill included for
+    the 4x4 above-right reads), left column 129 — §12.2 border samples."""
+    plane = [[127] * (cols + 5)]
+    for _ in range(rows):
+        plane.append([129] + [0] * (cols + 4))
+    return plane
+
+
+def decode_vp8_yuv(body: bytes):
+    """Decode a ``VP8 `` chunk body to its (y, u, v) planes — uint8
+    numpy arrays of shape (H, W), (ceil(H/2), ceil(W/2)) x2.  This is
+    the surface pinned BIT-EXACT against libwebp's WebPDecodeYUV in
+    tests/test_vp8.py (post-loop-filter, pre-colorspace)."""
+    import numpy as np
+
+    h, bd = _parse_header(body)
+    mbs = _parse_modes(h, bd)
+    dq = _dequant_factors(h)
+    n_parts = len(h.partitions)
+
+    y_plane = _alloc_plane(h.mb_h * 16, h.mb_w * 16)
+    u_plane = _alloc_plane(h.mb_h * 8, h.mb_w * 8)
+    v_plane = _alloc_plane(h.mb_h * 8, h.mb_w * 8)
+
+    # nonzero contexts: per-plane-lane flags [4 y, 2 u, 2 v, 1 y2]
+    above_nz = [[0] * 9 for _ in range(h.mb_w)]
+    mb_meta = []
+    zero16 = [0] * 16
+    for mb_y in range(h.mb_h):
+        left_nz = [0] * 9
+        tok = h.partitions[mb_y % n_parts]
+        for mb_x in range(h.mb_w):
+            seg, skip, ymode, sub, uv_mode = mbs[mb_y * h.mb_w + mb_x]
+            y1dc, y1ac, y2dc, y2ac, uvdc, uvac = dq[seg]
+            a_nz = above_nz[mb_x]
+            has_y2 = ymode != _B_PRED
+            coeffs = [zero16[:] for _ in range(25)]  # 16 y, 4 u, 4 v, y2
+            any_nz = 0
+            if not skip:
+                if has_y2:
+                    ctx = a_nz[8] + left_nz[8]
+                    nz = _decode_coeffs(tok, h.coeff_probs, 1, ctx, 0,
+                                        y2dc, y2ac, coeffs[24])
+                    a_nz[8] = left_nz[8] = nz
+                    any_nz |= nz
+                    y_plane_type, first = 0, 1
+                else:
+                    y_plane_type, first = 3, 0
+                ynz = [[0] * 4 for _ in range(4)]
+                for i in range(16):
+                    r, c = i >> 2, i & 3
+                    up = a_nz[c] if r == 0 else ynz[r - 1][c]
+                    lf = left_nz[r] if c == 0 else ynz[r][c - 1]
+                    nz = _decode_coeffs(tok, h.coeff_probs, y_plane_type,
+                                        up + lf, first, y1dc, y1ac,
+                                        coeffs[i])
+                    ynz[r][c] = nz
+                    any_nz |= nz
+                for c in range(4):
+                    a_nz[c] = ynz[3][c]
+                for r in range(4):
+                    left_nz[r] = ynz[r][3]
+                for p, base in ((0, 16), (1, 20)):  # u then v
+                    cnz = [[0] * 2 for _ in range(2)]
+                    for i in range(4):
+                        r, c = i >> 1, i & 1
+                        up = a_nz[4 + 2 * p + c] if r == 0 else cnz[0][c]
+                        lf = left_nz[4 + 2 * p + r] if c == 0 else cnz[r][0]
+                        nz = _decode_coeffs(tok, h.coeff_probs, 2, up + lf,
+                                            0, uvdc, uvac, coeffs[base + i])
+                        cnz[r][c] = nz
+                        any_nz |= nz
+                    a_nz[4 + 2 * p] = cnz[1][0]
+                    a_nz[4 + 2 * p + 1] = cnz[1][1]
+                    left_nz[4 + 2 * p] = cnz[0][1]
+                    left_nz[4 + 2 * p + 1] = cnz[1][1]
+                if tok.overrun > 2:
+                    raise ValueError("VP8 token partition truncated")
+            else:
+                for i in range(8):
+                    a_nz[i] = left_nz[i] = 0
+                if has_y2:
+                    a_nz[8] = left_nz[8] = 0
+            if has_y2:
+                dcs = _iwht4x4(coeffs[24])
+                for i in range(16):
+                    coeffs[i][0] = dcs[i]
+            mb_meta.append((seg, ymode == _B_PRED, any_nz))
+
+            # ---- reconstruction (§12 + §14.4) ----
+            yy, yx = 1 + mb_y * 16, 1 + mb_x * 16
+            if ymode == _B_PRED:
+                # right-column above-right handling: replicate the above
+                # MB's rightmost sample into the 4-col spill for the
+                # frame's last MB column (§12.3 / reference decoder)
+                if mb_x == h.mb_w - 1 and mb_y > 0:
+                    edge = y_plane[yy - 1]
+                    edge[yx + 16:yx + 20] = [edge[yx + 15]] * 4
+                mb_tr = y_plane[yy - 1][yx + 16:yx + 20]
+                for i in range(16):
+                    r, c = i >> 2, i & 3
+                    by, bx = yy + 4 * r, yx + 4 * c
+                    ar = mb_tr if c == 3 else y_plane[by - 1][bx + 4:bx + 8]
+                    _pred_b4(y_plane, by, bx, sub[i], ar)
+                    _idct4x4_add(coeffs[i], y_plane, by, bx)
+            else:
+                _pred_block(y_plane, yy, yx, 16, ymode,
+                            mb_y > 0, mb_x > 0)
+                for i in range(16):
+                    _idct4x4_add(coeffs[i], y_plane,
+                                 yy + 4 * (i >> 2), yx + 4 * (i & 3))
+            cy, cx = 1 + mb_y * 8, 1 + mb_x * 8
+            for p, plane in ((0, u_plane), (1, v_plane)):
+                _pred_block(plane, cy, cx, 8, uv_mode, mb_y > 0, mb_x > 0)
+                for i in range(4):
+                    _idct4x4_add(coeffs[16 + 4 * p + i], plane,
+                                 cy + 4 * (i >> 1), cx + 4 * (i & 1))
+
+    if h.filter_level > 0:
+        _loop_filter(h, (y_plane, u_plane, v_plane), mb_meta)
+
+    cw, ch = (h.width + 1) >> 1, (h.height + 1) >> 1
+    y = np.array([row[1:1 + h.width] for row in y_plane[1:1 + h.height]],
+                 dtype=np.uint8)
+    u = np.array([row[1:1 + cw] for row in u_plane[1:1 + ch]],
+                 dtype=np.uint8)
+    v = np.array([row[1:1 + cw] for row in v_plane[1:1 + ch]],
+                 dtype=np.uint8)
+    return y, u, v
