@@ -1871,10 +1871,10 @@ def _decode_image_real(payload: bytes, width: int, height: int):
     huffman JPEG (decode_jpeg), TIFF incl. LZW/Deflate/PackBits/JPEG
     strips (decode_tiff), GIF (decode_gif), and lossless WebP
     (webp.decode_webp — VP8L prefix codes + LZ77 + color cache + all
-    four transforms) all decode IN-CONTAINER with a nearest-neighbor
-    resize; the one remaining gated format (lossy VP8 WebP) requires a
-    codec library, absent here, and degrades to the deterministic fake
-    rather than crashing."""
+    four transforms) and lossy VP8 WebP (vp8.decode_vp8_yuv — boolean
+    arithmetic coding, intra prediction, loop filter) all decode
+    IN-CONTAINER with a nearest-neighbor resize; no image format is
+    gated any more."""
     img = None
     if payload[:2] == b"BM":
         img = decode_bmp(payload)
@@ -1887,7 +1887,7 @@ def _decode_image_real(payload: bytes, width: int, height: int):
     elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from .webp import decode_webp
 
-        img = decode_webp(payload)  # VP8L native; lossy VP8 raises NIE
+        img = decode_webp(payload)  # VP8L and lossy VP8 both native
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         img = decode_gif(payload)
     if img is not None:
@@ -1903,9 +1903,9 @@ def _decode_image_real(payload: bytes, width: int, height: int):
         raise NotImplementedError(
             "remaining exotic image formats require pillow; deterministic "
             "fake used instead (BMP, TIFF incl. LZW/Deflate/PackBits/JPEG "
-            "strips, 8-bit PNG, baseline/progressive JPEG, GIF, and "
-            "lossless WebP decode natively — decode_bmp/decode_tiff/"
-            "decode_png/decode_jpeg/decode_gif/decode_webp)"
+            "strips, 8-bit PNG, baseline/progressive JPEG, GIF, and WebP "
+            "— lossless AND lossy — decode natively: decode_bmp/"
+            "decode_tiff/decode_png/decode_jpeg/decode_gif/decode_webp)"
         ) from exc
     raise NotImplementedError("real decode wired at deploy time")
 

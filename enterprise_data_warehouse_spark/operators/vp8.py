@@ -1231,3 +1231,58 @@ def decode_vp8_yuv(body: bytes):
     v = np.array([row[1:1 + cw] for row in v_plane[1:1 + ch]],
                  dtype=np.uint8)
     return y, u, v
+
+
+# --------------------------------------------------------------------------
+# YUV 4:2:0 → RGBA (the WebP still-image output convention): bilinear
+# "fancy" chroma upsampling (9-3-3-1/16 taps, sample centers at half-pel
+# offsets, edge-replicated) followed by the fixed-point BT.601
+# studio-swing matrix.  Vectorized numpy; pinned bit-exact against the
+# reference decoder's RGBA output in tests/test_vp8.py.
+# --------------------------------------------------------------------------
+
+def _upsample_fancy(c, H: int, W: int):
+    """(ch, cw) chroma plane → (H, W) int32, bilinear with 9/3/3/1
+    weights and edge replication (chroma centers at (2i+.5, 2j+.5))."""
+    import numpy as np
+
+    c = c.astype(np.int32)
+    ch, cw = c.shape
+    # index of the near (weight 3/4) and far (weight 1/4) chroma sample
+    # per output coordinate, clamped at the frame edge
+    ys = np.arange(H)
+    xs = np.arange(W)
+    near_y = ys >> 1
+    far_y = np.clip(np.where(ys & 1, (ys >> 1) + 1, (ys >> 1) - 1), 0, ch - 1)
+    near_x = xs >> 1
+    far_x = np.clip(np.where(xs & 1, (xs >> 1) + 1, (xs >> 1) - 1), 0, cw - 1)
+    nn = c[np.ix_(near_y, near_x)] * 9
+    nf = c[np.ix_(near_y, far_x)] * 3
+    fn = c[np.ix_(far_y, near_x)] * 3
+    ff = c[np.ix_(far_y, far_x)]
+    return (nn + nf + fn + ff + 8) >> 4
+
+
+def yuv420_to_rgba(y, u, v):
+    """(H,W) luma + (ch,cw) chroma planes → (H, W, 4) uint8 RGBA via the
+    fixed-point conversion (coefficients are the BT.601 studio-swing
+    matrix in 14-bit fixed point, output in 6-bit headroom)."""
+    import numpy as np
+
+    H, W = y.shape
+    yy = y.astype(np.int32)
+    uu = _upsample_fancy(u, H, W)
+    vv = _upsample_fancy(v, H, W)
+
+    def mulhi(a, coeff):
+        return (a * coeff) >> 8
+
+    ybase = mulhi(yy, 19077)
+    r = ybase + mulhi(vv, 26149) - 14234
+    g = ybase - mulhi(uu, 6419) - mulhi(vv, 13320) + 8708
+    b = ybase + mulhi(uu, 33050) - 17685
+    out = np.empty((H, W, 4), np.uint8)
+    for i, ch in enumerate((r, g, b)):
+        out[:, :, i] = np.clip(ch, 0, (256 << 6) - 1) >> 6
+    out[:, :, 3] = 255
+    return out

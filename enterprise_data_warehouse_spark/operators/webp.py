@@ -5,8 +5,9 @@ Closes the WebP leg of the multimodal decode gate (see
 LZ77 backward references + a color cache + four reversible transforms
 (predictor / cross-color / subtract-green / color-indexing), all
 implementable exactly without a codec library. The LOSSY ``VP8 `` leg
-(boolean arithmetic coding + loop filter) stays behind a
-``NotImplementedError`` gate — that is a genuinely different codec.
+(boolean arithmetic coding + intra prediction + loop filter) decodes
+natively too — vp8.py, pinned bit-exact against the reference decoder
+at both the YUV and RGBA surfaces.
 
 Wire format per the public container/bitstream specs (RFC 9649; the
 format is also documented at developers.google.com/speed/webp). The
@@ -542,11 +543,12 @@ def _decode_vp8l(body: bytes):
 
 
 def decode_webp(payload: bytes):
-    """REAL image decode for LOSSLESS WebP — walks the RIFF container to
-    the VP8L chunk and entropy-decodes it with the pure-python/numpy
-    pipeline above. Returns (H, W, 4) uint8 RGBA. Lossy ``VP8 `` streams
-    raise ``NotImplementedError`` (a different codec: boolean arithmetic
-    coding); malformed containers raise ``ValueError``."""
+    """REAL image decode for WebP — walks the RIFF container and decodes
+    lossless ``VP8L`` with the pure-python/numpy pipeline above, or
+    lossy ``VP8 `` key frames with the native vp8.py decoder (bool
+    arithmetic coding + intra prediction + loop filter + fancy-upsample
+    RGBA conversion, reference-pinned bit-exact). Returns (H, W, 4)
+    uint8 RGBA; malformed containers raise ``ValueError``."""
     import struct
 
     if len(payload) < 16 or payload[:4] != b"RIFF" \
@@ -562,9 +564,8 @@ def decode_webp(payload: bytes):
         if fourcc == b"VP8L":
             return _decode_vp8l(payload[body:body + size])
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8 arithmetic coding) requires a codec "
-                "library; lossless VP8L decodes natively — decode_webp"
-            )
+            from .vp8 import decode_vp8_yuv, yuv420_to_rgba
+
+            return yuv420_to_rgba(*decode_vp8_yuv(payload[body:body + size]))
         pos = body + size + (size & 1)  # chunks pad to even offsets
     raise ValueError("WebP container has no VP8L/VP8 image chunk")

@@ -200,11 +200,13 @@ def test_non_webp_and_empty_rejected():
         decode_webp(b"RIFF\x06\x00\x00\x00WEBPXXXX\x00\x00\x00\x00")
 
 
-def test_lossy_vp8_is_gated_not_crashed():
-    # minimal container declaring a lossy VP8 chunk
+def test_lossy_vp8_truncated_chunk_refused_cleanly():
+    """Lossy VP8 decodes natively now (tests/test_vp8.py pins it); a
+    truncated/garbage VP8 chunk must still refuse with ValueError, never
+    crash or hang — the same hostile-payload contract as VP8L."""
     lossy = (b"RIFF\x10\x00\x00\x00WEBP" + b"VP8 "
              + b"\x04\x00\x00\x00" + b"\x00" * 4)
-    with pytest.raises(NotImplementedError, match="lossy WebP"):
+    with pytest.raises(ValueError):
         decode_webp(lossy)
 
 
