@@ -473,21 +473,12 @@ def _inv_color_index(px: array, reduced_w: int, h: int, pbits: int,
     return out
 
 
-def _decode_vp8l(body: bytes):
-    """The VP8L chunk payload → (H, W, 4) uint8 RGBA."""
-    import numpy as np
-
-    if not body or body[0] != 0x2F:
-        raise ValueError("bad VP8L signature byte")
-    br = _Bits(body[1:])
-    w = br.u(14) + 1
-    h = br.u(14) + 1
-    br.u(1)  # alpha-is-used hint (informational)
-    if br.u(3) != 0:
-        raise ValueError("unknown VP8L bitstream version")
-    if w * h > _MAX_PIXELS:
-        raise ValueError(f"VP8L dimensions {w}x{h} out of bounds")
-
+def _decode_image_stream(br: _Bits, w: int, h: int) -> array:
+    """A VP8L *image stream* (transforms + entropy-coded pixels) with
+    known dimensions → flat row-major ARGB array.  Shared by the VP8L
+    chunk body (after its signature/size header) and the
+    lossless-compressed ``ALPH`` alpha plane, whose stream carries no
+    header (dimensions are implicit from the lossy frame)."""
     # transforms appear once each, in stream order; inverses apply in
     # REVERSE order. Color-indexing shrinks the coded width for
     # everything read after it (pixel bundling).
@@ -533,6 +524,24 @@ def _decode_vp8l(body: bytes):
             _inv_predictor(px, cur_w, h, t[1], t[2])
         else:
             _inv_color(px, cur_w, h, t[1], t[2])
+    return px
+
+
+def _decode_vp8l(body: bytes):
+    """The VP8L chunk payload → (H, W, 4) uint8 RGBA."""
+    import numpy as np
+
+    if not body or body[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    br = _Bits(body[1:])
+    w = br.u(14) + 1
+    h = br.u(14) + 1
+    br.u(1)  # alpha-is-used hint (informational)
+    if br.u(3) != 0:
+        raise ValueError("unknown VP8L bitstream version")
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"VP8L dimensions {w}x{h} out of bounds")
+    px = _decode_image_stream(br, w, h)
     argb = np.asarray(px, dtype=np.uint32).reshape(h, w)
     rgba = np.empty((h, w, 4), np.uint8)
     rgba[..., 0] = (argb >> 16) & 0xFF
@@ -540,6 +549,67 @@ def _decode_vp8l(body: bytes):
     rgba[..., 2] = argb & 0xFF
     rgba[..., 3] = argb >> 24
     return rgba
+
+
+def _decode_alpha(body: bytes, w: int, h: int):
+    """``ALPH`` chunk (lossy-with-alpha, VP8X container) → (H, W) uint8
+    alpha plane.  Compression 0 is a raw row-major plane; compression 1
+    is a header-less VP8L image stream whose GREEN channel carries the
+    alpha values.  Filtering methods 1-3 (horizontal / vertical /
+    gradient) are inverted exactly per the container spec; nonzero
+    reserved bits or unknown methods are refused — decode exactly or
+    refuse, never drop an alpha plane silently."""
+    import numpy as np
+
+    if not body:
+        raise ValueError("WebP ALPH chunk is empty")
+    hdr = body[0]
+    comp = hdr & 3
+    filt = (hdr >> 2) & 3
+    pre = (hdr >> 4) & 3
+    if (hdr >> 6) or comp > 1 or pre > 1:
+        raise ValueError("WebP ALPH header out of spec")
+    data = body[1:]
+    if comp == 0:
+        if len(data) < w * h:
+            raise ValueError("WebP ALPH raw plane truncated")
+        alpha = np.frombuffer(data[:w * h], np.uint8).reshape(h, w)
+        alpha = alpha.astype(np.int32)
+    else:
+        px = _decode_image_stream(_Bits(data), w, h)
+        alpha = ((np.asarray(px, dtype=np.uint32).reshape(h, w) >> 8)
+                 & 0xFF).astype(np.int32)
+    if filt == 0:
+        return alpha.astype(np.uint8)
+    out = np.zeros((h, w), np.int32)
+    # row 0 is always horizontally predicted from a 0 seed
+    acc = 0
+    for x in range(w):
+        acc = (acc + alpha[0, x]) & 0xFF
+        out[0, x] = acc
+    if filt == 1:  # horizontal: left; leftmost pixel predicts from above
+        for y in range(1, h):
+            acc = out[y - 1, 0]
+            row = alpha[y]
+            for x in range(w):
+                acc = (acc + row[x]) & 0xFF
+                out[y, x] = acc
+    elif filt == 2:  # vertical: above (vectorized running sum mod 256)
+        out[1:] = alpha[1:]
+        out[:] = np.cumsum(out, axis=0, dtype=np.int64) & 0xFF
+    else:  # gradient: clip(left + above - above-left)
+        for y in range(1, h):
+            left = tl = top = out[y - 1, 0]
+            prev = out[y - 1]
+            row = alpha[y]
+            for x in range(w):
+                top = prev[x]
+                g = left + top - tl
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                left = (row[x] + g) & 0xFF
+                tl = top
+                out[y, x] = left
+    return out.astype(np.uint8)
 
 
 def decode_webp(payload: bytes):
@@ -555,6 +625,7 @@ def decode_webp(payload: bytes):
             or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     pos = 12
+    alpha_body = None
     while pos + 8 <= len(payload):
         fourcc = payload[pos:pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
@@ -563,9 +634,18 @@ def decode_webp(payload: bytes):
             raise ValueError(f"WebP chunk {fourcc!r} overruns the payload")
         if fourcc == b"VP8L":
             return _decode_vp8l(payload[body:body + size])
+        if fourcc == b"ALPH":
+            # lossy-with-alpha (VP8X): remember the plane, decode it
+            # against the VP8 frame's dimensions when that chunk arrives
+            alpha_body = payload[body:body + size]
         if fourcc == b"VP8 ":
             from .vp8 import decode_vp8_yuv, yuv420_to_rgba
 
-            return yuv420_to_rgba(*decode_vp8_yuv(payload[body:body + size]))
+            rgba = yuv420_to_rgba(
+                *decode_vp8_yuv(payload[body:body + size]))
+            if alpha_body is not None:
+                rgba[:, :, 3] = _decode_alpha(
+                    alpha_body, rgba.shape[1], rgba.shape[0])
+            return rgba
         pos = body + size + (size & 1)  # chunks pad to even offsets
     raise ValueError("WebP container has no VP8L/VP8 image chunk")

@@ -677,3 +677,140 @@ def test_bitflips_never_hang_or_crash():
         except ValueError:
             pass
     assert time.monotonic() - t0 < 60
+
+
+# ---------------------------------------------------------------------------
+# Lossy-with-alpha (VP8X + ALPH chunk)
+# ---------------------------------------------------------------------------
+
+ALPHA_FIXTURE = dict(
+    stream="eNoBwAM//FJJRka4AwAAV0VCUFZQOFgKAAAAEAAAACcAABcAAEFMUEghAAAABRegIG0DFnU3IoILitq2gcj2GqQOwOjuG9H/gLTtSPclAFZQOCBwAwAAkBEAnQEqKAAYAD6NNpdHpSMiISqt+KARiWwAnTKDGD2OxgNsBzuX93/Wb3AdCJ6gH7M+w1+gHpUftn8BP7cekd/////F6DATi25GvoHEBwt/5bww+wPOf6nX69/0/775tfk79h/gB/ln9X/5vqq+rv9gPYp/UAOT199ijCfH2T3fOGoNbv/JAD7HzkirCAJgIDLk9kAA/jgCh4Nk9e12HzMiBtb/WPlDCxODMNPD5/gRCaJbl9hK+3Gge754bqwZUnvGqRBjG59sbfKhCRe5Ch9n51C5j0ptbbaKFn88OV5LUF7Sa6wXOyMwOyx1bD8AOkiQzoFIUpv7erWtmUvGbfbPbkYVIsIjlykiS59nXZomgeLnhqk8E3XE/MpK9szO9dftBSU+xXKfCks8Q5ShZj5qnS4uymHY6L78qznzbjgtgfnl7JkExH7pzWHlaubjewOeMR/5PFC3E08C6jwDetMO0tmJlx6eWNnkE5UZ1mb1LKkyBAB9LHzfU547eIT2pfHN+2vcoHX3eIoGSklBc/CAZBUafD7CsN0BrYhHCw4PZlghRtLFxv2BuSnAJtiB4EKbwEuExglaliFvryQ0TRxZJioBeEen1SUh2/Pyir6egZk3nj1R1wv7h8kqzf3oLi+rE9lcW/vt9U3nzy7/zosgvPNJ3b7sqF3QQCEFHqgx+IPLcxvC+94K0fQQwRKuTXWI0GR/ZJx6X0zoCpduAt4HPJxRSqDOd91/8qPPitEcyp3V8ABLy1e/DYA9obm/mZYwqQp0Tq0ViV3LTSq5YL6b/jNDeLLLf9VoVdRTO50+EP5TutCm7MFnwj2EdzvUVAf5J05paEjyafeVXr4ErgwMkM1XcSs2WmCQZYUE1i4cwtFqXqT5Q60IkBfHyf+PpLOjy+7zOXfKEfs/1YtzypMvjcSJNSxaUnz7aaG264lnL/kW3EpcmmkU26KB6cFQk89COIzgelc+ORjJY8y/+4ik0/qt0ZUfm69PAvJwn6dcRK5NoEf3NLlEUrYI59M7H+Gvl6JS666rtR4120JkhCWIb1eBkSZlSf5bAKZfCCNyf7qVNYP1q/f3B2YajkcwZzdsbbn8qg/fIWCy2h8ymkeI16nvyZTdl4GC96neeLOW3zXp519WP+nreeTprarLFwoq43/k6QxfKdnkO4AAANfIz6Q=",
+    rgba_shape=(24, 40, 4), rgba="eNoFwQlYWgeCAGB2d5Zvv/nKzs4wmWnoZEoTOySm1MSQoyQxkmjwBC80ikF9eKCiT4JPRZ6iTzzwegKCIgjq88QLBYMXXiExIY0JNglJJyXblsxMS7/doZ39lj2+Zf+/o7wKd+kDCr6JV0u4N7lBXBoZJRXGpJOhcJDSHzNItbc5aRHn0+niB1sMxYsDZuJVLmuiWseZbNNyv3vpBrpkZQIxPwPMupIA5ZzlwiXUKkSXolL8YNxG3d1z2oWWB4Zvd/4P05XB5tBXh5ZlU4f9iW3SEfrindMzZHU59FNugJfouXuo8or1Jb6Bu4/8NxKQwKvVn4JwfFtokF+CU+eV4RF2EQEtaSJ2QK0kYXopGUmup+R/zKVuofdpxn47HZqeYtTOTzLpF+NYF46e4ThnbFzSz/4e2JgaEJh6YLBPKoW+sB3AccQ0pDISVBRF3kSB6CTtJOY0fPRxDCarqTVPDnZZslMZ9nIO24GBjU45q8gF5Za76VfPezS2Vm/jiNTXpjb705ObAx2VI8Hk8JyQNSkZ90bahJ9KAQgz5Qoi4ySHNDbkIF89f5bSWSOmdhd00Npvd9HH+ycYnT3dzC98XlYYNZyTeOUGd9M4DlhVCgE/7gLYKuVDBalpsLrUiPSLxhVIaxPauaTSDny7ZyjbNmKy3XFz78aUBWpF7MtTi465jn5n6idXXYf7X7k7BzHP+awEL4hIfbahdX/JDTBw3+4Joj1TofkMJm45Nxvf9GkUYeCWlBh4FSItLDwmf3jy55TNtWHqOGKizTRO0TmXYxhtshrm5rM9Vg82wHn6+WPuy+0t4J1jXpAeeRRs7SiFHE4b3NugRob7JhUsQSbatqfRlu62GIZ+dGBHMhjmYhS1xBQU2NefPHK88D5z9qtR150iibtHMeppGTR59eNLvj4A9fcW9geYWWDwWGJWSALG4948vIsHE24T0iIyiEpkglQMCMm53M8oh4/mqI3FMG1qyErf/WKPMe4YYSZlsVm/OfYBZ3TRxLXMq4HDCbnABOeAYIsQgjEUhpVi5N2PHoXj0IGmClO1ycLPDPfcS9j25H0zP1ViqR1E7ZItlYM9XuSEzA2u25fj3bHEsx5BUbU3npnnq7xc70fvWAOJvVNBunk5VF7Px3leu/HJNDYh5WwW8di/hJGMQzpySuJZyvrqFDXi0xs0BDXR9fcwxnsRf8csEjBZo9oWTk52GndxbBhQ5KcLtkaVYAc2CFm/fg63Y33ILX6m4lZWHlqUx9UePYIzfPdiBWvliM012c2Wks5W+7GyaEfTN0PO+tV6173pIfdGZ79H1an09nYZfZmRfP/KzKtA+dxuMHJoJFRd3o7bnNrHf0aIJAiucIkcRgIpJuoz8vukX1Emlu1UsXqRBukX6NF5sQyeiMb0PK9nfXeg5GgKJFxZQivQVqgSrC+6QFiphHa+/BpOTmlBEi9KFdVxbWhTWoV2Y1JmSGH+AtP01Jq/DwQs0Xyh/R9pEY79Hx87efB117c/WN0PHug9U5N67/PnL33+H77zDxqGA2bbZnBqZSck5dbgXlsf45GEPII8OY94f+QuyTY8Q96wzFMon5yk8mvbadFZhfSewV5G/4CAmZ6OY3n3WzjxPz/NlcdpgO66LUFR2TDYrByDTkTEw9GXOpDkC30KNrUQrWBxtZLyWIO0LhYzz6nNeXzAoh5ctg+P2hzuZ5tOq63DVdMY755ZbPdwUhO9sKTeV1VX5AeK0gLpsbHBvxx6Q0aQjfPO9+Lrrh0nPEFVxE4mQqqLEpF3hrsooT9tURc6INrGwCDdOjTDGBkYZL58a2XFJ4ZxNvSz3NWBR4CwclYwbf8RnFt5Cx0PS4Wrq2wIOx1RqBeM6HU+TWt9oDOcv/AhNqEaN9em11umajH7RI3SsWfod3YJua6eCtBdEJvuwVRm79qsw9dQWea3TRsC+dnZwalRc8ggSsN9v2PAf7uuJNTejCK232wloWwF+amhnZJxAkfd66qiZYSfoPcgKIOdxWXOrGhYFy7/lgOWFHD/8NEZIDKmSHApoRp0bP4F0vU44IP1vyL1tVpFWn0euvz1onZ+fdBQWZKDYRrM3FnaZRFRC+yS87mOnWGts0NU4oJvQ276EYbn0pGbXuvAmq+cx/OPDikDu2u7wVcHb0PddWrc1dOX8HdndIQX99eJ88ol0r5xk7zcUEb5t/UhqkKQR4s8H0GXrY4wjK8tzJ/+e5v11z/Pc9qUFdzSxlKAVZgpGFuYA++tuaCKJCEsT6hFFppnFP/8y1NofEq29tYFmiHu1G+whOxIs35cbXmoeWBnH0109Gu6nYys667+gVk3m17m4VMrvPv6z30Xrl3zj9lmAmPKiaBv511IAWK4LcyFL2VlEy4e+5BYnJJNYhwPJ2OiKoqMnUxVSpppA+ZpetqEnNH4ZIg5Zq5ksW68x0ksoHPRxT5gcmNYoNa3gaLyYijl0nV4tKodSfwwSnHxDAv9/MFb7Vi13FBy7RLWN3rHjA43WKqZ5faGjEbHdW6is8rU5krgCd0TQzue4osl3mfzB77tV0/8lcqWQHa6MChIqgsNF/TheuNr8U2nMgkV5CvElsxUUs7l82Qwroiyrdum1vMgWrFQRBfZxxiDb3eYtu0JlqSGx5nYm+cSzx0HOLw0wfr2IsjMZECm+SHYPDuJPHLtK9b3t1BefoG2vUxuuP7RRaytvtJMC/utpeZmhr0kIdMx/WjFaXiy4mLllbiful57qgDA++bNUx+DH+dPhcsDV7OEQfv+v4eQkiYcn56FH2BDBF1mGVFdA5Aaynjk9cFdSklMA3VueIdWUCSmA7I6xi/CjzBFIJclbyzjyDVy7rb7PsDNSRPUiUvBi1FnIN3cEDzrsiBCVaWiY0GG1nWLtcd/HWlQ1pgwuLjC3MQvsGx1aux3ErIczYoeZ2xuoatRrne/exvw7G/bvAfPN3znMqL93NbGQFSeIIgjngzd7EZwJXol/kjY+4TNXQvx/psN0vTSGDnnHIcyLJmj8iETDUT0dFU5yGhJ/IwZewLH2jLLOJX8WO6ItgmYNSoEPfVicEljhmIux8IRtyMR6V6dIl17FR3Y69TKmnQG9pVyLOzoR+aqrFuWlZo+e9WpTEflVYmTfoznwvqfuROvFntmuge90xqdb9T6wF+rGgvce/IoiCDVoStdjbiW+6t4UNNBSK8AiBnVJaRWbS9Z0yKnnPr9aepJdiEtrxGlD1ZBjHHgFtMGF7NmpIUcPj2cO98rB77YsQsOHHvgrNoOPX/8LTx2D0OSWxiKzu07KKgq1AoELYbVudcYv6DcvGqet4yL+uwadptDwVA5+WcaXMzoUjcPEHtyYpK8e3NWn1o35w+LiApsrq4Ete2NoUaZGpfBqcSbjDsESfUwsb1phnT84wjyV3+7R0FtEFWgkdL6HFY6FxYznLsPmK+G1lldl25zxBE3uSOiFqA6XyK4xuCB4vYpKPJ6DpyWnIrws1gKSW0R2tPdoZ00OAxlhR1Yi6LPrNObLGJevV1danCM5E87d7R7rtNMilu1p/DEZ172QtWAT6WS+uH6isC0aT7IOJcSqmhuwVl3DvH5BUpCBruTmJ7USkrlVZEFJgEFfd5JrRxvoL0J/S89HMhlVHYqmVt6C6vhUg4ntPcTV5XSBmRfKhJs73wDgn1jkFRjhPeX15D+MlBhlDSjKNSuVcjHDXfXX2MdPQPmFjlqkYlV9nhqpkMnVDl7a2CX4Z7CrT/s8tR2V3k1mg5fb7fI73atB4qzK4OcODAUNluOoygr8HFQJ8Gw8CUxXzpMisyrIjNVcgouNoJq+vIJ7R8iPqWjCw7G6VgG0/5siDWgFHMk5yCuq9oNPBs6EKibVaCkowma3ZyEz4e9h9h6GxQLEilam1GkPRd1y1Ao6cdKC2vMZRnllqaiXrtr6cCRFXfBubLa62rSidxCudBTcFvgrS2X+XT6UX9Obn4gh50bvBEZG/q1vRbHejSGn3j8hjBg2iW2Ta6QSk0YmTWgo1St2anGw0e0Ankz3bz7OcP+4hFz66c51pxTxTEWDXPZuFTgPx6+E+haZGBfJwQ51vTwlApCpttqFC2p+SjjxHXtnve/DNlyDcYBis0rZrulNg+xA4k8h8PW7SwuP+ea3xl1O1899OjHRrxNTV2+u9bn/sykisBUrykIJmeGzuv1uKNZAF5RrSLcSSwm3v98n/Sz0x+Ql//8r5TigR5qHlxEq5AL6VnVxYzS3gYmW5rLmtue5by27XO3lRiwsaQTbG1oQY2EDyWdPAqnn/sYEaXdUiR/wkNbpXbtsOt7w+/yAUy2ajRf5TEtS4sOe8zpS47RpnInL5HialSL3Yb9YU+TTeTtXlD4LoTn+rvyZgLdHHGwISo2dE25gEuW9uEVYA1hsUNGDAsnkkpbq8itY8OUiOgr1E37FO3gvo1+b3+boR0bY5aKG1gTc3YOF8jjxqdEA3985xREXf8d2Ajdgv72zVPYs7uB8Fm5iuhzuah17Ttt89RDQ/PaNhYjKzS/nxhumT94aK+GJQ5h1g2npp3vul54xn1bn+a5Gxrx1o+LfNF/4PtLqW2B/tvSoLNPGaIZFnEfCgvxJlsd4eUfNcQrWWdIycXZ5KS4dIowhU9dbu2jNSfn0MUMLkN0rYTZlalkUY8ncQpmRrmCtTHgBostMJh0oAiTQJ1bWlg9PIi8dL9QjM0a0ZFFsxaE1Ib51ZdY5+iI+ZfRn1rOycvtZVatw/p4zml1Kl3pXWfdbO1Zz8Sfer0tJpnPqfvSzz9VH+DdzA4OqNtD4QYzTvhgCY89hQgC5PfEsX0dqWt0iNwslFGWZEYqBtTTQo5XdEtRL2NXbGE+lR6w/scX4pzRdXOpmAIA4W6BSFQP8hZlUJvXDLeP6pEoRrRiflePCuF8bdw1riGXXYctLu2YJeNDFsHhkr3gyZgjtfGWM+3ORdfd/+xyTwRgD70uzEv46J98vbeN/q5UY2BteSdod62G/h+gcIo8",
+)
+
+
+def test_alpha_fixture_bit_exact():
+    """A real lossy-with-alpha stream (VP8X container, lossless-coded
+    ALPH plane) decodes bit-exact to the captured reference RGBA — the
+    alpha plane must be decoded, never silently dropped as 255."""
+    fx = ALPHA_FIXTURE
+    stream = _unpack_bytes(fx["stream"])
+    out = decode_webp(stream)
+    ref = np.frombuffer(_unpack_bytes(fx["rgba"]), np.uint8).reshape(
+        fx["rgba_shape"])
+    assert np.array_equal(out, ref)
+    assert len(np.unique(ref[:, :, 3])) > 1  # the plane is non-trivial
+
+
+def _alpha_fwd_filter(a: np.ndarray, filt: int) -> np.ndarray:
+    """Forward alpha filter (tests only): the exact inverse of the
+    decoder's unfilter, so synthetic ALPH chunks can drive every
+    filtering method."""
+    h, w = a.shape
+    a = a.astype(np.int32)
+    d = np.zeros_like(a)
+    d[0, 0] = a[0, 0]
+    d[0, 1:] = (a[0, 1:] - a[0, :-1]) & 0xFF
+    if filt == 1:
+        d[1:, 0] = (a[1:, 0] - a[:-1, 0]) & 0xFF
+        d[1:, 1:] = (a[1:, 1:] - a[1:, :-1]) & 0xFF
+    elif filt == 2:
+        d[1:] = (a[1:] - a[:-1]) & 0xFF
+    elif filt == 3:
+        for y in range(1, h):
+            for x in range(w):
+                left = a[y, x - 1] if x else a[y - 1, 0]
+                top = a[y - 1, x]
+                tl = a[y - 1, x - 1] if x else a[y - 1, 0]
+                g = min(255, max(0, left + top - tl))
+                d[y, x] = (a[y, x] - g) & 0xFF
+    return d.astype(np.uint8)
+
+
+def _build_alpha_container(vp8_body_bytes: bytes, alph: bytes, w: int,
+                           h: int) -> bytes:
+    def chunk(fcc, body):
+        return (fcc + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+    vp8x = (bytes([0x10, 0, 0, 0]) + struct.pack("<I", w - 1)[:3]
+            + struct.pack("<I", h - 1)[:3])
+    inner = (b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ALPH", alph)
+             + chunk(b"VP8 ", vp8_body_bytes))
+    return b"RIFF" + struct.pack("<I", len(inner)) + inner
+
+
+def test_alpha_raw_filter_variants_recover_plane():
+    """Library-free: raw ALPH planes under every filtering method (the
+    reference encoder only ever emits none/horizontal) must invert to
+    the original alpha exactly on top of a fixture lossy frame."""
+    fx = FIXTURES["real_mixed_32x48_q60"]
+    vp8_b = _vp8_body(_unpack_bytes(fx["stream"]))
+    hh, ww = fx["y_shape"]
+    alpha = ((np.arange(hh)[:, None] * 3 + np.arange(ww) * 5) % 256
+             ).astype(np.uint8)
+    for filt in (1, 2, 3):
+        alph = bytes([filt << 2]) + _alpha_fwd_filter(alpha, filt).tobytes()
+        out = decode_webp(_build_alpha_container(vp8_b, alph, ww, hh))
+        assert np.array_equal(out[:, :, 3], alpha), filt
+    # filt 0: the plane passes through untouched
+    alph = bytes([0]) + alpha.tobytes()
+    out = decode_webp(_build_alpha_container(vp8_b, alph, ww, hh))
+    assert np.array_equal(out[:, :, 3], alpha)
+
+
+@needs_libwebp
+def test_oracle_alpha_battery():
+    """Live: reference-encoder lossy+alpha streams (raw and
+    lossless-compressed planes, smooth/binary/flat/noise alphas) and
+    synthetic filtered ALPH variants — full RGBA bit-exact."""
+    _LIB.WebPEncodeRGBA.restype = ctypes.c_size_t
+    _LIB.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(_U8P),
+    ]
+    rng = np.random.default_rng(3)
+    for (h, w) in ((16, 16), (17, 23), (48, 64)):
+        for kind in ("rand", "smooth", "binary", "flat"):
+            img = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+            if kind == "smooth":
+                ax = np.linspace(0, 255, w, dtype=np.uint8)
+                img[:, :, 3] = np.tile(ax, (h, 1))
+            elif kind == "binary":
+                img[:, :, 3] = 255
+                img[:h // 2, :, 3] = 0
+            elif kind == "flat":
+                img[:, :, 3] = 200
+            out = _U8P()
+            n = _LIB.WebPEncodeRGBA(
+                np.ascontiguousarray(img).tobytes(), w, h, w * 4, 75.0,
+                ctypes.byref(out))
+            assert n > 0
+            data = ctypes.string_at(out, n)
+            _LIB.WebPFree(out)
+            assert np.array_equal(decode_webp(data), _oracle_rgba(data)), \
+                (h, w, kind)
+    # synthetic filtered variants, reference-decoded
+    fx = FIXTURES["real_mixed_32x48_q60"]
+    vp8_b = _vp8_body(_unpack_bytes(fx["stream"]))
+    hh, ww = fx["y_shape"]
+    alpha = ((np.arange(hh)[:, None] + np.arange(ww) * 7) % 256
+             ).astype(np.uint8)
+    for filt in (0, 1, 2, 3):
+        alph = bytes([filt << 2]) + _alpha_fwd_filter(alpha, filt).tobytes()
+        data = _build_alpha_container(vp8_b, alph, ww, hh)
+        assert np.array_equal(decode_webp(data), _oracle_rgba(data)), filt
+
+
+def test_alpha_hostile_payloads_refused():
+    fx = FIXTURES["real_mixed_32x48_q60"]
+    vp8_b = _vp8_body(_unpack_bytes(fx["stream"]))
+    hh, ww = fx["y_shape"]
+    with pytest.raises(ValueError, match="ALPH"):
+        decode_webp(_build_alpha_container(vp8_b, b"", ww, hh))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_webp(_build_alpha_container(
+            vp8_b, bytes([0]) + b"\x00" * 10, ww, hh))
+    for bad_hdr in (0x40, 0x80, 0x02, 0x03, 0x20):  # rsv bits, comp 2/3, pre 2
+        with pytest.raises(ValueError, match="out of spec"):
+            decode_webp(_build_alpha_container(
+                vp8_b, bytes([bad_hdr]) + b"\x00" * (ww * hh), ww, hh))
