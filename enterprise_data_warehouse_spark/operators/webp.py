@@ -634,6 +634,13 @@ def decode_webp(payload: bytes):
             raise ValueError(f"WebP chunk {fourcc!r} overruns the payload")
         if fourcc == b"VP8L":
             return _decode_vp8l(payload[body:body + size])
+        if fourcc == b"ANIM":
+            # animated WebP nests its frames' VP8/VP8L chunks inside
+            # ANMF payloads — a still decoder must refuse explicitly,
+            # not fall through to a misleading "no image chunk" error
+            raise ValueError(
+                "animated WebP is not supported (still images only)"
+            )
         if fourcc == b"ALPH":
             # lossy-with-alpha (VP8X): remember the plane, decode it
             # against the VP8 frame's dimensions when that chunk arrives

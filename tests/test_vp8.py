@@ -814,3 +814,17 @@ def test_alpha_hostile_payloads_refused():
         with pytest.raises(ValueError, match="out of spec"):
             decode_webp(_build_alpha_container(
                 vp8_b, bytes([bad_hdr]) + b"\x00" * (ww * hh), ww, hh))
+
+
+def test_animated_webp_refused_explicitly():
+    """Animated WebP nests frames inside ANMF — the still decoder must
+    name the refusal, not report a missing image chunk."""
+    vp8x = (bytes([0x02, 0, 0, 0]) + b"\x0f\x00\x00" + b"\x0f\x00\x00")
+    anim = b"\x00\x00\x00\xff\x00\x00"  # bg color + loop count
+    def chunk(fcc, body):
+        return (fcc + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+    inner = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+    data = b"RIFF" + struct.pack("<I", len(inner)) + inner
+    with pytest.raises(ValueError, match="animated WebP"):
+        decode_webp(data)
