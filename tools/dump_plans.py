@@ -147,6 +147,21 @@ SHOWCASE = [
      "selection as a map-side-combinable MIN on the 128-bit line hash "
      "(not a per-line row_number window — boilerplate lines are the "
      "skewed keys), join-back and per-doc rebuild on the same hash key."),
+    ("scd2_customer_dim",
+     "SCD2 cycle (r12 fourth-decade probe, ratio 1.27): latest-wins "
+     "window only over the pushed-down update batch (%7/%13/%97 "
+     "predicates reach the customer scans), hash-diff change detection "
+     "as equi joins, exactly one left-anti for untouched-current "
+     "passthrough, 4-way union of version branches — no cartesian, no "
+     "Python."),
+    ("catalog_fact_sales_daily",
+     "Catalog star build (r12 fourth-decade probe, 42.4 GB spill "
+     "high-water at sf100): pruned lineitem scan (grain + measures "
+     "only) ⋈ orders on orderkey, then ONE aggregation exchange; the "
+     "near-unique (date, custkey, partkey) grain defeats partial "
+     "aggregation by constitution, so at real scale the fact table is "
+     "bucketed by orderkey to delete the join shuffle "
+     "(tests/test_bucketed.py pins the bucketed path)."),
 ]
 
 
