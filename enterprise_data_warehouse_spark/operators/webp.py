@@ -582,19 +582,18 @@ def _decode_alpha(body: bytes, w: int, h: int):
     if filt == 0:
         return alpha.astype(np.uint8)
     out = np.zeros((h, w), np.int32)
-    # row 0 is always horizontally predicted from a 0 seed
-    acc = 0
-    for x in range(w):
-        acc = (acc + alpha[0, x]) & 0xFF
-        out[0, x] = acc
+    # row 0 is always horizontally predicted from a 0 seed; mod-256
+    # addition chains are plain cumsums masked at the end
+    out[0] = np.cumsum(alpha[0], dtype=np.int64) & 0xFF
     if filt == 1:  # horizontal: left; leftmost pixel predicts from above
-        for y in range(1, h):
-            acc = out[y - 1, 0]
-            row = alpha[y]
-            for x in range(w):
-                acc = (acc + row[x]) & 0xFF
-                out[y, x] = acc
-    elif filt == 2:  # vertical: above (vectorized running sum mod 256)
+        # column 0 is its own vertical chain (each row's seed), then
+        # every row is an independent cumsum from that seed
+        col0 = np.cumsum(alpha[:, 0], dtype=np.int64) & 0xFF
+        out[:, 0] = col0
+        if w > 1:
+            sums = np.cumsum(alpha[1:, 1:], axis=1, dtype=np.int64)
+            out[1:, 1:] = (col0[1:, None] + sums) & 0xFF
+    elif filt == 2:  # vertical: above
         out[1:] = alpha[1:]
         out[:] = np.cumsum(out, axis=0, dtype=np.int64) & 0xFF
     else:  # gradient: clip(left + above - above-left)
