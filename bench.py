@@ -60,7 +60,11 @@ REGRESSION_WATCH = {
 # reads ~7 s against a ~3.9 s warm best (judge A/B runs [6.98, 3.89, 4.13,
 # 3.89] with the control 25% below record — the heap-residue pattern r07
 # documented for ngram), so best-of-2 overread it 1.30× in r10 — VERDICT
-# r10 #2, SCALING.md "Round-11 counter-mover attribution".
+# r10 #2, SCALING.md "Round-11 counter-mover attribution";
+# simhash_hamming_pairs joined in r12: best-of-2 read 5.41 s in BENCH_r10
+# vs the 4.23 s best-of-2 in BENCH_r11 (driver first-run gap ~1.28×) — the
+# checkpoint-heavy class's heap-residue pattern again, so best-of-4 from
+# BENCH_r12 on — VERDICT r11 #5.
 COUNTER_MOVER_WATCH = {
     "catalog_fact_sales_daily",
     "session_metrics_batch",
@@ -73,6 +77,7 @@ COUNTER_MOVER_WATCH = {
     "dsir_importance_weights",
     "token_frequencies",
     "prefix_filter_jaccard_pairs",
+    "simhash_hamming_pairs",
 }
 
 
