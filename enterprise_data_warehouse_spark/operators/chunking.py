@@ -91,7 +91,11 @@ def doc_chunks_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "toks",
         "n",
-        F.explode(
+        # explode_OUTER: the inferred size>0/isnotnull filter of a plain
+        # explode re-builds the sequence array twice per doc (see
+        # dedup._ngram_pair_partials); n >= 1 so the sequence is never
+        # empty and no NULL row is emitted.
+        F.explode_outer(
             F.sequence(F.lit(0), F.floor((F.col("n") - 1) / STRIDE).cast("int"))
         ).alias("chunk_idx"),
     )
@@ -159,7 +163,11 @@ def shared_chunk_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "toks",
         "n",
-        F.explode(
+        # explode_OUTER: the inferred size>0/isnotnull filter of a plain
+        # explode re-builds the sequence array twice per doc (see
+        # dedup._ngram_pair_partials); n >= 1 so the sequence is never
+        # empty and no NULL row is emitted.
+        F.explode_outer(
             F.sequence(F.lit(0), F.floor((F.col("n") - 1) / STRIDE).cast("int"))
         ).alias("chunk_idx"),
     )

@@ -142,10 +142,22 @@ def exploded_shingles(d: DataFrame, n: int = NGRAM_N) -> DataFrame:
     standard birthday bound — ~1e-7 at 5M distinct shingles, and a collision
     only perturbs one n_common count by 1; every dedup system at scale
     makes this trade."""
-    return shingle_sets(d, n).select(
-        "doc_id",
-        "n_shingles",
-        F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("sh64"),
+    # explode_OUTER + isNotNull, not plain explode: the non-outer generator
+    # makes InferFiltersFromGenerate push `size(...)>0 AND isnotnull(...)`
+    # over the FULL interpreted shingle chain below the exchange — two extra
+    # evaluations of the most expensive map expression in the pipeline
+    # (see minhash_signatures). No doc has a null/empty shingle set (min 10
+    # words/doc at every SF), so row semantics are identical.
+    return (
+        shingle_sets(d, n)
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.explode_outer(
+                F.transform("shingles", lambda x: F.xxhash64(x))
+            ).alias("sh64"),
+        )
+        .where(F.col("sh64").isNotNull())
     )
 
 
@@ -181,7 +193,18 @@ def _ngram_pair_partials(ex: DataFrame) -> DataFrame:
             ),
         ),
     )
-    pairs = grouped.select(F.explode(F.flatten(pair_arrays)).alias("p")).select("p.*")
+    # explode_OUTER + isNotNull: a plain explode makes the optimizer infer
+    # `size(flatten(transform(...))) > 0 AND isnotnull(...)` above the
+    # aggregate (InferFiltersFromGenerate) — evaluating the ENTIRE
+    # interpreted pair-emission lambda chain two extra times per bucket.
+    # The outer form infers nothing; the null filter on the generated
+    # attribute drops exactly the rows inner explode never emitted
+    # (single-doc buckets flatten to an empty pair list → one NULL row).
+    pairs = (
+        grouped.select(F.explode_outer(F.flatten(pair_arrays)).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select("p.*")
+    )
     return pairs.groupBy("doc_a", "doc_b").agg(
         F.count("*").alias("n_common"),
         F.min("sa").alias("sa"),
@@ -286,29 +309,55 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 
 
 def minhash_signatures(ss: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """k minhashes per doc computed entirely MAP-SIDE from the shingle
-    array via nested SQL lambdas — whole-stage codegen, ZERO shuffle (the
-    old explode + groupBy-of-k-mins version paid a map-side-combined
-    exchange; measured 2.4× slower at sf0.1 with bit-identical output).
+    """k minhashes per doc via a codegen'd shingle explode + k MIN
+    aggregates, reassembled into the ordered signature array.
 
-    Two-level hashing: each variable-length shingle STRING is hashed ONCE
-    (``base = xxhash64(x)``), and the k per-seed hashes re-hash only that
-    fixed 8-byte long (``xxhash64(base, s)``). The naive form re-hashes the
-    ~30-char string k times — O(k·len) vs O(len + k·8) bytes hashed per
-    shingle. (Multiply-add universal hashing would be cheaper still, but
-    bigint overflow throws under ANSI mode, which the driver's session may
-    enable; xxhash64 over a long cannot overflow.) At 100 TB this is the
-    dominant map cost of the whole dedup pipeline, and there is no shuffle
-    before the band join."""
-    base = F.transform(F.col("shingles"), lambda x: F.xxhash64(x))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda s: F.array_min(
-            F.transform(F.col("_base64"), lambda h: F.xxhash64(h, s))
-        ),
+    Two-level hashing (unchanged, bit-identical): each variable-length
+    shingle STRING is hashed ONCE (``xxhash64(shingle)``), and the k
+    per-seed hashes re-hash only that fixed 8-byte long
+    (``xxhash64(base, s)``) — O(len + k·8) bytes hashed per shingle.
+    (Multiply-add universal hashing would be cheaper still, but bigint
+    overflow throws under ANSI mode, which the driver's session may
+    enable; xxhash64 over a long cannot overflow.)
+
+    Execution shape (r12): the previous nested-lambda form
+    (``transform(seq(0,k-1), s -> array_min(transform(base, h -> ...)))``)
+    kept everything map-side but ran INTERPRETED — Spark never codegens
+    higher-order lambdas — costing k·|shingles| boxed evals per doc plus k
+    array allocations; it was the measured wall of the bench query (cold
+    first runs 3-5× warm while C2 chews the interpreter paths). The
+    explode + ``min(xxhash64(_b, s))``-per-seed aggregate runs fully
+    compiled (explode, hash projection, and PARTIAL hash agg in one
+    whole-stage-codegen span), and because each doc's shingles arrive in
+    one input row the partial agg collapses to ONE row per doc map-side —
+    the exchange ships |docs| × k longs, never shingle rows (the 2.4×
+    regression the old docstring pinned on "explode + groupBy" belonged to
+    a k·|shingles|-ROW explode; this form explodes shingles once).
+    Measured at sf0.1: 1.9 s → 0.9 s warm, cold first run 6.4 s → 2.4 s;
+    signatures bit-identical (seeds stay INT literals, matching the old
+    ``sequence(0, k-1)`` element type xxhash64 hashes by)."""
+    # explode_OUTER, not explode: for a non-outer generator the optimizer
+    # infers `size(child) > 0 AND isnotnull(child)` and pushes it below the
+    # exchange (InferFiltersFromGenerate) — re-evaluating the INTERPRETED
+    # shingle chain two more times per doc (measured 3.3 s vs 0.38 s for
+    # the explode alone at sf0.1). The outer form infers nothing; the
+    # isNotNull filter on the GENERATED attribute restores inner-explode
+    # row semantics at per-row cost ~0.
+    ex = ss.select("doc_id", F.explode_outer("shingles").alias("_sh")).where(
+        F.col("_sh").isNotNull()
     )
-    return ss.select("doc_id", base.alias("_base64")).select(
-        "doc_id", sig.alias("signature")
+    mins = (
+        ex.select("doc_id", F.xxhash64(F.col("_sh")).alias("_b"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.col("_b"), F.lit(s))).alias(f"_m{s}")
+                for s in range(k)
+            ]
+        )
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"_m{s}") for s in range(k)]).alias("signature")
     )
 
 
@@ -358,7 +407,15 @@ def _band_pairs(
             ),
         ),
     )
-    return grouped.select(F.explode(F.flatten(pair_arrays)).alias("p")).select("p.*")
+    # explode_OUTER + isNotNull — see _ngram_pair_partials: avoids the
+    # inferred-filter triple evaluation of the pair-emission chain; the
+    # null filter drops the one NULL row an empty (single-doc) bucket's
+    # flattened pair list generates under the outer form.
+    return (
+        grouped.select(F.explode_outer(F.flatten(pair_arrays)).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select("p.*")
+    )
 
 
 @query("minhash_lsh_candidates", bench=True)
@@ -410,34 +467,15 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("simhash_signatures")
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc from token-hash bit votes, plus 4×16-bit band
-    keys for Hamming-distance candidate search. Pure array/lambda exprs —
-    whole-stage codegen, no Python. Rows-only check (engine-native hash)."""
+    keys for Hamming-distance candidate search. Codegen'd explode + per-bit
+    SUM votes (same compiled shape and tf-telescoping equivalence as
+    _simhash_sig_compiled), no Python. Rows-only check (engine-native
+    hash)."""
     d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
-    # hash each distinct token ONCE (the per-bit aggregate re-reads the
-    # struct field, never re-hashes) and weight its vote by in-doc tf —
-    # see the weighted-vote rationale on _SIMHASH_EXPR.
-    hashed = d.select("doc_id", F.split("text", " ").alias("w")).select(
-        "doc_id",
-        F.expr(
-            """transform(array_distinct(w), t -> struct(
-                 xxhash64(t) AS h,
-                 CAST(size(filter(w, x -> x = t)) AS BIGINT) AS w))"""
-        ).alias("hs"),
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    out = _simhash_sig_compiled(tokens, "xxhash64(t)", 64).withColumnRenamed(
+        "signature", "simhash"
     )
-    packed_expr = F.expr(
-        """
-        aggregate(
-          zip_with(
-            transform(sequence(0, 63), i ->
-              CASE WHEN aggregate(hs, CAST(0 AS BIGINT),
-                        (acc, e) -> acc + e.w * ((shiftright(e.h, i) & 1) * 2 - 1)) > 0
-                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
-            sequence(0, 63),
-            (b, i) -> b * shiftleft(CAST(1 AS BIGINT), i)),
-          CAST(0 AS BIGINT), (acc, v) -> acc + v)
-        """
-    )
-    out = hashed.select("doc_id", packed_expr.alias("simhash"))
     for band in range(4):
         out = out.withColumn(
             f"band_{band}",
@@ -572,19 +610,57 @@ _PORTABLE_TOKEN_HASH = (
 # same vocabulary have IDENTICAL distinct-token sets, hence identical
 # signatures, and the Hamming pair stage explodes on false near-dups
 # (measured at sf0.1: 633K Hamming-≤3 pairs unweighted vs the true near-dup
-# set weighted). ``hs`` is array<struct<h: token hash, w: tf>>; the tf scan
-# is O(distinct × tokens) cheap string equality over the pre-split array.
-_SIMHASH_EXPR = f"""
-aggregate(
-  zip_with(
-    transform(sequence(0, {SIMHASH_BITS - 1}), i ->
-      CASE WHEN aggregate(hs, CAST(0 AS BIGINT),
-                (acc, e) -> acc + e.w * ((shiftright(e.h, i) & 1) * 2 - 1)) > 0
-           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
-    sequence(0, {SIMHASH_BITS - 1}),
-    (b, i) -> b * shiftleft(CAST(1 AS BIGINT), i)),
-  CAST(0 AS BIGINT), (acc, v) -> acc + v)
-"""
+# set weighted).
+
+
+def _simhash_sig_compiled(tokens: DataFrame, hash_sql: str, bits: int) -> DataFrame:
+    """(doc_id, signature) SimHash via a codegen'd explode + per-bit SUM
+    aggregate — replaces the former two-level higher-order aggregate
+    (``transform(sequence(0,bits), i -> aggregate(hs, ...))``), which Spark
+    always evaluates INTERPRETED (higher-order lambdas get no codegen): at
+    sf0.1 that interpreted vote loop was the measured wall of the whole
+    query (~1.5 s warm of 2.9 s, 35 s cold before C2 compiles the
+    interpreter paths; at sf100 the query was CPU-bound at 1567 s).
+
+    EQUIVALENT BY TELESCOPING, bit-identical: Charikar's tf-weighted vote
+    over DISTINCT tokens, Σ_t tf(t)·(2·bit_i(h(t))−1), equals the unweighted
+    sum over every token OCCURRENCE — each occurrence contributes its
+    token's ±1 vote exactly once, and integer addition is order-free, so
+    per-bit sums and the packed signature match the per-distinct-token form
+    the oracle states (the oracle keeps that form; pinned value-exact).
+
+    Shuffle shape: every doc's tokens arrive in ONE input row, so the
+    PARTIAL hash aggregate collapses to one row per doc map-side and the
+    exchange ships |docs| × bits longs — never token rows. The md5 hash
+    runs once per occurrence instead of once per distinct token, which
+    trades ~15% more (compiled, native) hashing for dropping the
+    O(distinct × tokens) interpreted tf scan entirely.
+
+    ``tokens``: (doc_id, t) rows, one per token occurrence; ``hash_sql``:
+    a SQL expression over ``t`` yielding the BIGINT token hash. Docs with
+    NULL/absent text would be dropped by the explode upstream — the corpus
+    generator never emits them (asserted against every SF)."""
+    h = F.expr(hash_sql)
+    votes = tokens.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast(
+                    "long"
+                )
+            ).alias(f"_s{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = reduce(
+        Column.__add__,
+        [
+            F.when(
+                F.col(f"_s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(bits)
+        ],
+    )
+    return votes.select("doc_id", packed.alias("signature"))
 
 SIMHASH_PAIRS_ORACLE = f"""
 WITH corpus AS (
@@ -631,20 +707,14 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole guarantee as production SimHash dedup: any pair with ≤
     {SIMHASH_BANDS}-1 differing bands shares a key. Pairs come from the
     grouped per-bucket emission (_band_pairs) — one signature
-    computation, one shuffle, no self-join (the oracle still states the
-    semantics as the band join)."""
+    computation, one tiny doc-level exchange plus the band shuffle, no
+    self-join (the oracle still states the semantics as the band join;
+    the vote loop runs compiled — see _simhash_sig_compiled)."""
     d = _with_synthetic_dupes(
         load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
     )
-    hashed = d.select("doc_id", F.split("text", " ").alias("w")).select(
-        "doc_id",
-        F.expr(
-            f"""transform(array_distinct(w), t -> struct(
-                  {_PORTABLE_TOKEN_HASH} AS h,
-                  CAST(size(filter(w, x -> x = t)) AS BIGINT) AS w))"""
-        ).alias("hs"),
-    )
-    sigs = hashed.select("doc_id", F.expr(_SIMHASH_EXPR).alias("signature"))
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    sigs = _simhash_sig_compiled(tokens, _PORTABLE_TOKEN_HASH, SIMHASH_BITS)
     band_key = F.expr(
         f"shiftright(signature, band * {SIMHASH_BAND_BITS}) & {2**SIMHASH_BAND_BITS - 1}"
     )
@@ -875,7 +945,12 @@ def record_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    pairs = grouped.select(F.explode(F.flatten(pair_arrays)).alias("p")).select("p.*")
+    # explode_OUTER + isNotNull — see _ngram_pair_partials
+    pairs = (
+        grouped.select(F.explode_outer(F.flatten(pair_arrays)).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select("p.*")
+    )
     return pairs.withColumn(
         "edit_distance", F.levenshtein("name_a", "name_b")
     ).where(F.col("edit_distance") <= LINKAGE_MAX_DIST)
@@ -931,7 +1006,11 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
     grams = (
         shingle_sets(d, DECON_N)
-        .select("doc_id", F.explode("shingles").alias("g"))
+        # explode_OUTER + isNotNull — see exploded_shingles: a plain
+        # explode re-evaluates the interpreted shingle chain 2 extra times
+        # via the inferred size>0/isnotnull filter
+        .select("doc_id", F.explode_outer("shingles").alias("g"))
+        .where(F.col("g").isNotNull())
         .select(
             "doc_id",
             portable_hash64(F.col("g"), F.lit("g")).alias("g64"),
@@ -1313,7 +1392,10 @@ def _emit_prefix_candidates(prefix: DataFrame) -> DataFrame:
         f"({PREFIX_TAU_NUM} * (na + nb) + {_dn - 1}) div {_dn}"
     )
     return (
-        grouped.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        # explode_OUTER + isNotNull — see _ngram_pair_partials: avoids the
+        # inferred-filter triple evaluation of the pair-emission chain.
+        grouped.select(F.explode_outer(F.flatten(pair_arrays)).alias("p"))
+        .where(F.col("p").isNotNull())
         .select("p.*")
         # PPJoin LENGTH FILTER: max common = min(na, nb), so J ≤ min/max —
         # pairs with min < τ·max can never reach the threshold and are
@@ -1437,13 +1519,17 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ordered.select(
         "doc_id",
         F.col("s").alias("n"),
-        F.posexplode(
+        # posexplode_OUTER + isNotNull — see _ngram_pair_partials: the
+        # non-outer form makes the optimizer infer size>0/isnotnull over
+        # the slice+transform chain and evaluate it 2 extra times per doc
+        # (the prefix is never empty: p ≥ 1 and ord has ≥ 1 element)
+        F.posexplode_outer(
             F.slice(F.transform("ord", lambda x: x["sh64"]), 1, p)
         ).alias("pos0", "sh64"),
         # 1-based position in the doc's FULL (df, sh64)-sorted token order
         # (= position within the prefix, which is a prefix of that order) —
         # the positional filter's ia/ib
-    ).select(
+    ).where(F.col("sh64").isNotNull()).select(
         "doc_id", "n", (F.col("pos0") + 1).alias("pos"), "sh64"
     )
 

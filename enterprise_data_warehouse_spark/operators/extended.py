@@ -359,7 +359,12 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw occurrences. At 100 TB the groupBy key space is the vocabulary
     (~millions), far smaller than the corpus — this shape scales."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    # explode_OUTER: avoids the inferred size(split)>0/isnotnull filter
+    # re-evaluating the split below the exchange (see
+    # dedup._ngram_pair_partials); the length filter drops the NULL row.
+    toks = d.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("token")
+    )
     return (
         toks.where(F.length("token") >= 3)
         .groupBy("token")
@@ -810,7 +815,11 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     pairs = (
-        grouped.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        # explode_OUTER + isNotNull — a plain explode makes the optimizer
+        # infer size(...)>0/isnotnull over the whole pair-emission lambda
+        # chain and evaluate it 3× per basket (see dedup._ngram_pair_partials)
+        grouped.select(F.explode_outer(F.flatten(pair_arrays)).alias("p"))
+        .where(F.col("p").isNotNull())
         .select("p.*")
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("pair_n"))

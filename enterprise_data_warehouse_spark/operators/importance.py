@@ -123,11 +123,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
     toks = F.split(F.col("text"), " ")
+    # explode_OUTER + isNotNull — avoids the inferred-filter re-evaluation
+    # of the gram chain (see dedup._ngram_pair_partials)
     grams = d.select(
         "doc_id",
         "source",
-        F.explode(_unigram_bigram_grams(toks)).alias("gram"),
-    ).select(
+        F.explode_outer(_unigram_bigram_grams(toks)).alias("gram"),
+    ).where(F.col("gram").isNotNull()).select(
         "doc_id",
         "source",
         F.pmod(portable_hash64(F.col("gram"), "dsir"), F.lit(DSIR_BUCKETS)).alias(
@@ -230,7 +232,10 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin is approx_percentile over the same frame, same downstream CASE.
     """
     d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    # explode_OUTER + isNotNull — see dedup._ngram_pair_partials
+    toks = d.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("token")
+    ).where(F.col("token").isNotNull())
     total = toks.agg(F.count("*").alias("n_total"))
     vocab = (
         toks.groupBy("token")

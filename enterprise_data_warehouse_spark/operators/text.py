@@ -268,9 +268,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitions by doc_id — the same key TF already shuffled on, so
     AQE can reuse the partitioning."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).where(
-        F.length("token") >= 3
-    )
+    # explode_OUTER: the non-outer form makes the optimizer infer
+    # size(split(..))>0/isnotnull and re-evaluate the split twice below the
+    # exchange (see dedup._ngram_pair_partials); the length filter already
+    # drops the NULL row the outer form emits for an empty array.
+    toks = d.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("token")
+    ).where(F.length("token") >= 3)
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()  # driver-side scalar: one tiny agg, pinned into the plan
@@ -497,7 +501,10 @@ def _top_gram_frac(d: DataFrame, n: int, out: str) -> DataFrame:
         lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
     )
     per_gram = (
-        d.select("doc_id", F.explode(grams).alias("g"))
+        # explode_OUTER + isNotNull — avoids the inferred-filter re-evaluation
+        # of the interpreted gram chain (see dedup._ngram_pair_partials)
+        d.select("doc_id", F.explode_outer(grams).alias("g"))
+        .where(F.col("g").isNotNull())
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
     )
@@ -588,9 +595,13 @@ def inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 4dp for cross-engine hashing (rank ties resolve on (tf, doc_id),
     never on the float)."""
     d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).where(
-        F.length("token") >= 3
-    )
+    # explode_OUTER: the non-outer form makes the optimizer infer
+    # size(split(..))>0/isnotnull and re-evaluate the split twice below the
+    # exchange (see dedup._ngram_pair_partials); the length filter already
+    # drops the NULL row the outer form emits for an empty array.
+    toks = d.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("token")
+    ).where(F.length("token") >= 3)
     tf = toks.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
     stats = tf.groupBy("token").agg(
         F.count("*").alias("df"), F.sum("tf").alias("total_tf")
@@ -870,9 +881,11 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     on, per-doc rollup. Cost linear in corpus grams; no pairwise
     comparison anywhere."""
     d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+    # explode_OUTER + isNotNull — avoids the inferred-filter re-evaluation
+    # of the interpreted gram chain (see dedup._ngram_pair_partials)
     grams = d.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.array_distinct(
                 F.expr(
                     f"transform(sequence(1, size(split(text, ' ')) - {NOVELTY_N - 1}),"
@@ -880,7 +893,7 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("g"),
-    )
+    ).where(F.col("g").isNotNull())
     firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
     return (
@@ -933,9 +946,10 @@ def vocab_growth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams — the same "shrink before you order globally" discipline as
     sequence_packing's distributed prefix sum."""
     d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+    # explode_OUTER + isNotNull — see dedup._ngram_pair_partials
     toks = d.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.array_distinct(
                 F.expr(
                     f"transform(sequence(1, size(split(text, ' ')) - {NOVELTY_N - 1}),"
@@ -943,7 +957,7 @@ def vocab_growth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("tok"),
-    )
+    ).where(F.col("tok").isNotNull())
     firsts = toks.groupBy("tok").agg(
         (F.min("doc_id") / VOCAB_BUCKET).cast("bigint").alias("bucket_id")
     )
@@ -1012,7 +1026,12 @@ def trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda a, bc: F.struct(a.alias("w1"), bc["w2"].alias("w2"), bc["w3"].alias("w3")),
     )
-    tri = d.select(F.explode(tri_arr).alias("t")).select("t.*")
+    # explode_OUTER + isNotNull — see dedup._ngram_pair_partials
+    tri = (
+        d.select(F.explode_outer(tri_arr).alias("t"))
+        .where(F.col("t").isNotNull())
+        .select("t.*")
+    )
     tri_counts = (
         tri.groupBy("w1", "w2", "w3")
         .agg(F.count("*").alias("c3"))

@@ -194,9 +194,13 @@ def test_map_side_corpus_ops_have_zero_exchanges(spark):
         assert "Exchange" not in plan, f"{name}: {plan}"
 
 
-def test_minhash_signature_stage_is_shuffle_free(spark):
-    """MinHash signatures are computed per-row from the shingle array —
-    the plan up to signatures must contain no Exchange."""
+def test_minhash_signature_stage_shape(spark):
+    """MinHash signatures (r12 compiled form): shingles explode into a
+    codegen'd k-MIN hash aggregate whose PARTIAL pass collapses each doc
+    to one row map-side — so the stage carries exactly ONE exchange
+    (hashpartitioning on doc_id, |docs| rows of k longs), no join, and
+    the generate node is the outer form (no inferred size>0 filter
+    re-evaluating the interpreted shingle chain below the exchange)."""
     from enterprise_data_warehouse_spark.operators.dedup import (
         _with_synthetic_dupes,
         minhash_signatures,
@@ -205,7 +209,12 @@ def test_minhash_signature_stage_is_shuffle_free(spark):
 
     d = _with_synthetic_dupes(load_table(spark, SF, "documents"))
     plan = plan_of(minhash_signatures(shingle_sets(d)))
-    assert "Exchange" not in plan, plan
+    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchanges == 1 and "hashpartitioning(doc_id" in plan, plan
+    assert "Join" not in plan, plan
+    # the inferred-filter regression guard: nothing below the generate may
+    # re-evaluate the shingle transform (no size(array_distinct(... filter)
+    assert "Filter (size(array_distinct" not in plan, plan
 
 
 def test_embedding_centroids_two_shuffles(spark):
