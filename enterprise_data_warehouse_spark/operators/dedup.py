@@ -789,29 +789,46 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
+    # Fused first round (r12): the classic init (label = own id) followed by
+    # one propagation is identically ONE groupBy over the edge list —
+    # label(d) = min(d, min neighbor) — because edges carry both directions.
+    # Same shuffle as the old init's distinct, one fewer join+agg round.
     labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_m"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least("src", "_m").alias("cluster_id"),
+        )
         .localCheckpoint()
     )
     while True:
+        # The convergence probe rides IN the aggregate (r12): the old label
+        # arrives tagged on each doc's own row (exactly one per doc), so
+        # min(old) recovers it and "any new < old" is read off the already-
+        # materialized checkpoint — the former per-round labels⋈new equi-join
+        # (an extra two-shuffle job per iteration) is gone.
         prop = edges.join(labels, edges.src == labels.doc_id).select(
-            F.col("dst").alias("doc_id"), "cluster_id"
+            F.col("dst").alias("doc_id"),
+            "cluster_id",
+            F.lit(None).cast("long").alias("_old"),
+        )
+        own = labels.select(
+            "doc_id", "cluster_id", F.col("cluster_id").alias("_old")
         )
         new = (
-            labels.unionByName(prop)
+            own.unionByName(prop)
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min("_old").alias("_old"),
+            )
             .localCheckpoint()
         )
         changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
+            new.where(F.col("cluster_id") != F.col("_old")).limit(1).count()
         )
-        labels = new
+        labels = new.select("doc_id", "cluster_id")
         if changed == 0:
             break
     full = docs.join(labels, "doc_id", "left").withColumn(

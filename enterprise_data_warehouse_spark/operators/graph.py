@@ -118,22 +118,24 @@ LIMIT 50
 
 
 def _pagerank_round(
-    ranks: DataFrame, edges_d: DataFrame, nodes_n: DataFrame
+    ranks: DataFrame, edges: DataFrame, nodes_n: DataFrame
 ) -> DataFrame:
     """One unrolled round: transfer rank//outdeg along every edge, sum at
     the destination (map-side combinable), damp with integer arithmetic.
-    `edges_d` already carries outdeg on the src side (computed once,
-    reused every round) so the round is ONE join + ONE aggregate;
-    `nodes_n` carries the broadcast node count for the base share."""
+    ``ranks`` carries (src, share) with share = rank//outdeg ALREADY
+    divided on the |nodes|-sized frame (r12 — the degree lives with the
+    rank row, not duplicated onto every edge row), so the round is ONE
+    join + ONE aggregate and the join payload is a single long;
+    ``nodes_n`` carries the broadcast node count for the base share."""
     got = (
-        edges_d.join(ranks, "src")
-        .select("dst", F.expr("rank div outdeg").alias("share"))
+        edges.join(ranks, "src")
         .groupBy("dst")
         .agg(F.sum("share").alias("got"))
         .withColumnRenamed("dst", "node")
     )
     return nodes_n.join(got, "node", "left").select(
         "node",
+        "outdeg",
         "n_nodes",
         (
             F.expr(
@@ -152,47 +154,71 @@ def bipartite_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, suppliers offset into a disjoint id range. Returns the top-50
     most central nodes — the supply-chain criticality ranking.
 
-    The whole computation is one lazy DataFrame plan: edge build (distinct
-    — the only corpus-sized shuffle), degree join folded INTO the edge
-    frame once (reused by every round), then PR_ITERS join+agg rounds
-    and a TakeOrderedAndProject top-k. Integer micro-unit arithmetic makes
-    the ranking bit-stable cross-engine and under AQE."""
+    Shape: edge build (distinct — the only corpus-sized shuffle, one
+    subtree, both directions emitted per row), degrees computed ONCE onto
+    the |nodes|-sized rank frame (each round ships rank//outdeg as the
+    join payload — no degree column duplicated across edge rows), then
+    PR_ITERS join+agg rounds and a TakeOrderedAndProject top-k. Integer
+    micro-unit arithmetic makes the ranking bit-stable cross-engine and
+    under AQE."""
     li = load_table(spark, sf_dir, "lineitem", min_partitions=cpu_parallelism(spark))
     pairs = li.select(
         F.col("l_partkey").alias("src"),
         (F.col("l_suppkey") + SUPP_OFFSET).alias("dst"),
     ).distinct()
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Both directions from ONE distinct subtree via a per-row explode of a
+    # 2-element struct array (r12). The former plan-level
+    # union(pairs, swap(pairs)) + deg self-join duplicated the pairs
+    # SUBTREE — Spark reuses exchanges only for bit-identical physical
+    # subtrees, so the lineitem scan + distinct executed FOUR times inside
+    # the edge-build job (plan-verified: 4 parquet scans, 12 exchanges →
+    # now 1 scan, 3 exchanges).
+    both_dirs = F.array(
+        F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+        F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # materialize the (deduped, degree-joined) edge frame ONCE: every round
-    # joins against it, and without truncating the lineage the unrolled plan
-    # re-runs the lineitem scan + distinct per round (measured 1.3× slower
-    # at 2 rounds; the gap widens linearly with iteration count).
+    edges_lazy = pairs.select(F.explode(both_dirs).alias("e")).select(
+        "e.src", "e.dst"
+    )
+    # materialize the deduped edge frame ONCE: every round joins against
+    # it, and without truncating the lineage the unrolled plan re-runs the
+    # lineitem scan + distinct per round (measured 1.3× slower at 2 rounds;
+    # the gap widens linearly with iteration count).
     # Storage level is sized to the input: the edge frame is the
     # corpus-sized object here (~400M rows at sf100 — 2× distinct lineitem
-    # pairs, degree-joined), and deserialized in-JVM storage blocks for it
-    # must coexist with the shuffle that builds it — the measured r09
-    # sf100 OOM at 80-100 GB heaps. Past _disk_ckpt_bytes() of input the
-    # checkpoint goes DISK_ONLY (serialized blocks stream from local disk,
-    # heap stays execution-only); below it the in-heap default stands
-    # (DISK_ONLY measured 1.4× slower at sf0.1, where the frame is 30 MB).
+    # pairs), and deserialized in-JVM storage blocks for it must coexist
+    # with the shuffle that builds it — the measured r09 sf100 OOM at
+    # 80-100 GB heaps. Past _disk_ckpt_bytes() of input the checkpoint
+    # goes DISK_ONLY (serialized blocks stream from local disk, heap stays
+    # execution-only); below it the in-heap default stands (DISK_ONLY
+    # measured 1.4× slower at sf0.1, where the frame is 30 MB).
     big_input = local_table_bytes(sf_dir, "lineitem") > _disk_ckpt_bytes()
-    edges_d = edges.join(deg, "src").localCheckpoint(
+    edges = edges_lazy.localCheckpoint(
         eager=True,
         storageLevel=StorageLevel.DISK_ONLY if big_input else None,
     )
-    nodes = edges_d.select(F.col("src").alias("node")).distinct()
-    n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
-    nodes_n = nodes.crossJoin(F.broadcast(n_nodes)).localCheckpoint()
+    # nodes AND degrees in one aggregate over the checkpoint (r12): the
+    # degree rides on the |nodes|-sized rank frame instead of being joined
+    # onto every edge row — the old edges⋈deg join (one more corpus-sized
+    # shuffle + 8 bytes per EDGE row in the checkpoint) is gone; each
+    # round's transfer divides rank by outdeg before the edge join.
+    node_deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    n_nodes = node_deg.agg(F.count("*").alias("n_nodes"))
+    nodes_n = node_deg.crossJoin(F.broadcast(n_nodes)).localCheckpoint()
 
     ranks = nodes_n.select(
-        "node", F.expr(f"{PR_MASS} div n_nodes").alias("rank")
+        "node", "outdeg", F.expr(f"{PR_MASS} div n_nodes").alias("rank")
     )
     for _ in range(PR_ITERS):
         ranks = _pagerank_round(
-            ranks.select(F.col("node").alias("src"), "rank"), edges_d, nodes_n
+            ranks.select(
+                F.col("node").alias("src"),
+                F.expr("rank div outdeg").alias("share"),
+            ),
+            edges,
+            nodes_n,
         )
     out = ranks.select(
         F.when(F.col("node") >= SUPP_OFFSET, F.lit("supplier"))
