@@ -200,8 +200,13 @@ def _ngram_pair_partials(ex: DataFrame) -> DataFrame:
     # The outer form infers nothing; the null filter on the generated
     # attribute drops exactly the rows inner explode never emitted
     # (single-doc buckets flatten to an empty pair list → one NULL row).
+    # Singleton buckets (one doc per shingle — the common case) emit no
+    # pairs: drop them BEFORE the generate with an O(1) size() on the
+    # materialized list column, which the old inferred filter did only by
+    # re-evaluating the whole emission chain.
     pairs = (
-        grouped.select(F.explode_outer(F.flatten(pair_arrays)).alias("p"))
+        grouped.where(F.size("docs") >= 2)
+        .select(F.explode_outer(F.flatten(pair_arrays)).alias("p"))
         .where(F.col("p").isNotNull())
         .select("p.*")
     )
@@ -412,7 +417,10 @@ def _band_pairs(
     # null filter drops the one NULL row an empty (single-doc) bucket's
     # flattened pair list generates under the outer form.
     return (
-        grouped.select(F.explode_outer(F.flatten(pair_arrays)).alias("p"))
+        # singleton buckets emit no pairs — O(1) size() pre-filter (see
+        # _ngram_pair_partials)
+        grouped.where(F.size("docs") >= 2)
+        .select(F.explode_outer(F.flatten(pair_arrays)).alias("p"))
         .where(F.col("p").isNotNull())
         .select("p.*")
     )
@@ -962,9 +970,11 @@ def record_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    # explode_OUTER + isNotNull — see _ngram_pair_partials
+    # explode_OUTER + isNotNull + singleton pre-filter — see
+    # _ngram_pair_partials
     pairs = (
-        grouped.select(F.explode_outer(F.flatten(pair_arrays)).alias("p"))
+        grouped.where(F.size("members") >= 2)
+        .select(F.explode_outer(F.flatten(pair_arrays)).alias("p"))
         .where(F.col("p").isNotNull())
         .select("p.*")
     )
@@ -1410,8 +1420,11 @@ def _emit_prefix_candidates(prefix: DataFrame) -> DataFrame:
     )
     return (
         # explode_OUTER + isNotNull — see _ngram_pair_partials: avoids the
-        # inferred-filter triple evaluation of the pair-emission chain.
-        grouped.select(F.explode_outer(F.flatten(pair_arrays)).alias("p"))
+        # inferred-filter triple evaluation of the pair-emission chain;
+        # singleton buckets (one doc holding the token) emit nothing and
+        # are dropped with an O(1) size() before the generate.
+        grouped.where(F.size("docs") >= 2)
+        .select(F.explode_outer(F.flatten(pair_arrays)).alias("p"))
         .where(F.col("p").isNotNull())
         .select("p.*")
         # PPJoin LENGTH FILTER: max common = min(na, nb), so J ≤ min/max —

@@ -319,7 +319,8 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # explode_OUTER + isNotNull — a plain explode makes the optimizer
         # infer size(...)>0/isnotnull over the whole pair-emission lambda
         # chain and evaluate it 3× per basket (see dedup._ngram_pair_partials)
-        grouped.select(F.explode_outer(F.flatten(pair_arrays)).alias("p"))
+        grouped.where(F.size("items") >= 2)
+        .select(F.explode_outer(F.flatten(pair_arrays)).alias("p"))
         .where(F.col("p").isNotNull())
         .select("p.*")
         .groupBy("u", "v")
