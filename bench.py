@@ -10,6 +10,17 @@ COUNTER_MOVER_WATCH) and reports the BEST run: the host is a shared VM
 with double-digit steal time at busy moments (observed 15%+ in `top`),
 and min-of-N is the standard way to measure the engine rather than the
 neighbors. JIT warmup rides in run 1, so later runs usually win.
+
+Contract fixes (r13, VERDICT r12 item 2 — measurement bugs, not timing
+changes):
+  * Queries execute in SORTED-NAME order, decoupled from the registry's
+    PRIORITY_ORDER: the r12 rotation silently reordered bench execution
+    and manufactured fake per-query cross-round deltas (cold-JVM
+    positions moved). Sorted order is constant forever.
+  * The stdout JSON line carries only {metric, value, unit, queries,
+    methodology, sf} (+errors if any). The raw best-of-N ``runs`` arrays
+    outgrew the driver's 2 kB tail capture and cost BENCH_r11 its parsed
+    record; they now land in plans/bench_runs.json instead.
 """
 
 from __future__ import annotations
@@ -81,14 +92,41 @@ COUNTER_MOVER_WATCH = {
 }
 
 
+def _release_session_residue(spark) -> None:
+    """Drop everything a query leaves on the session between timings so
+    each number measures that query alone (VERDICT r12 item 6: the
+    checkpoint-heavy class's localCheckpoint blocks survived
+    clearCache+gc into the NEXT query's first run, inflating it 1.3-1.8×).
+    clearCache handles the SQL cache; localCheckpoints are persistent
+    RDDs, dropped here explicitly; the JVM System.gc lets ContextCleaner
+    unregister the now-unreachable shuffle dependencies (no public
+    unregister API exists for shuffle files)."""
+    import gc
+
+    spark.catalog.clearCache()
+    try:
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+    except Exception:  # noqa: BLE001 — best-effort; never fail the bench
+        pass
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("edw-bench")
     registry = load_registry()
-    bench_queries = {n: s for n, s in registry.items() if s.bench}
-
-    import gc
+    # SORTED execution order — constant across rounds regardless of the
+    # registry's PRIORITY_ORDER rotation, so per-query cross-round deltas
+    # compare like positions (same JVM warmth), not rotation artifacts.
+    bench_queries = {
+        n: registry[n] for n in sorted(n for n, s in registry.items() if s.bench)
+    }
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -101,6 +139,7 @@ def main() -> None:
         force(bench_queries[next(iter(bench_queries))].fn(spark, sf_dir))
     except Exception as e:  # noqa: BLE001
         errors["_warmup"] = f"{type(e).__name__}: {e}"[:200]
+    _release_session_residue(spark)
 
     for name, spec in bench_queries.items():
         rs = []
@@ -126,18 +165,21 @@ def main() -> None:
                 runs[name] = rs
                 timings[name] = min(rs)
         finally:
-            # Isolate queries from each other's session residue: iterative
-            # queries localCheckpoint intermediate RDDs which linger on the
-            # heap until the ContextCleaner notices the dropped references —
-            # measured to inflate LATER queries' timings by several× in a
-            # 29-query session. Dropping caches + forcing a driver GC cycle
-            # between queries makes each number measure that query alone —
-            # ESPECIALLY after a failed query, whose residue would otherwise
-            # distort every later timing.
-            spark.catalog.clearCache()
-            gc.collect()
+            # Isolate queries from each other's session residue — see
+            # _release_session_residue. ESPECIALLY after a failed query,
+            # whose residue would otherwise distort every later timing.
+            _release_session_residue(spark)
 
     total = round(sum(timings.values()), 3)
+    # Raw best-of-N run arrays go to a SIDE file: they outgrew the driver's
+    # 2 kB stdout tail capture in r11/r12 and cost BENCH_r11 its parsed
+    # record. The stdout line stays small forever.
+    runs_path = Path(__file__).resolve().parent / "plans" / "bench_runs.json"
+    try:
+        runs_path.parent.mkdir(parents=True, exist_ok=True)
+        runs_path.write_text(json.dumps({"runs": runs, "sf": sf}, indent=1))
+    except OSError:
+        pass  # recording the side artifact must never fail the bench
     print(
         json.dumps(
             {
@@ -148,10 +190,11 @@ def main() -> None:
                 # methodology v2 since r02: per-query best-of-2 with a warm
                 # JVM (v1/r01 was single-run); v3 since r04: best-of-3 for
                 # the REGRESSION_WATCH set; v4 since r05: best-of-4 for the
-                # COUNTER_MOVER_WATCH pair; all raw runs recorded so
-                # cross-round deltas stay interpretable under host steal.
-                "methodology": "best_of_n_noop_sink_v4",
-                "runs": runs,
+                # COUNTER_MOVER_WATCH pair; v5 since r13: sorted execution
+                # order + deterministic checkpoint-block release between
+                # queries + runs arrays in plans/bench_runs.json (VERDICT
+                # r12 items 2 and 6 — same timing methodology otherwise).
+                "methodology": "best_of_n_noop_sink_v5_sorted",
                 **({"errors": errors} if errors else {}),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

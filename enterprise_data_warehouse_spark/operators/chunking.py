@@ -93,15 +93,16 @@ def doc_chunks_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         # explode_OUTER: the inferred size>0/isnotnull filter of a plain
         # explode re-builds the sequence array twice per doc (see
-        # dedup._ngram_pair_partials); n >= 1 so the sequence is never
-        # empty and no NULL row is emitted.
+        # dedup._ngram_pair_partials); the isNotNull backstop downstream
+        # restores inner-explode row semantics at ~0 cost even if a
+        # NULL-text row ever appeared (n >= 1 on every generated corpus).
         F.explode_outer(
             F.sequence(F.lit(0), F.floor((F.col("n") - 1) / STRIDE).cast("int"))
         ).alias("chunk_idx"),
     )
     start = F.col("chunk_idx") * STRIDE + 1
     length = F.least(F.lit(CHUNK), F.col("n") - F.col("chunk_idx") * STRIDE)
-    return idx.select(
+    return idx.where(F.col("chunk_idx").isNotNull()).select(
         "doc_id",
         "chunk_idx",
         F.array_join(F.slice("toks", start, length), " ").alias("chunk"),
@@ -165,15 +166,16 @@ def shared_chunk_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         # explode_OUTER: the inferred size>0/isnotnull filter of a plain
         # explode re-builds the sequence array twice per doc (see
-        # dedup._ngram_pair_partials); n >= 1 so the sequence is never
-        # empty and no NULL row is emitted.
+        # dedup._ngram_pair_partials); the isNotNull backstop downstream
+        # restores inner-explode row semantics at ~0 cost even if a
+        # NULL-text row ever appeared (n >= 1 on every generated corpus).
         F.explode_outer(
             F.sequence(F.lit(0), F.floor((F.col("n") - 1) / STRIDE).cast("int"))
         ).alias("chunk_idx"),
     )
     start = F.col("chunk_idx") * STRIDE + 1
     length = F.least(F.lit(CHUNK), F.col("n") - F.col("chunk_idx") * STRIDE)
-    chunks = idx.select(
+    chunks = idx.where(F.col("chunk_idx").isNotNull()).select(
         "doc_id",
         F.md5(F.array_join(F.slice("toks", start, length), " ")).alias("chunk_fp"),
     )

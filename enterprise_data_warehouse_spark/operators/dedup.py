@@ -480,6 +480,13 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     _simhash_sig_compiled), no Python. Rows-only check (engine-native
     hash)."""
     d = load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
+    # Plain explode is CORRECT here (r13, measured): InferFiltersFromGenerate
+    # does not fire on a bare split(text) child in Spark 4.1.x — the r13
+    # before-plan shows `explode(split(..)), outer=false` with NO inferred
+    # size-filter below it — so the explode_outer+isNotNull rewrite applied
+    # to the expensive transform-chain generators would only ADD a per-token
+    # Filter node on this hot path (plan-verified: plans/r13/
+    # simhash_hamming_pairs_after.txt from the trial rewrite).
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     out = _simhash_sig_compiled(tokens, "xxhash64(t)", 64).withColumnRenamed(
         "signature", "simhash"
@@ -721,6 +728,9 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _with_synthetic_dupes(
         load_table(spark, sf_dir, "documents", min_partitions=cpu_parallelism(spark))
     )
+    # Plain explode — see simhash_signatures: no inferred size-filter fires
+    # on a bare split child, so the outer+isNotNull form would only add a
+    # useless per-token Filter (r13 plan-verified).
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     sigs = _simhash_sig_compiled(tokens, _PORTABLE_TOKEN_HASH, SIMHASH_BITS)
     band_key = F.expr(

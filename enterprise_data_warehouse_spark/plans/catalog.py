@@ -93,7 +93,27 @@ def build_fact(src: DataFrame, spec: dict, decimal_sums: bool = True) -> DataFra
             aggs.append(AGG_FNS[fn_name](m["column"]).alias(m["name"]))
     aggs.append(F.count("*").alias("row_count"))
 
-    out = src.groupBy(*group_cols).agg(*aggs)
+    if spec.get("near_unique_grain"):
+        # Near-unique grain (declared in the catalog: ~1 source row per
+        # group, e.g. fact_sales_daily's (date, customer, part) over order
+        # lines — measured 5,999,350 groups from 6,001,215 rows at sf1).
+        # The default partial→exchange→final plan ships WIDENED partial
+        # rows through the exchange: each decimal-sum partial is a
+        # decimal(38,10)+isEmpty pair (~17 B) where the source double is
+        # 8 B, and with no reduction the partial aggregation only inflates
+        # the shuffle (~2.2× for this measure set). Repartitioning by the
+        # group keys FIRST makes the exchange carry the raw narrow rows;
+        # the aggregation then runs entirely post-shuffle (partial+final
+        # back-to-back, no second exchange). No fixed partition count —
+        # AQE sizes/coalesces the exchange, so the same plan scales.
+        key_names = ["date_key"] + [k["name"] for k in spec.get("dimension_keys", [])]
+        projected = src.select(
+            *group_cols,
+            *dict.fromkeys(m["column"] for m in spec.get("measures", [])),
+        )
+        out = projected.repartition(*key_names).groupBy(*key_names).agg(*aggs)
+    else:
+        out = src.groupBy(*group_cols).agg(*aggs)
 
     # post-aggregation derived measures: catalog calculation strings are
     # Spark SQL expressions over the aggregated columns (D2: F.expr).

@@ -43,6 +43,24 @@ def get_spark(
         # Dimension tables (region/nation/customer at test SF) stay under
         # this; facts never auto-broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Deliberate join strategy (guide §3.1): when a side is too big to
+        # broadcast but its per-partition share fits a hash table, a
+        # shuffled-hash join beats sort-merge by skipping BOTH sorts — the
+        # dominant spill source of the big-big star joins (measured:
+        # catalog_fact_sales_daily at sf100 spilled 42.4 GB sorting a
+        # 600M×150M SMJ; SHJ removes the sorts). Static planning honors
+        # size estimates; the AQE threshold converts misestimated SMJs at
+        # runtime once real post-shuffle sizes are known. Both are
+        # scale-independent policies (ratios/thresholds, not counts) —
+        # env-overridable like every other knob here.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("EDW_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("EDW_SHJ_LOCAL_MAP_THRESHOLD", "256MB"),
+        )
         # Timestamps in testdata are TIMESTAMP_NTZ-like; keep session UTC so
         # date_trunc/extract match the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
