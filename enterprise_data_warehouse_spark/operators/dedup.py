@@ -338,8 +338,16 @@ def minhash_signatures(ss: DataFrame, k: int = MINHASH_K) -> DataFrame:
     the exchange ships |docs| × k longs, never shingle rows (the 2.4×
     regression the old docstring pinned on "explode + groupBy" belonged to
     a k·|shingles|-ROW explode; this form explodes shingles once).
-    Measured at sf0.1: 1.9 s → 0.9 s warm, cold first run 6.4 s → 2.4 s;
-    signatures bit-identical (seeds stay INT literals, matching the old
+
+    A/B vs the old map-side lambda shape (r13, tools/minhash_ab.py — the
+    full minhash_lsh_candidates pipeline, interleaved in one warm session
+    per SF; VERDICT r12 item 3): sf0.1 warm is a TIE within host noise
+    (new 1.585 s best vs old 1.517 — the earlier "1.9 → 0.9 s" claim
+    was wrong), sf1 this shape wins decisively — warm best 2.534 s vs
+    4.501 (1.78×), cold 4.868 vs 14.693 (3.0×): the interpreted
+    k·|shingles| lambda loop is the term that grows with corpus size.
+    Kept: flat at the small scale, wins every larger one. Signatures
+    bit-identical (seeds stay INT literals, matching the old
     ``sequence(0, k-1)`` element type xxhash64 hashes by)."""
     # explode_OUTER, not explode: for a non-outer generator the optimizer
     # infers `size(child) > 0 AND isnotnull(child)` and pushes it below the

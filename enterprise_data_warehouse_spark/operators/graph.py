@@ -147,6 +147,26 @@ def _pagerank_round(
     )
 
 
+def _pagerank_edge_frame(li: DataFrame) -> DataFrame:
+    """Symmetric edge list from lineitem, both directions from ONE distinct
+    subtree via a per-row explode of a 2-element struct array (r12). The
+    former plan-level union(pairs, swap(pairs)) + deg self-join duplicated
+    the pairs SUBTREE — Spark reuses exchanges only for bit-identical
+    physical subtrees, so the lineitem scan + distinct executed FOUR times
+    inside the edge-build job (plan-verified: 4 parquet scans, 12
+    exchanges → now 1 scan, ≤3 exchanges — pinned by
+    tests/test_plans.py::test_pagerank_edge_job_single_scan)."""
+    pairs = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + SUPP_OFFSET).alias("dst"),
+    ).distinct()
+    both_dirs = F.array(
+        F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+        F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+    )
+    return pairs.select(F.explode(both_dirs).alias("e")).select("e.src", "e.dst")
+
+
 @query("bipartite_pagerank", oracle=PAGERANK_ORACLE, bench=True)
 def bipartite_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, PR_ITERS unrolled rounds) over the
@@ -162,24 +182,7 @@ def bipartite_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-unit arithmetic makes the ranking bit-stable cross-engine and
     under AQE."""
     li = load_table(spark, sf_dir, "lineitem", min_partitions=cpu_parallelism(spark))
-    pairs = li.select(
-        F.col("l_partkey").alias("src"),
-        (F.col("l_suppkey") + SUPP_OFFSET).alias("dst"),
-    ).distinct()
-    # Both directions from ONE distinct subtree via a per-row explode of a
-    # 2-element struct array (r12). The former plan-level
-    # union(pairs, swap(pairs)) + deg self-join duplicated the pairs
-    # SUBTREE — Spark reuses exchanges only for bit-identical physical
-    # subtrees, so the lineitem scan + distinct executed FOUR times inside
-    # the edge-build job (plan-verified: 4 parquet scans, 12 exchanges →
-    # now 1 scan, 3 exchanges).
-    both_dirs = F.array(
-        F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
-        F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
-    )
-    edges_lazy = pairs.select(F.explode(both_dirs).alias("e")).select(
-        "e.src", "e.dst"
-    )
+    edges_lazy = _pagerank_edge_frame(li)
     # materialize the deduped edge frame ONCE: every round joins against
     # it, and without truncating the lineage the unrolled plan re-runs the
     # lineitem scan + distinct per round (measured 1.3× slower at 2 rounds;

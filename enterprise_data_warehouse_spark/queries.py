@@ -69,68 +69,12 @@ _OPERATOR_MODULES = [
 # moves to the front and last round's front drops to the tail, so no
 # query's newest driver record ever ages more than ~4 rounds.
 PRIORITY_ORDER = [
-    # Round-12 curation (VERDICT r11 item 1). Registry FROZEN at 215
+    # Round-13 curation (VERDICT r12 item 5). Registry FROZEN at 215
     # (since r09); standing rotation: oldest-recorded cohort to the
     # front, last round's front to the tail. The driver records
     # exactly the first 50 each round.
-    # -- slots 1-15: the 15 remaining r07-cohort queries (oldest
-    # records left after r11; pre-cleared value-exact at sf0.01 on
-    # the final r12 tree — see PROGRESS.jsonl).
-    "ks_binned_drift",
-    "feature_moments",
-    "ks_drift_pvalue",
-    "snapshot_diff",
-    "key_skew_profile",
-    "tfidf_top_terms",
-    "corpus_source_mix",
-    "pii_scrub",
-    "token_frequencies",
-    "near_dup_clusters",
-    "benchmark_decontamination",
-    "incremental_dedup",
-    "ivf_topk",
-    "ann_multiprobe_topk",
-    "kmeans_embeddings",
-    # -- slots 16-50: the 35 oldest r08-cohort entries. After r12
-    # records these, only 15 r08-cohort entries remain for r13's
-    # front.
-    "bloom_pruned_lookup",
-    "kmeans_pp_embeddings",
-    "range_bin_lookup",
-    "order_rollup_hierarchy",
-    "order_window_frames",
-    "stratified_order_sample",
-    "event_type_pivot",
-    "order_grouping_sets",
-    "order_rank_distributions",
-    "doc_chunks_udtf",
-    "sequence_packing",
-    "image_feature_extract",
-    "catalog_dim_part",
-    "catalog_fact_events_daily",
-    "referential_integrity",
-    "date_dimension",
-    "freshness_rollup",
-    "streaming_hourly_counts",
-    "streaming_dedup_events",
-    "streaming_session_metrics",
-    "streaming_segment_counts",
-    "streaming_view_click_join",
-    "stateful_user_ewma",
-    "ttl_feature_cache",
-    "streaming_corpus_ingest",
-    "feature_vector_conform",
-    "train_test_split",
-    "video_frame_sample_plan",
-    "audio_chunk_plan",
-    "sliding_hourly_counts",
-    "segment_hourly_counts",
-    "view_click_within_30m",
-    "semantic_dedup",
-    "pq_adc_topk",
-    "catalog_fact_customer_behavior",
-    # ---------------- slot 50 boundary (driver budget) ---------------------
-    # -- remaining r08 cohort (15) = r13's front ----------------------------
+    # -- slots 1-15: the 15 remaining r08-cohort entries (oldest
+    # records left after r12).
     "catalog_fact_inventory_daily",
     "catalog_dim_product",
     "catalog_dim_employee",
@@ -146,10 +90,33 @@ PRIORITY_ORDER = [
     "weighted_doc_sample",
     "corpus_temperature_mix",
     "gopher_quality_filters",
-    # -- newest record r09 (50) ----------------------------------------------
+    # -- slots 16-35: the r12/r13-touched query paths (outer-generate
+    # family, banded-signature family, pagerank edge build, catalog
+    # star near-unique-grain exchange, SHJ-affected join shapes) —
+    # mostly builder-verified only until now; fresh driver records.
+    "ngram_jaccard_pairs",
+    "prefix_filter_jaccard_pairs",
+    "simhash_hamming_pairs",
+    "simhash_signatures",
+    "minhash_lsh_candidates",
+    "near_dup_clusters",
+    "bipartite_pagerank",
+    "dsir_importance_weights",
+    "doc_chunks_native",
+    "shared_chunk_fingerprints",
+    "ngram_novelty_scores",
+    "vocab_growth_buckets",
+    "trigram_lm_counts",
+    "perplexity_buckets",
+    "association_rules",
+    "copurchase_triangles",
+    "record_linkage_pairs",
+    "catalog_fact_sales_daily",
+    "scd2_customer_dim",
+    "minhash_lsh_verified",
+    # -- slots 36-50: the oldest r09-cohort entries.
     "incremental_fact_merge_partitioned",
     "dedup_representatives",
-    "record_linkage_pairs",
     "lineitem_measure_unpivot",
     "funnel_conversion",
     "cohort_retention",
@@ -157,15 +124,14 @@ PRIORITY_ORDER = [
     "masked_customer_view",
     "cdc_apply",
     "part_hierarchy_rollup",
-    "ngram_novelty_scores",
-    "vocab_growth_buckets",
     "pca_power_iteration",
     "orders_column_profile",
     "token_budget_mix",
     "length_bucket_stats",
     "line_dedup_reconstruct",
-    "bipartite_pagerank",
     "mv_incremental_maintenance",
+    # ---------------- slot 50 boundary (driver budget) ---------------------
+    # -- remaining registry, prior relative order preserved ------------------
     "countmin_heavy_hitters",
     "hll_distinct_users",
     "ewma_fold_sql",
@@ -173,36 +139,26 @@ PRIORITY_ORDER = [
     "hll_sliding_distinct",
     "pit_feature_snapshot",
     "scd2_temporal_join",
-    "dsir_importance_weights",
-    "perplexity_buckets",
     "training_order_shards",
     "hard_negative_mining",
-    "prefix_filter_jaccard_pairs",
     "corpus_ingest_stats",
     "incremental_ivf_assign",
     "salted_skew_join",
     "target_encoding",
     "feature_hashing",
-    "association_rules",
     "forecast_baseline_daily",
-    "copurchase_triangles",
     "multitouch_attribution",
     "mv_rollup_routing",
-    "trigram_lm_counts",
     "densify_daily_revenue",
     "segment_revenue_share",
     "abc_part_classification",
     "fulfillment_lead_time",
     "ts_features_pandas",
     "score_customers_pandas",
-    "minhash_lsh_candidates",
-    "simhash_signatures",
-    # -- newest record r10 (50) ----------------------------------------------
     "ann_lsh_buckets",
     "embedding_centroids",
     "embedding_quantize",
     "pq_encode",
-    "scd2_customer_dim",
     "incremental_fact_merge",
     "staging_customer_cleanse",
     "customer_rfm",
@@ -248,7 +204,6 @@ PRIORITY_ORDER = [
     "rolling_feature_matrix",
     "forward_fill_values",
     "feature_descriptive_stats",
-    # -- newest record r11 (50): last round's front, freshest records --------
     "categorical_profile",
     "regr_slope_per_user",
     "psi_value_drift",
@@ -265,23 +220,17 @@ PRIORITY_ORDER = [
     "feature_fetch_inlist",
     "training_dataset",
     "stats_pruned_lookup",
-    "minhash_lsh_verified",
     "star_revenue_rollup",
     "text_quality_scores",
     "exact_dedup",
-    "ngram_jaccard_pairs",
-    "simhash_hamming_pairs",
     "cosine_topk",
     "asof_click_attribution",
-    "doc_chunks_native",
-    "catalog_fact_sales_daily",
     "media_manifest",
     "session_metrics_batch",
     "tumbling_hourly_counts",
     "quality_check_suite",
     "median_price_udaf",
     "order_cube",
-    "shared_chunk_fingerprints",
     "volume_shipping",
     "market_share",
     "product_profit",
@@ -299,6 +248,55 @@ PRIORITY_ORDER = [
     "supplier_part_counts",
     "excess_shipped_parts",
     "waiting_suppliers",
+    "ks_binned_drift",
+    "feature_moments",
+    "ks_drift_pvalue",
+    "snapshot_diff",
+    "key_skew_profile",
+    "tfidf_top_terms",
+    "corpus_source_mix",
+    "pii_scrub",
+    "token_frequencies",
+    "benchmark_decontamination",
+    "incremental_dedup",
+    "ivf_topk",
+    "ann_multiprobe_topk",
+    "kmeans_embeddings",
+    "bloom_pruned_lookup",
+    "kmeans_pp_embeddings",
+    "range_bin_lookup",
+    "order_rollup_hierarchy",
+    "order_window_frames",
+    "stratified_order_sample",
+    "event_type_pivot",
+    "order_grouping_sets",
+    "order_rank_distributions",
+    "doc_chunks_udtf",
+    "sequence_packing",
+    "image_feature_extract",
+    "catalog_dim_part",
+    "catalog_fact_events_daily",
+    "referential_integrity",
+    "date_dimension",
+    "freshness_rollup",
+    "streaming_hourly_counts",
+    "streaming_dedup_events",
+    "streaming_session_metrics",
+    "streaming_segment_counts",
+    "streaming_view_click_join",
+    "stateful_user_ewma",
+    "ttl_feature_cache",
+    "streaming_corpus_ingest",
+    "feature_vector_conform",
+    "train_test_split",
+    "video_frame_sample_plan",
+    "audio_chunk_plan",
+    "sliding_hourly_counts",
+    "segment_hourly_counts",
+    "view_click_within_30m",
+    "semantic_dedup",
+    "pq_adc_topk",
+    "catalog_fact_customer_behavior",
 ]
 
 

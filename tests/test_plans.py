@@ -493,17 +493,71 @@ def test_scd2_customer_dim_plan_shape(spark):
 
 
 def test_catalog_fact_sales_daily_plan_shape(spark):
-    """The catalog star build (the other r12 decade-probe shape): one
-    equi join (broadcast at this SF, sort-merge at scale), a single
-    aggregation exchange after it, and column pruning on the lineitem
-    scan — the grain columns plus measures only, never the full row."""
+    """The catalog star build (the r12 decade-probe shape, r13 exchange
+    layout): one equi join (broadcast at this SF, shuffled-hash at
+    scale), then — because the (date, customer, part) grain is declared
+    near-unique — a REPARTITION_BY_COL exchange of the RAW narrow rows
+    with the partial+final aggregate pair running entirely post-shuffle
+    (widened decimal partials never cross the wire), and column pruning
+    on both scans."""
     plan = plan_of(REG["catalog_fact_sales_daily"].fn(spark, SF))
-    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+    assert ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "SortMergeJoin" in plan
+    ), plan
     assert "CartesianProduct" not in plan and "EvalPython" not in plan, plan
     n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
     assert n_exchanges <= 3, plan  # join bcast/shuffle + one agg exchange
+    # the near-unique-grain exchange: group-key repartition of raw rows
+    assert "REPARTITION_BY_COL" in plan, plan
     li_scan = next(
         ln for ln in plan.splitlines()
         if "FileScan parquet" in ln and "l_orderkey" in ln
     )
     assert "l_comment" not in li_scan and "l_shipinstruct" not in li_scan, li_scan
+    # orders scan pruned to the join key + grain columns (VERDICT r12 #8)
+    o_scan = next(
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "o_orderkey" in ln
+    )
+    for col in ("o_totalprice", "o_comment", "o_orderstatus", "o_clerk"):
+        assert col not in o_scan, o_scan
+
+
+def test_pagerank_edge_job_single_scan(spark):
+    """The r12 pagerank edge rewrite, pinned (VERDICT r12 item 4): both
+    edge directions explode from ONE distinct subtree, so the edge job
+    reads lineitem once and carries at most 3 exchanges (the repartition
+    on read, the distinct, and AQE bookkeeping) — never the 4-scan/
+    12-exchange union(pairs, swap(pairs)) + degree self-join shape."""
+    from enterprise_data_warehouse_spark.operators.graph import (
+        _pagerank_edge_frame,
+    )
+
+    plan = plan_of(_pagerank_edge_frame(load_table(spark, SF, "lineitem")))
+    assert plan.count("FileScan parquet") == 1, plan
+    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchanges <= 3, plan
+    assert "Generate explode" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_no_inferred_size_filter_over_generator_chains(spark):
+    """The outer-generate family, pinned for every converted dedup/text
+    path (VERDICT r12 item 4): no Generate may carry an
+    InferFiltersFromGenerate-inferred `size(<expensive chain>)` filter
+    that re-evaluates the interpreted shingle/gram transform below the
+    exchange. The deliberate `size(docs) >= 2` singleton pre-filters
+    (over a collected array ATTRIBUTE, not a chain) stay allowed."""
+    for name in (
+        "ngram_jaccard_pairs",
+        "prefix_filter_jaccard_pairs",
+        "dsir_importance_weights",
+        "doc_chunks_native",
+        "token_frequencies",
+        "ngram_novelty_scores",
+        "trigram_lm_counts",
+    ):
+        plan = plan_of(REG[name].fn(spark, SF))
+        assert "size(transform(" not in plan, (name, plan)
+        assert "size(array_distinct(" not in plan, (name, plan)
+        assert "size(sequence(" not in plan, (name, plan)
