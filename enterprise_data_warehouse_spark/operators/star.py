@@ -235,7 +235,19 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans, so the join probes a fraction of each table; the final ORDER BY +
     LIMIT plans as TakeOrderedAndProject (per-partition top-10 heaps, 10-row
     merge at the driver) — no global sort at any scale. The orderkey
-    tie-break makes the top-k deterministic across engines."""
+    tie-break makes the top-k deterministic across engines.
+
+    The lineitem join carries a shuffle_hash hint on the (customer-segment ×
+    pre-cutoff orders) side: Spark's post-filter size estimate puts the
+    shipdate-filtered LINEITEM under the broadcast threshold and builds a
+    fact-side hash relation on the driver — a single-threaded multi-million
+    row build that also vanishes above the threshold, changing the plan shape
+    with scale. The hint pins SHJ BuildLeft at every SF (the orders side is
+    the smaller at all of them), and the join's orderkey exchange then
+    satisfies the groupBy's distribution requirement, so the aggregation runs
+    partial+final with NO separate exchange. Measured interleaved warm A/B:
+    sf0.1 1.29–2.07 s → 0.94–1.58 s, sf1 3.89–5.57 s → 1.49–2.89 s; rows
+    bit-identical (exact decimal sums are partitioning-order-free)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -244,6 +256,7 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.where(F.col("c_mktsegment") == "BUILDING")
         .join(o, F.col("c_custkey") == F.col("o_custkey"))
         .where(F.col("o_orderdate") < cutoff)
+        .hint("shuffle_hash")
         .join(li.where(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             "l_orderkey",

@@ -389,7 +389,22 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: orders whose total quantity exceeds a threshold, with
     customer context, top-100 by price. The HAVING pre-aggregate runs on
     lineitem alone and semi-joins back — only qualifying orderkeys flow
-    into the wide join (TakeOrderedAndProject caps the result)."""
+    into the wide join (TakeOrderedAndProject caps the result).
+
+    The re-join with lineitem carries a shuffle_hash hint on the
+    semi-joined side: Spark's estimator cannot see through the semi-join +
+    aggregate, so below the broadcast threshold it broadcast the ENTIRE
+    raw lineitem as the build side (a driver-serial multi-million-row
+    fact build at sf0.1–sf1), and above it picked SHJ BuildRight —
+    building the hash on the 10×-bigger lineitem side. The hint pins SHJ
+    with the semi side as build at every scale: the fact is only ever
+    scanned, shuffled once by orderkey and probed; the build side is
+    always the smaller. (A broadcast hint was measured and rejected:
+    qty > 140 matches ~24% of orders on this corpus — 3.57M at sf10 —
+    so the semi side is NOT broadcast-safe at scale.) The join's orderkey
+    exchange then satisfies the rollup's distribution requirement —
+    groupBy keys lead with o_orderkey — so the aggregation runs
+    partial+final with no separate exchange."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -403,6 +418,7 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(big.withColumnRenamed("l_orderkey", "bigkey"),
                F.col("o_orderkey") == F.col("bigkey"), "left_semi")
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .hint("shuffle_hash")
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity", "total_qty"))

@@ -303,8 +303,19 @@ def test_no_complex_typed_output_columns(spark):
 
 def test_tpch_pack_broadcasts_dims_not_fact(spark):
     """TPC-H-shape pack: part/nation/supplier dimensions broadcast; the
-    lineitem fact must never be the broadcast side."""
-    for name in ("promo_revenue", "product_profit", "disjunctive_revenue"):
+    lineitem fact must never be the broadcast side.
+
+    shipping_priority_topk joined the guard in r13: Spark's post-filter
+    size estimate put the shipdate-filtered lineitem under the broadcast
+    threshold and built the fact on the driver — now pinned SHJ via hint
+    (large_orders gets its own test below: its legitimate broadcast side
+    CONTAINS an aggregated-lineitem subtree, so this regex misfires)."""
+    for name in (
+        "promo_revenue",
+        "product_profit",
+        "disjunctive_revenue",
+        "shipping_priority_topk",
+    ):
         plan = plan_of(REG[name].fn(spark, SF))
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan}"
         bcast_sections = re.findall(r"BroadcastExchange[^\n]*\n(?:.*\n){0,8}", plan)
@@ -318,6 +329,23 @@ def test_large_orders_topk_no_global_sort(spark):
     Sort+Exchange of the joined result."""
     plan = plan_of(REG["large_orders"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_large_orders_builds_semi_side_never_fact(spark):
+    """Q18's lineitem re-join must plan ShuffledHashJoin BuildLeft: the
+    semi-joined orders side (the smaller at every scale) is the hash
+    build, the raw fact is shuffled once and probed. Before the r13 hint,
+    Spark's estimator could not see through the semi-join + aggregate and
+    below the broadcast threshold broadcast the ENTIRE raw lineitem as
+    the build side (driver-serial multi-million-row fact build; measured
+    3.7 s -> 1.9 s at sf1), while above it it picked SHJ BuildRight —
+    building on the 10x-bigger fact side. A broadcast hint was rejected:
+    qty > 140 matches ~24% of orders on this corpus (3.57M at sf10), so
+    the semi side must shuffle, not broadcast."""
+    plan = plan_of(REG["large_orders"].fn(spark, SF))
+    m = re.search(r"ShuffledHashJoin \[o_orderkey[^\]]*\], \[l_orderkey[^\]]*\], Inner, (\w+)", plan)
+    assert m, plan
+    assert m.group(1) == "BuildLeft", plan
 
 
 def test_top_supplier_scans_lineitem_once(spark):
