@@ -292,7 +292,15 @@ LIMIT 20
 def returned_customer_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returns analysis — returnflag + order-date window
     pushed to the scans, nation broadcast, top-20 customers by lost revenue
-    (TakeOrderedAndProject; custkey tie-break for determinism)."""
+    (TakeOrderedAndProject; custkey tie-break for determinism).
+
+    Like shipping_priority_topk, the lineitem join carries a shuffle_hash
+    hint on the (customer × date-window orders) side: Spark's post-filter
+    estimate put the returnflag-filtered LINEITEM under the broadcast
+    threshold and built the fact on the driver (and the shape flips to
+    SMJ above the threshold). The hint pins SHJ with the smaller
+    customer⋈orders side as build at every scale; exact decimal sums keep
+    the result partitioning-order-free."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -305,6 +313,7 @@ def returned_customer_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("c_custkey") == F.col("o_custkey"),
         )
+        .hint("shuffle_hash")
         .join(li.where(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")

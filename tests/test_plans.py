@@ -315,6 +315,7 @@ def test_tpch_pack_broadcasts_dims_not_fact(spark):
         "product_profit",
         "disjunctive_revenue",
         "shipping_priority_topk",
+        "returned_customer_ranking",
     ):
         plan = plan_of(REG[name].fn(spark, SF))
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan}"
