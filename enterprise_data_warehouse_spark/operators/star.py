@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.deterministic import DEC, davg, dec2dbl, dsum, sql_davg, sql_dsum
 from ..functions.expressions import net_revenue
 from ..queries import query
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parallelize_degenerate_scan
 
 
 def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -27,8 +27,17 @@ def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dimension sides (nation, region) are broadcast — no shuffle for them at
     any scale. The lineitem⋈orders join shuffles on orderkey; Catalyst pushes
     the quantity/price filters into the parquet scan.
+
+    The lineitem scan goes through parallelize_degenerate_scan (r13): the
+    driver's single-row-group test file otherwise plans the whole
+    scan→probe→partial-agg stage as ONE task (star_revenue_rollup 2.12 →
+    1.39 s at sf0.1 with the fix); any multi-partition scan is left alone
+    (measured to lose at sf1) and production scans are a no-op. Exact
+    decimal sums keep the result partitioning-order-free.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = parallelize_degenerate_scan(
+        spark, load_table(spark, sf_dir, "lineitem"), sf_dir, "lineitem"
+    )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -119,8 +128,18 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary: the canonical grouped multi-agg (A1).
 
     One shuffle on (returnflag, linestatus); partial aggregation map-side.
+
+    The lineitem scan goes through parallelize_degenerate_scan (r13): the
+    single-row-group test file otherwise scans as ONE task, serializing the
+    eight decimal partial aggregates onto one core (measured: sf0.1 read
+    SLOWER than sf1, whose replica set has 8 files; with the fix 2.16 →
+    1.31 s at sf0.1). Multi-partition scans are left alone — repartitioning
+    sf1's 8-file scan was measured to lose. Exact decimal aggs are
+    order-free.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = parallelize_degenerate_scan(
+        spark, load_table(spark, sf_dir, "lineitem"), sf_dir, "lineitem"
+    )
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     return (

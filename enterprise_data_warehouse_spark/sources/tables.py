@@ -84,6 +84,56 @@ def cpu_parallelism(spark: SparkSession) -> int:
     return spark.sparkContext.defaultParallelism
 
 
+def _single_row_group(sf_dir: str, name: str) -> bool:
+    """True iff the LOCAL parquet table is one row group total — i.e. only
+    one scan task can ever carry rows, whatever the split count. Driver-
+    local footer read (sub-ms); fails open to False for non-local paths or
+    any read error, so production object-store tables are never touched."""
+    try:
+        from pathlib import Path
+
+        import pyarrow.parquet as pq
+
+        p = Path(os.path.join(sf_dir, f"{name}.parquet"))
+        files = [p] if p.is_file() else sorted(p.glob("*.parquet"))
+        total = 0
+        for f in files:
+            total += pq.ParquetFile(str(f)).metadata.num_row_groups
+            if total > 1:
+                return False
+        return total == 1
+    except Exception:  # noqa: BLE001 — fail open: no repartition
+        return False
+
+
+def parallelize_degenerate_scan(
+    spark: SparkSession, df: DataFrame, sf_dir: str, name: str
+) -> DataFrame:
+    """Restore parallelism ONLY for a single-row-group table scan (r13).
+
+    A one-row-group parquet file plans as ONE working scan task no matter
+    the core count or split count (Spark assigns the whole row group to
+    the split containing its midpoint; the driver's sf0.1 lineitem scans
+    as 3 splits of which 1 carries all 600k rows), so everything up to
+    the first exchange — including heavy decimal partial aggregation —
+    runs serial. Measured: pricing_summary read SLOWER at sf0.1 than at
+    sf1 (8-file replica set). In the degenerate case a round-robin
+    repartition of the ~10 MB table is nearly free and restores full
+    parallelism (pricing_summary 2.16 → 1.31 s, star_revenue_rollup
+    2.12 → 1.39 s, balanced-order best-of-3 A/B at sf0.1).
+
+    Unlike the blanket ``min_partitions`` knob (right for CPU-heavy
+    per-row operators like shingling), any multi-row-group layout is left
+    alone: repartitioning sf1's 8-file lineitem to 32 was MEASURED to
+    lose (pricing 1.64 → 2.5 s — the 150 MB exchange costs more than
+    8→32 parallelism buys on a cheap-per-row agg). Production tables have
+    many row groups (or are non-local → detector fails open): no-op.
+    """
+    if _single_row_group(sf_dir, name):
+        return df.repartition(cpu_parallelism(spark))
+    return df
+
+
 def local_table_bytes(sf_dir: str, name: str) -> int:
     """Best-effort on-disk size of a local parquet table (file or dir);
     0 when unknowable (non-local path) — callers fail open to their
