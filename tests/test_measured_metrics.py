@@ -25,8 +25,12 @@ def _metrics(spark, name):
 def test_pricing_summary_combines_map_side(spark):
     m = _metrics(spark, "pricing_summary")
     assert m["max_output_rows"] >= 6000  # the scan actually ran
-    # 6000 input rows, 6 (flag,status) groups × partitions partials
-    assert 0 < m["shuffle_records_written"] <= 200, m
+    # r13: the single-row-group test file triggers parallelize_degenerate_scan,
+    # so the raw (filtered) rows cross the round-robin exchange ONCE (~5.9k at
+    # this SF); the aggregation exchange on top still combines map-side
+    # (6 (flag,status) groups × partitions partials ≤ ~400). A lost map-side
+    # combine would ship the rows TWICE (~12k) and overshoot the bound.
+    assert 0 < m["shuffle_records_written"] <= 6400, m
 
 
 def test_exact_dedup_shuffles_hashes_not_text(spark):
@@ -39,9 +43,12 @@ def test_exact_dedup_shuffles_hashes_not_text(spark):
 
 def test_star_rollup_broadcasts_dims_small_shuffle(spark):
     m = _metrics(spark, "star_revenue_rollup")
-    # dims broadcast: the only shuffled rows are aggregation partials,
-    # never the lineitem fact
-    assert 0 < m["shuffle_records_written"] <= 3000, m
+    # dims broadcast, so no JOIN ever shuffles the fact; r13's
+    # parallelize_degenerate_scan adds ONE round-robin pass of the raw fact
+    # rows (~6k at this SF) on the single-row-group test file, plus the
+    # aggregation partials. An un-broadcast join would shuffle the fact
+    # again (12k+) and overshoot.
+    assert 0 < m["shuffle_records_written"] <= 7000, m
 
 
 def test_salted_rollup_partials_bounded_by_salt_fanout(spark):
